@@ -1,0 +1,232 @@
+"""Pauli-sum expectation values, operator application, and pool screening.
+
+TPU-first redesign of the reference's measurement path:
+
+* ``<psi|H|psi>`` is computed matrix-free from the packed (x, z, c) arrays --
+  no qml.Hamiltonian object, no gate decomposition.  Terms are grouped by
+  their flip mask ``x`` on the host, so each distinct x costs ONE multi-axis
+  reverse; all z-sign bookkeeping fuses into elementwise passes.
+* Large Pauli sums (the iQCC dressed Hamiltonians, which grow
+  multiplicatively per epoch -- ``/root/reference/models/iqcc.py:175-180``)
+  use a traced (vmapped) z/c path per x-group, so compile time stays flat in
+  the number of terms.
+* ADAPT pool screening: the reference appends the ENTIRE pool to the circuit
+  and backprops once (``/root/reference/models/adapt_vqe.py:336-341``).
+  At zero insertion angle that gradient is exactly the commutator expectation
+  ``dE/de_k = 2 Im <w | G_k psi>`` with ``w = U^dag H U psi``, so we compute
+  it directly as a batched matrix-free pass over the packed pool -- no giant
+  eval circuit, no autodiff.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pauli import PauliSum
+from .gates import _xor_flip, apply_pauli_string
+from .state import index_bits, parity_signs, qmask_to_bmask, real_dtype
+
+# threshold above which an x-group switches from unrolled to vmapped-z
+_VMAP_THRESHOLD = 8
+# chunk size for the vmapped path ((chunk, 2^n) intermediates)
+_CHUNK = 64
+
+
+def group_by_x(op: PauliSum) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Host-side grouping: x_mask -> (z_masks[], packed_coeffs[])."""
+    groups: Dict[int, Tuple[list, list]] = defaultdict(lambda: ([], []))
+    for x, z, c in zip(op.x, op.z, op.c):
+        g = groups[int(x)]
+        g[0].append(int(z))
+        g[1].append(complex(c))
+    return {
+        x: (np.array(zs, dtype=np.uint64), np.array(cs, dtype=np.complex128))
+        for x, (zs, cs) in groups.items()
+    }
+
+
+def _signed_weights(n: int, zb_arr: jnp.ndarray, c_arr: jnp.ndarray, dtype):
+    """w_j[b] = c_j * (-1)^{popcount(b & zb_j)}, evaluated lazily per chunk."""
+    idx = index_bits(n)
+
+    def one(zb, c):
+        par = jax.lax.population_count(idx & zb.astype(jnp.uint32)) & jnp.uint32(1)
+        return c * (1.0 - 2.0 * par.astype(real_dtype(dtype))).astype(dtype)
+
+    return one
+
+
+def _group_diag_weight(n: int, zs: np.ndarray, cs: np.ndarray, dtype) -> jnp.ndarray:
+    """Sum_j c_j (-1)^{z_j . b} for an x-group, as one fused vector."""
+    rdt = real_dtype(dtype)
+    if len(zs) <= _VMAP_THRESHOLD:
+        acc = jnp.zeros(1 << n, dtype=dtype)
+        for z, c in zip(zs, cs):
+            zb = qmask_to_bmask(int(z), n)
+            s = parity_signs(n, zb, rdt) if zb else jnp.ones(1 << n, rdt)
+            acc = acc + jnp.asarray(c, dtype) * s.astype(dtype)
+        return acc
+    # traced path: scan over chunks of terms
+    idx = index_bits(n)
+    zb_host = np.array([qmask_to_bmask(int(z), n) for z in zs], dtype=np.uint32)
+    acc = jnp.zeros(1 << n, dtype=dtype)
+    for start in range(0, len(zs), _CHUNK):
+        zb = jnp.asarray(zb_host[start : start + _CHUNK])
+        c = jnp.asarray(cs[start : start + _CHUNK], dtype=dtype)
+
+        def body(carry, zc):
+            zbj, cj = zc
+            par = jax.lax.population_count(idx & zbj) & jnp.uint32(1)
+            sj = (1.0 - 2.0 * par.astype(rdt)).astype(dtype)
+            return carry + cj * sj, None
+
+        acc, _ = jax.lax.scan(body, acc, (zb, c))
+    return acc
+
+
+def diagonal_weight_vector(op: PauliSum, n: int, dtype=jnp.float64) -> jnp.ndarray:
+    """D[b] such that (H_diag psi)[b] = D[b] psi[b] for the x==0 part of op.
+
+    Real for Hermitian operators.  Precompute once per Hamiltonian; a whole
+    diagonal generator layer then costs one elementwise pass.
+    """
+    groups = group_by_x(op)
+    if 0 not in groups:
+        return jnp.zeros(1 << n, dtype=dtype)
+    zs, cs = groups[0]
+    w = _group_diag_weight(n, zs, cs, jnp.complex128)
+    return jnp.real(w).astype(dtype)
+
+
+def apply_paulisum(psi: jnp.ndarray, n: int, op: PauliSum, groups=None) -> jnp.ndarray:
+    """|out> = op |psi>, matrix-free, one flip per distinct x mask."""
+    if groups is None:
+        groups = group_by_x(op)
+    out = jnp.zeros_like(psi)
+    for x, (zs, cs) in groups.items():
+        w = _group_diag_weight(n, zs, cs, psi.dtype)
+        if x == 0:
+            out = out + w * psi
+        else:
+            xb = qmask_to_bmask(x, n)
+            # (c X^x Z^z psi)[b] = c (-1)^{z.(b^x)} psi[b^x]
+            #                    = c (-1)^{|z&x|} (-1)^{z.b} psi[b^x]
+            sign_zx = np.array(
+                [(-1.0) ** bin(int(z) & x).count("1") for z in zs]
+            )
+            w_adj = _group_diag_weight(n, zs, cs * sign_zx, psi.dtype)
+            out = out + w_adj * _xor_flip(psi, n, xb)
+    return out
+
+
+def expectation(psi: jnp.ndarray, n: int, op: PauliSum, groups=None) -> jnp.ndarray:
+    """Re <psi| op |psi> (op Hermitian)."""
+    if groups is None:
+        groups = group_by_x(op)
+    total = jnp.zeros((), dtype=real_dtype(psi.dtype))
+    conj = jnp.conj(psi)
+    for x, (zs, cs) in groups.items():
+        if x == 0:
+            w = _group_diag_weight(n, zs, cs, psi.dtype)
+            total = total + jnp.real(jnp.sum(w * conj * psi))
+        else:
+            xb = qmask_to_bmask(x, n)
+            sign_zx = np.array(
+                [(-1.0) ** bin(int(z) & x).count("1") for z in zs]
+            )
+            w_adj = _group_diag_weight(n, zs, cs * sign_zx, psi.dtype)
+            total = total + jnp.real(jnp.sum(w_adj * conj * _xor_flip(psi, n, xb)))
+    return total
+
+
+class Observable:
+    """A Hamiltonian/observable prepared for repeated fast evaluation.
+
+    Host-side grouping is done once; every `expectation`/`apply` call after
+    that traces only fused flips and elementwise passes.
+    """
+
+    def __init__(self, op: PauliSum, n_qubits: int):
+        self.op = op
+        self.n = n_qubits
+        self.groups = group_by_x(op)
+
+    def expectation(self, psi: jnp.ndarray) -> jnp.ndarray:
+        return expectation(psi, self.n, self.op, self.groups)
+
+    def apply(self, psi: jnp.ndarray) -> jnp.ndarray:
+        return apply_paulisum(psi, self.n, self.op, self.groups)
+
+    def __len__(self):
+        return len(self.op)
+
+
+# -- ADAPT pool screening -----------------------------------------------------
+
+
+class PackedPool:
+    """A pool of Hermitian generators lowered for batched screening.
+
+    For each generator G_k = sum_t c_t P_t we need  grad_k = 2 Im <w|G_k psi>.
+    All (k, t) pairs are flattened and grouped by flip mask x, so the whole
+    pool screening costs one reverse per distinct x plus fused elementwise
+    passes -- the TPU replacement for the reference's whole-pool append +
+    backprop (``/root/reference/models/adapt_vqe.py:306-314``).
+    """
+
+    def __init__(self, generators: Sequence[PauliSum], n_qubits: int):
+        self.n = n_qubits
+        self.generators = list(generators)
+        self.size = len(self.generators)
+        flat: Dict[int, Tuple[list, list, list]] = defaultdict(lambda: ([], [], []))
+        for k, g in enumerate(self.generators):
+            for x, z, c in zip(g.x, g.z, g.c):
+                f = flat[int(x)]
+                f[0].append(int(z))
+                f[1].append(complex(c))
+                f[2].append(k)
+        self._groups = {
+            x: (
+                np.array(zs, dtype=np.uint64),
+                np.array(cs, dtype=np.complex128),
+                np.array(ks, dtype=np.int32),
+            )
+            for x, (zs, cs, ks) in flat.items()
+        }
+
+    def screen(self, psi: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """grad_k = 2 Im <w | G_k psi> for every generator, in one fused pass.
+
+        psi: current (k-space) ansatz state; w: (U_FT^dag H U_FT) psi.
+        """
+        n = self.n
+        rdt = real_dtype(psi.dtype)
+        idx = index_bits(n)
+        conj_w = jnp.conj(w)
+        grads = jnp.zeros(self.size, dtype=rdt)
+        for x, (zs, cs, ks) in self._groups.items():
+            xb = qmask_to_bmask(x, n)
+            flipped = _xor_flip(psi, n, xb) if xb else psi
+            inner = conj_w * flipped  # shared across all terms in the group
+            sign_zx = np.array([(-1.0) ** bin(int(z) & x).count("1") for z in zs])
+            cs_adj = cs * sign_zx
+            zb_host = np.array([qmask_to_bmask(int(z), n) for z in zs], dtype=np.uint32)
+            for start in range(0, len(zs), _CHUNK):
+                zb = jnp.asarray(zb_host[start : start + _CHUNK])
+                c = jnp.asarray(cs_adj[start : start + _CHUNK])
+                kk = jnp.asarray(ks[start : start + _CHUNK])
+
+                def term_val(zbj):
+                    par = jax.lax.population_count(idx & zbj) & jnp.uint32(1)
+                    sj = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+                    return jnp.sum(inner * sj)
+
+                vals = jax.vmap(term_val)(zb)  # (chunk,)
+                contrib = 2.0 * jnp.imag(c * vals).astype(rdt)
+                grads = grads.at[kk].add(contrib)
+        return grads

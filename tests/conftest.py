@@ -3,15 +3,20 @@
 This is the standard JAX fake-backend trick (SURVEY.md section 4): sharding
 and collective tests run against a virtual 8-device CPU mesh, so the
 multi-chip code paths are exercised without TPU pod hardware.
+
+Note: the sandbox preimports jax via sitecustomize (axon TPU plugin), so the
+platform must be forced via jax.config, not env vars.  The real TPU also
+rejects complex128 ("C128 is not supported on TPU"); CPU tests run the
+engine's float64/complex128 path, TPU runs complex64.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
