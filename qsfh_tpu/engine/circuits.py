@@ -1,0 +1,107 @@
+"""Circuit building blocks shared by the algorithm drivers.
+
+The reference emits PennyLane gate queues inside each driver's ``circuit``
+method (``/root/reference/models/hva.py:273-303``).  Here circuits are plain
+Python compositions of the fused engine kernels, traced once under ``jit``;
+everything structural (masks, wire indices, Givens plans) is static at trace
+time, and only rotation angles are traced.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fermion import FermionOperator
+from ..ops.givens import Plan
+from ..ops.jw import jordan_wigner
+from ..ops.pauli import PauliSum
+from . import gates
+from .state import basis_state
+
+
+def get_non_interacting_ground_state_indices(
+    k_quadratic_term: FermionOperator, n_qubits: int, n_spin_up: int, n_spin_down: int
+) -> Tuple[List[int], List[int]]:
+    """Pick the lowest-energy momentum modes per spin sector.
+
+    Parity with ``get_non_interacting_ground_state_index``
+    (/root/reference/models/hva.py:97-115): reads the diagonal k-space
+    hopping energies and returns the n_up / n_down lowest mode indices.
+    """
+    spin_up_energies = {x: 0.0 for x in range(0, n_qubits, 2)}
+    spin_down_energies = {x: 0.0 for x in range(1, n_qubits, 2)}
+    for term, coeff in k_quadratic_term.terms.items():
+        index = term[0][0]
+        if index % 2 == 0:
+            spin_up_energies[index] = coeff.real
+        else:
+            spin_down_energies[index] = coeff.real
+    spin_up_indices = sorted(spin_up_energies, key=spin_up_energies.get)[:n_spin_up]
+    spin_down_indices = sorted(spin_down_energies, key=spin_down_energies.get)[:n_spin_down]
+    return spin_up_indices, spin_down_indices
+
+
+def slater_prep_state(
+    n_qubits: int,
+    occupied_modes: Sequence[int],
+    diagonal: np.ndarray,
+    decomposition: Plan,
+    dtype=jnp.complex128,
+) -> jnp.ndarray:
+    """Prepare the Slater determinant via X + RZ(diag) + reversed Givens plan.
+
+    Mirrors the reference state-prep block (/root/reference/models/hva.py:276-289).
+    The result is a constant (no traced parameters), so drivers compute it
+    once and reuse it every step.
+    """
+    psi = basis_state(n_qubits, occupied_modes, dtype=dtype)
+    psi = apply_givens_network(psi, n_qubits, diagonal, decomposition)
+    return psi
+
+
+def apply_givens_network(
+    psi: jnp.ndarray, n_qubits: int, diagonal: np.ndarray, decomposition: Plan
+) -> jnp.ndarray:
+    """RZ(angle(diagonal)) layer + reversed Givens-plan rotations.
+
+    Used standalone by ADAPT, whose ansatz acts in k-space BEFORE this
+    network transforms back to real space
+    (/root/reference/models/adapt_vqe.py:343-354).
+    """
+    for i in range(n_qubits):
+        psi = gates.rz(psi, n_qubits, float(np.angle(diagonal[i])), i)
+    for parallel_ops in reversed(decomposition):
+        for op in parallel_ops:
+            if op == "pht":
+                psi = gates.pauli_x(psi, n_qubits, n_qubits - 1)
+            else:
+                i, j, theta, phi = op
+                psi = gates.single_excitation(psi, n_qubits, 2 * float(theta), i, j)
+                psi = gates.rz(psi, n_qubits, float(phi), j)
+    return psi
+
+
+class GeneratorGate:
+    """A Trotterized exp(-i theta G) gate with host-precomputed rotation terms.
+
+    Serializable descriptor (the FermionOperator source) + lowered rotation
+    list; this replaces the reference's pickled ``functools.partial`` gate
+    closures (/root/reference/models/adapt_vqe.py:144).
+    """
+
+    def __init__(self, generator, n_qubits: int, label: str = ""):
+        if isinstance(generator, FermionOperator):
+            qubit_gen = jordan_wigner(generator)
+        else:
+            qubit_gen = generator
+        self.fermion_generator = generator if isinstance(generator, FermionOperator) else None
+        self.generator = qubit_gen
+        self.n_qubits = n_qubits
+        self.label = label
+        self.rot_terms = qubit_gen.rotation_terms()
+
+    def __call__(self, psi: jnp.ndarray, theta) -> jnp.ndarray:
+        return gates.generator_rotation(psi, self.n_qubits, self.rot_terms, theta)
