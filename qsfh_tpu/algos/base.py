@@ -1,0 +1,211 @@
+"""Shared driver infrastructure: problem setup, ground truth, dtype policy.
+
+Factors out everything the reference duplicates across its four driver files
+(Hamiltonian/observable construction, FT + Givens plan, mode selection, ED
+caching -- e.g. ``/root/reference/models/hva.py:147-245`` duplicated at
+``adapt_vqe.py:159-201``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.circuits import get_non_interacting_ground_state_indices
+from ..engine.expectation import Observable, diagonal_weight_vector
+from ..io import checkpoint as ckpt
+from ..linalg.lanczos import degenerate_ground_space, ground_state as lanczos_ground_state
+from ..ops.fourier import fourier_transform, fourier_transform_matrix
+from ..ops.givens import givens_decomposition_square
+from ..ops.hva import get_hva_commuting_hopping_terms
+from ..ops.jw import jordan_wigner
+from ..ops.lattice import (
+    fermi_hubbard,
+    particle_number_operator,
+    spin_operator,
+    total_spin_number,
+)
+from ..ops.tools import get_interacting_term, get_quadratic_term
+
+
+def default_dtype() -> jnp.dtype:
+    """complex64 on TPU (no c128 support), complex128 elsewhere."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform in ("tpu", "axon"):
+        return jnp.complex64
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def cpu_device():
+    return jax.devices("cpu")[0]
+
+
+class HubbardProblem:
+    """A configured Fermi-Hubbard instance with everything drivers need."""
+
+    def __init__(
+        self,
+        x_dimension: int,
+        y_dimension: int,
+        tunneling: float,
+        coulomb: float,
+        n_electrons: int,
+        n_spin_up: int,
+        n_spin_down: int,
+        periodic: bool = True,
+        spinless: bool = False,
+        particle_hole_symmetry: bool = False,
+        results_root: str = "./results",
+    ):
+        if n_spin_up + n_spin_down != n_electrons:
+            raise ValueError("n_spin_up + n_spin_down must equal n_electrons")
+        self.x_dimension = x_dimension
+        self.y_dimension = y_dimension
+        self.tunneling = tunneling
+        self.coulomb = coulomb
+        self.n_electrons = n_electrons
+        self.n_spin_up = n_spin_up
+        self.n_spin_down = n_spin_down
+        self.periodic = periodic
+        self.n_sites = x_dimension * y_dimension
+        self.n_qubits = 2 * self.n_sites
+        self.results_root = results_root
+
+        # Hamiltonian and splits (hva.py:147-156)
+        self.fermion_hamiltonian = fermi_hubbard(
+            x_dimension,
+            y_dimension,
+            tunneling,
+            coulomb,
+            periodic=periodic,
+            spinless=spinless,
+            particle_hole_symmetry=particle_hole_symmetry,
+        )
+        self.qubit_hamiltonian = jordan_wigner(self.fermion_hamiltonian)
+        self.quadratic_term = get_quadratic_term(self.fermion_hamiltonian)
+        self.interacting_term = get_interacting_term(self.fermion_hamiltonian)
+
+        # observables (hva.py:158-184)
+        self.fermion_operators = {
+            "hopping": self.quadratic_term,
+            "coulomb": self.interacting_term,
+            "particle number": particle_number_operator(x_dimension, y_dimension, spinless),
+            "spin up": total_spin_number(self.n_sites, "spin-up"),
+            "spin down": total_spin_number(self.n_sites, "spin-down"),
+            "Sx": spin_operator(self.n_sites, "Sx"),
+            "Sy": spin_operator(self.n_sites, "Sy"),
+            "Sz": spin_operator(self.n_sites, "Sz"),
+            "S^2": spin_operator(self.n_sites, "S^2"),
+        }
+        self.observables = {
+            "H": Observable(self.qubit_hamiltonian, self.n_qubits),
+            "Sz": Observable(jordan_wigner(self.fermion_operators["Sz"]), self.n_qubits),
+            "S^2": Observable(jordan_wigner(self.fermion_operators["S^2"]), self.n_qubits),
+        }
+
+        # momentum-space structure (hva.py:185-194)
+        self.ft_matrix = fourier_transform_matrix(x_dimension, y_dimension)
+        self.decomposition, self.diagonal = givens_decomposition_square(self.ft_matrix)
+        self.k_quadratic_term = fourier_transform(self.quadratic_term, x_dimension, y_dimension)
+        self.spin_up_indices, self.spin_down_indices = get_non_interacting_ground_state_indices(
+            self.k_quadratic_term, self.n_qubits, n_spin_up, n_spin_down
+        )
+
+    # -- file identity (hva.py:197-200 schema) -------------------------------
+
+    def tag(self, algo: str, **extra) -> str:
+        return ckpt.config_tag(
+            algo,
+            self.x_dimension,
+            self.y_dimension,
+            self.tunneling,
+            self.coulomb,
+            self.n_electrons,
+            self.n_spin_up,
+            self.n_spin_down,
+            **extra,
+        )
+
+    def ground_state_path(self) -> str:
+        tag = ckpt.config_tag(
+            "Hubbard",
+            self.x_dimension,
+            self.y_dimension,
+            self.tunneling,
+            self.coulomb,
+            self.n_electrons,
+        )
+        return os.path.join(self.results_root, "ground_state_results", tag + ".npz")
+
+    # -- exact ground truth ----------------------------------------------------
+
+    def ground_state(self, degenerate: bool = False, n_states: int = 4, force: bool = False):
+        """Cached exact ground state via the matrix-free CPU-f64 Lanczos.
+
+        Mirrors the ED cache of the reference (hva.py:219-245); the 3x3
+        degenerate variant keeps an orthonormal subspace
+        (hva_for_3x3.py:232, adapt_vqe_for_3x3 ditto).
+        """
+        path = self.ground_state_path()
+        if degenerate:
+            path = path.replace(".npz", f" deg{n_states}.npz")
+        if os.path.exists(path) and not force:
+            energy, wfs = ckpt.load_ground_state(path)
+            return (energy, wfs) if degenerate else (energy, wfs[0])
+
+        with jax.enable_x64(True), jax.default_device(cpu_device()):
+            if degenerate:
+                energy, states = degenerate_ground_space(
+                    self.qubit_hamiltonian,
+                    self.n_qubits,
+                    self.n_electrons,
+                    self.n_spin_up,
+                    self.n_spin_down,
+                    n_states=n_states,
+                    dtype=jnp.complex128,
+                )
+                states = [np.asarray(s) for s in states]
+                ckpt.save_ground_state(path, energy, states)
+                return energy, states
+            energy, wf = lanczos_ground_state(
+                self.qubit_hamiltonian,
+                self.n_qubits,
+                self.n_electrons,
+                self.n_spin_up,
+                self.n_spin_down,
+                dtype=jnp.complex128,
+            )
+            wf = np.asarray(wf)
+            ckpt.save_ground_state(path, energy, [wf])
+            return energy, wf
+
+    # -- HVA structure ------------------------------------------------------------
+
+    def hva_generators(self):
+        """(horizontal, vertical) JW generators + the Coulomb diagonal."""
+        h, v = get_hva_commuting_hopping_terms(
+            self.x_dimension, self.y_dimension, self.periodic
+        )
+        return [jordan_wigner(g) for g in h], [jordan_wigner(g) for g in v]
+
+    def coulomb_diagonal(self, dtype=None) -> jnp.ndarray:
+        """Precomputed diagonal weight vector of JW(U-term) -- the whole
+        Coulomb Trotter layer then costs ONE elementwise pass.
+
+        The identity component is dropped (the reference's Trotterize skips
+        identity terms, hva.py:90-91), so rotations match up to nothing at
+        all -- not even global phase differs.
+        """
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        ujw = jordan_wigner(self.interacting_term)
+        D = diagonal_weight_vector(ujw, self.n_qubits, dtype=dtype)
+        return D - jnp.asarray(ujw.constant().real, dtype=dtype)

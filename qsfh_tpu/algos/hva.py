@@ -1,0 +1,259 @@
+"""Hamiltonian-Variational-Ansatz VQE driver.
+
+TPU-native rebuild of ``/root/reference/models/hva.py`` (class HVA :117) and
+its degenerate-subspace variant ``hva_for_3x3.py``:
+
+* state prep = precomputed Slater determinant (computed ONCE as a constant,
+  not re-executed gate-by-gate every step as in the reference circuit)
+* each Coulomb Trotter layer = one fused diagonal pass
+* each hopping color class = fused exp(-i theta P) rotations
+* energy/Sz/S^2/fidelity all come out of a single jitted train step with
+  ``jax.value_and_grad`` + optax Adam (the reference runs three separate
+  QNode evaluations per iteration, hva.py:320-327)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.circuits import slater_prep_state
+from ..engine.gates import diagonal_rotation, generator_rotation
+from ..engine.state import fidelity as state_fidelity, subspace_fidelity
+from ..io import checkpoint as ckpt
+from ..io.metrics import MetricsLogger, plot_energy_fidelity
+from .base import HubbardProblem, default_dtype
+
+
+class HVA:
+    def __init__(
+        self,
+        n_epoch: int,
+        reps: int,
+        lr: float,
+        threshold: float = 0.0,
+        x_dimension: int = 2,
+        y_dimension: int = 2,
+        n_electrons: int = 4,
+        n_spin_up: int = 2,
+        n_spin_down: int = 2,
+        tunneling: float = 1.0,
+        coulomb: float = 6.0,
+        periodic: bool = True,
+        spinless: bool = False,
+        particle_hole_symmetry: bool = False,
+        load_model: bool = False,
+        dtype=None,
+        degenerate_subspace: int = 0,
+        early_stop: bool = False,
+        results_root: str = "./results",
+        plot: bool = True,
+        log_metrics: bool = True,
+        checkpoint_every: int = 10,
+    ):
+        self.n_epoch = n_epoch
+        self.reps = reps
+        self.lr = lr
+        self.threshold = threshold
+        self.early_stop = early_stop
+        self.plot = plot
+        self.checkpoint_every = checkpoint_every
+        self.dtype = dtype or default_dtype()
+
+        self.problem = HubbardProblem(
+            x_dimension,
+            y_dimension,
+            tunneling,
+            coulomb,
+            n_electrons,
+            n_spin_up,
+            n_spin_down,
+            periodic=periodic,
+            spinless=spinless,
+            particle_hole_symmetry=particle_hole_symmetry,
+            results_root=results_root,
+        )
+        p = self.problem
+        self.n_qubits = p.n_qubits
+
+        # ansatz structure
+        self.h_generators, self.v_generators = p.hva_generators()
+        self.Nh, self.Nv = len(self.h_generators), len(self.v_generators)
+        self._h_rot = [g.rotation_terms() for g in self.h_generators]
+        self._v_rot = [g.rotation_terms() for g in self.v_generators]
+        rdt = jnp.zeros((), self.dtype).real.dtype
+        self._coulomb_diag = p.coulomb_diagonal(dtype=rdt)
+
+        # constant initial state (Slater determinant of occupied k-modes)
+        self.psi0 = slater_prep_state(
+            p.n_qubits,
+            p.spin_up_indices + p.spin_down_indices,
+            p.diagonal,
+            p.decomposition,
+            dtype=self.dtype,
+        )
+
+        # exact ground truth (cached)
+        self.degenerate_subspace = degenerate_subspace
+        if degenerate_subspace:
+            self.ground_state_energy, gs = p.ground_state(
+                degenerate=True, n_states=degenerate_subspace
+            )
+            self._gs_states = [jnp.asarray(w, dtype=self.dtype) for w in gs]
+        else:
+            self.ground_state_energy, gs = p.ground_state()
+            self._gs_states = [jnp.asarray(gs, dtype=self.dtype)]
+
+        tag = p.tag("HVA", reps=reps)
+        self.img_filepath = f"./images/{tag}.png"
+        self.result_filepath = os.path.join(results_root, "vqe_results", tag + ".json")
+        self.model_filepath = os.path.join(results_root, "saved_model", tag + ".npz")
+        self.metrics = MetricsLogger(
+            os.path.join(results_root, "vqe_results", tag + ".jsonl") if log_metrics else None
+        )
+
+        if load_model:
+            self.load_model()
+        else:
+            self.params = {
+                "theta_U": jnp.zeros(reps + 1, dtype=rdt),
+                "theta_v": jnp.zeros(reps * self.Nv, dtype=rdt),
+                "theta_h": jnp.zeros(reps * self.Nh, dtype=rdt),
+            }
+            self.results = {"loss": [], "Sz": [], "S^2": [], "fidelity": []}
+
+        self.optimizer = optax.adam(lr)
+        self._step = self._build_step()
+
+    # -- circuit ----------------------------------------------------------------
+
+    def circuit(self, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Ansatz: reps x (Coulomb, vertical hops, horizontal hops) + Coulomb.
+
+        Layer order matches /root/reference/models/hva.py:292-298.
+        """
+        n = self.n_qubits
+        psi = self.psi0
+        for rep in range(self.reps):
+            psi = diagonal_rotation(psi, self._coulomb_diag, params["theta_U"][rep])
+            for i, rot in enumerate(self._v_rot):
+                psi = generator_rotation(psi, n, rot, params["theta_v"][rep * self.Nv + i])
+            for i, rot in enumerate(self._h_rot):
+                psi = generator_rotation(psi, n, rot, params["theta_h"][rep * self.Nh + i])
+        psi = diagonal_rotation(psi, self._coulomb_diag, params["theta_U"][self.reps])
+        return psi
+
+    def state(self, params=None) -> jnp.ndarray:
+        return self.circuit(self.params if params is None else params)
+
+    # -- training ------------------------------------------------------------------
+
+    def _build_step(self):
+        obs = self.problem.observables
+        gs_states = self._gs_states
+
+        def loss_fn(params):
+            psi = self.circuit(params)
+            return obs["H"].expectation(psi), psi
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(params, opt_state):
+            (energy, psi), grads = grad_fn(params)
+            sz = obs["Sz"].expectation(psi)
+            s2 = obs["S^2"].expectation(psi)
+            if len(gs_states) > 1:
+                fid = subspace_fidelity(psi, gs_states)
+            else:
+                fid = state_fidelity(psi, gs_states[0])
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self.optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, energy, sz, s2, fid, gnorm
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def run(self):
+        opt_state = self.optimizer.init(self.params)
+        i_epoch = len(self.results["loss"])
+
+        while i_epoch < self.n_epoch:
+            self.params, opt_state, e, sz, s2, fid, gnorm = self._step(
+                self.params, opt_state
+            )
+            e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
+            self.results["loss"].append(e)
+            self.results["Sz"].append(sz)
+            self.results["S^2"].append(s2)
+            self.results["fidelity"].append(fid)
+            self.metrics.log(
+                iter=len(self.results["loss"]),
+                loss=e,
+                norm=gnorm,
+                fidelity=fid,
+                Sz=sz,
+                S_square=s2,
+            )
+            if self.plot:
+                plot_energy_fidelity(
+                    self.img_filepath,
+                    self.results["loss"],
+                    self.results["fidelity"],
+                    self.ground_state_energy,
+                    label="HVA",
+                )
+            if (i_epoch + 1) % self.checkpoint_every == 0:
+                self.save_model()
+            i_epoch += 1
+            if self.early_stop and self.threshold and gnorm < self.threshold:
+                break
+
+        self.save_model()
+        return self.results
+
+    # -- persistence ------------------------------------------------------------------
+
+    def save_model(self):
+        ckpt.save_model(
+            self.model_filepath,
+            {k: np.asarray(v) for k, v in self.params.items()},
+            meta={"reps": self.reps, "n_qubits": self.n_qubits},
+        )
+        ckpt.save_results(self.result_filepath, self.results)
+
+    def load_model(self):
+        if not os.path.exists(self.model_filepath):
+            raise ValueError(f"Please check if the file {self.model_filepath} exists!")
+        if not os.path.exists(self.result_filepath):
+            raise ValueError(f"Please check if the file {self.result_filepath} exists!")
+        params, _ = ckpt.load_model(self.model_filepath)
+        rdt = jnp.zeros((), self.dtype).real.dtype
+        self.params = {k: jnp.asarray(v, dtype=rdt) for k, v in params.items()}
+        self.results = ckpt.load_results(self.result_filepath)
+
+
+if __name__ == "__main__":
+    # reference __main__ config (/root/reference/models/hva.py:361-380)
+    vqe = HVA(
+        n_epoch=1000,
+        reps=10,
+        lr=1e-2,
+        threshold=1e-2,
+        x_dimension=2,
+        y_dimension=2,
+        n_electrons=4,
+        n_spin_up=2,
+        n_spin_down=2,
+        tunneling=1,
+        coulomb=6,
+        periodic=True,
+        spinless=False,
+        particle_hole_symmetry=False,
+        load_model=False,
+    )
+    vqe.run()

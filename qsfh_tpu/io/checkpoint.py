@@ -1,0 +1,123 @@
+"""Checkpoint / resume and result persistence.
+
+Replaces the reference's three pickle families
+(``/root/reference/models/hva.py:197-200,247-271``) with npz + JSON:
+parameters and metric histories are arrays/JSON, and ADAPT's selected gates
+are stored as *operator descriptors* (fermion term lists), not pickled
+functools.partial closures (the caveat flagged in SURVEY.md section 5.4).
+
+The config-encoding filename schema is preserved so runs resume by identity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from ..ops.fermion import FermionOperator
+
+
+def config_tag(
+    algo: str,
+    x_dimension: int,
+    y_dimension: int,
+    tunneling,
+    coulomb,
+    n_electrons: int,
+    n_spin_up: int = None,
+    n_spin_down: int = None,
+    **extra,
+) -> str:
+    parts = [
+        f"{algo}-{x_dimension}x{y_dimension}",
+        f"t={tunneling}",
+        f"U={coulomb}",
+        f"n_electrons={n_electrons}",
+    ]
+    if n_spin_up is not None:
+        parts.append(f"up={n_spin_up}")
+    if n_spin_down is not None:
+        parts.append(f"down={n_spin_down}")
+    for k, v in extra.items():
+        parts.append(f"{k}={v}")
+    return parts[0] + " (" + ", ".join(parts[1:]) + ")"
+
+
+def ensure_dirs(root: str = "./results"):
+    for sub in ("ground_state_results", "vqe_results", "saved_model"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    os.makedirs("./images", exist_ok=True)
+
+
+# -- fermion operator descriptors ----------------------------------------------
+
+
+def fermion_to_descriptor(op: FermionOperator) -> List:
+    return [
+        [[list(map(int, ladder)) for ladder in term], [coeff.real, coeff.imag]]
+        for term, coeff in op.terms.items()
+    ]
+
+
+def descriptor_to_fermion(desc: List) -> FermionOperator:
+    op = FermionOperator.zero()
+    for term, (re, im) in desc:
+        op.terms[tuple((int(m), int(a)) for m, a in term)] = complex(re, im)
+    return op
+
+
+# -- ground-state cache -----------------------------------------------------------
+
+
+def save_ground_state(path: str, energy: float, wavefunctions) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wfs = np.stack([np.asarray(w) for w in np.atleast_2d(wavefunctions)])
+    np.savez_compressed(path, energy=energy, wavefunctions=wfs)
+
+
+def load_ground_state(path: str):
+    data = np.load(path)
+    wfs = data["wavefunctions"]
+    return float(data["energy"]), [wfs[i] for i in range(wfs.shape[0])]
+
+
+# -- model checkpoints -----------------------------------------------------------
+
+
+def save_model(path: str, params: Dict[str, np.ndarray], meta: Dict = None) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = {f"param__{k}": np.asarray(v) for k, v in params.items()}
+    if meta:
+        arrays["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+    np.savez(path, **arrays)
+
+
+def load_model(path: str):
+    data = np.load(path, allow_pickle=False)
+    params = {}
+    meta = {}
+    for k in data.files:
+        if k.startswith("param__"):
+            params[k[len("param__"):]] = data[k]
+        elif k == "meta_json":
+            meta = json.loads(bytes(data[k].tobytes()).decode("utf-8"))
+    return params, meta
+
+
+# -- metric histories --------------------------------------------------------------
+
+
+def save_results(path: str, results: Dict[str, list]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(results, f)
+
+
+def load_results(path: str) -> Dict[str, list]:
+    with open(path) as f:
+        return json.load(f)
