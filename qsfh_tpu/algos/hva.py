@@ -30,6 +30,27 @@ from ..io.metrics import MetricsLogger, plot_energy_fidelity
 from .base import HubbardProblem, default_dtype
 
 
+def hva_circuit(psi0, n_qubits, coulomb_diag, v_rot, h_rot, reps, params, constrain=None):
+    """The HVA ansatz as a free function (layer order: hva.py:292-298).
+
+    ``constrain`` (optional) pins a sharding after every Trotter layer so the
+    amplitude-sharded multi-chip path keeps the statevector distributed.
+    """
+    n = n_qubits
+    Nv, Nh = len(v_rot), len(h_rot)
+    psi = psi0
+    for rep in range(reps):
+        psi = diagonal_rotation(psi, coulomb_diag, params["theta_U"][rep])
+        for i, rot in enumerate(v_rot):
+            psi = generator_rotation(psi, n, rot, params["theta_v"][rep * Nv + i])
+        for i, rot in enumerate(h_rot):
+            psi = generator_rotation(psi, n, rot, params["theta_h"][rep * Nh + i])
+        if constrain is not None:
+            psi = constrain(psi)
+    psi = diagonal_rotation(psi, coulomb_diag, params["theta_U"][reps])
+    return psi
+
+
 class HVA:
     def __init__(
         self,
@@ -55,6 +76,7 @@ class HVA:
         plot: bool = True,
         log_metrics: bool = True,
         checkpoint_every: int = 10,
+        ground_truth: bool = True,
     ):
         self.n_epoch = n_epoch
         self.reps = reps
@@ -98,9 +120,14 @@ class HVA:
             dtype=self.dtype,
         )
 
-        # exact ground truth (cached)
+        # exact ground truth (cached); ground_truth=False skips the ED solve
+        # entirely (benchmarking / compile-check paths where only the energy
+        # matters and fidelity is reported as 0)
         self.degenerate_subspace = degenerate_subspace
-        if degenerate_subspace:
+        if not ground_truth:
+            self.ground_state_energy = None
+            self._gs_states = []
+        elif degenerate_subspace:
             self.ground_state_energy, gs = p.ground_state(
                 degenerate=True, n_states=degenerate_subspace
             )
@@ -137,16 +164,15 @@ class HVA:
 
         Layer order matches /root/reference/models/hva.py:292-298.
         """
-        n = self.n_qubits
-        psi = self.psi0
-        for rep in range(self.reps):
-            psi = diagonal_rotation(psi, self._coulomb_diag, params["theta_U"][rep])
-            for i, rot in enumerate(self._v_rot):
-                psi = generator_rotation(psi, n, rot, params["theta_v"][rep * self.Nv + i])
-            for i, rot in enumerate(self._h_rot):
-                psi = generator_rotation(psi, n, rot, params["theta_h"][rep * self.Nh + i])
-        psi = diagonal_rotation(psi, self._coulomb_diag, params["theta_U"][self.reps])
-        return psi
+        return hva_circuit(
+            self.psi0,
+            self.n_qubits,
+            self._coulomb_diag,
+            self._v_rot,
+            self._h_rot,
+            self.reps,
+            params,
+        )
 
     def state(self, params=None) -> jnp.ndarray:
         return self.circuit(self.params if params is None else params)
@@ -169,8 +195,10 @@ class HVA:
             s2 = obs["S^2"].expectation(psi)
             if len(gs_states) > 1:
                 fid = subspace_fidelity(psi, gs_states)
-            else:
+            elif len(gs_states) == 1:
                 fid = state_fidelity(psi, gs_states[0])
+            else:
+                fid = jnp.zeros((), dtype=energy.dtype)
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
@@ -199,7 +227,7 @@ class HVA:
                 Sz=sz,
                 S_square=s2,
             )
-            if self.plot:
+            if self.plot and self.ground_state_energy is not None:
                 plot_energy_fidelity(
                     self.img_filepath,
                     self.results["loss"],

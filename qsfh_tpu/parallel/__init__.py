@@ -1,0 +1,21 @@
+from .mesh import (
+    AMP_AXIS,
+    amp_sharding,
+    amplitude_mesh,
+    constrain_amp,
+    local_qubits,
+    replicated,
+    shard_statevector,
+)
+from .sharded_hva import build_sharded_hva_step
+
+__all__ = [
+    "AMP_AXIS",
+    "amp_sharding",
+    "amplitude_mesh",
+    "constrain_amp",
+    "local_qubits",
+    "replicated",
+    "shard_statevector",
+    "build_sharded_hva_step",
+]
