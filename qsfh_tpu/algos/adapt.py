@@ -1,0 +1,340 @@
+"""ADAPT-VQE driver: adaptive ansatz growth with batched pool screening.
+
+TPU-native rebuild of ``/root/reference/models/adapt_vqe.py`` (class ADAPT
+:124) and its degenerate-subspace variant ``adapt_vqe_for_3x3.py``.
+
+Key redesigns versus the reference:
+
+* **Pool screening without the giant eval circuit.**  The reference appends
+  the ENTIRE pool to the circuit at angles e~0 and backprops once
+  (``adapt_vqe.py:306-314``).  At zero angle that gradient equals the
+  commutator expectation ``dE/de_k = 2 Im <w | G_k | psi_k>`` with
+  ``w = U_FT^dag H U_FT |psi_k>``, so we evaluate it directly as ONE batched
+  matrix-free pass over the packed pool (:class:`PackedPool`) -- no O(|pool|)
+  circuit suffix, no autodiff graph over it.
+* **One jitted train step per epoch.**  The reference instantiates two
+  QNodes per iteration (state probe + train) with explicit GPU-memory
+  hygiene between them (``adapt_vqe.py:404-432``); here a single fused step
+  returns (energy, Sz, S^2, fidelity, grads) and jit purity makes the
+  memory management moot.
+* **Serializable ansatz.**  Selected operators are stored as POOL INDICES
+  (the reference pickles ``functools.partial`` gate closures,
+  ``adapt_vqe.py:144,269-280`` -- flagged in SURVEY.md section 5.4).
+
+The ansatz acts in momentum space BEFORE the Givens network Fourier-
+transforms to real space, exactly like the reference circuit
+(``adapt_vqe.py:325-354``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.circuits import apply_givens_network, apply_givens_network_adjoint
+from ..engine.expectation import PackedPool
+from ..engine.gates import generator_rotation
+from ..engine.state import basis_state, fidelity as state_fidelity, subspace_fidelity
+from ..io import checkpoint as ckpt
+from ..io.metrics import MetricsLogger, plot_energy_iterations
+from ..ops.jw import jordan_wigner
+from ..ops.pool import hubbard_interaction_pool_simplified
+from .base import HubbardProblem, default_dtype
+
+
+class ADAPT:
+    def __init__(
+        self,
+        n_epoch: int,
+        threshold1: float,
+        threshold2: float,
+        x_dimension: int,
+        y_dimension: int,
+        n_electrons: int,
+        n_spin_up: int,
+        n_spin_down: int,
+        tunneling: float,
+        coulomb: float,
+        periodic: bool = True,
+        spinless: bool = False,
+        particle_hole_symmetry: bool = False,
+        load_model: bool = False,
+        ratio: float = 0.1,
+        lr_scale: float = 0.05,
+        max_inner_iterations: int = 10000,
+        dtype=None,
+        degenerate_subspace: int = 0,
+        results_root: str = "./results",
+        plot: bool = True,
+        log_metrics: bool = True,
+        pool=None,
+        ground_truth: bool = True,
+    ):
+        self.n_epoch = n_epoch
+        self.threshold1 = threshold1
+        self.threshold2 = threshold2
+        self.ratio = ratio  # adapt_vqe.py:155
+        self.lr_scale = lr_scale
+        self.max_inner_iterations = max_inner_iterations
+        self.plot = plot
+        self.dtype = dtype or default_dtype()
+
+        self.problem = HubbardProblem(
+            x_dimension,
+            y_dimension,
+            tunneling,
+            coulomb,
+            n_electrons,
+            n_spin_up,
+            n_spin_down,
+            periodic=periodic,
+            spinless=spinless,
+            particle_hole_symmetry=particle_hole_symmetry,
+            results_root=results_root,
+        )
+        p = self.problem
+        self.n_qubits = p.n_qubits
+
+        # pool (adapt_vqe.py:142-144)
+        self.fermion_pool = (
+            pool
+            if pool is not None
+            else hubbard_interaction_pool_simplified(x_dimension, y_dimension)
+        )
+        self.qubit_pool = [jordan_wigner(g) for g in self.fermion_pool]
+        self.pool_rot = [g.rotation_terms() for g in self.qubit_pool]
+        self.packed_pool = PackedPool(self.qubit_pool, self.n_qubits)
+
+        # k-space initial state: occupied lowest momentum modes (adapt_vqe.py:328-329)
+        self.psi0_k = basis_state(
+            self.n_qubits, p.spin_up_indices + p.spin_down_indices, dtype=self.dtype
+        )
+
+        # exact ground truth
+        self.degenerate_subspace = degenerate_subspace
+        if not ground_truth:
+            self.ground_state_energy = None
+            self._gs_states = []
+        elif degenerate_subspace:
+            self.ground_state_energy, gs = p.ground_state(
+                degenerate=True, n_states=degenerate_subspace
+            )
+            self._gs_states = [jnp.asarray(w, dtype=self.dtype) for w in gs]
+        else:
+            self.ground_state_energy, gs = p.ground_state()
+            self._gs_states = [jnp.asarray(gs, dtype=self.dtype)]
+
+        tag = p.tag("ADAPT")
+        self.img_filepath = f"./images/{tag}.png"
+        self.result_filepath = os.path.join(results_root, "vqe_results", tag + ".json")
+        self.model_filepath = os.path.join(results_root, "saved_model", tag + ".npz")
+        self.metrics = MetricsLogger(
+            os.path.join(results_root, "vqe_results", tag + ".jsonl") if log_metrics else None
+        )
+
+        rdt = jnp.zeros((), self.dtype).real.dtype
+        self._rdt = rdt
+        if load_model:
+            self.load_model()
+        else:
+            self.selected_indices: List[int] = []
+            self.params_t = jnp.zeros(0, dtype=rdt)
+            self.results = {
+                "epoch loss": [],
+                "iteration loss": [],
+                "Sz": [],
+                "S^2": [],
+                "fidelity": [],
+                "n_params": [],
+                "selected operators": [],
+            }
+
+        self._screen_fn = self._build_screen()
+
+    # -- circuit pieces ----------------------------------------------------------
+
+    def _ansatz_k(self, thetas, indices) -> jnp.ndarray:
+        """k-space ansatz: exp(-i theta_i G_i) over the selected pool ops."""
+        psi = self.psi0_k
+        for slot, idx in enumerate(indices):
+            psi = generator_rotation(psi, self.n_qubits, self.pool_rot[idx], thetas[slot])
+        return psi
+
+    def _to_real(self, psi_k) -> jnp.ndarray:
+        return apply_givens_network(
+            psi_k, self.n_qubits, self.problem.diagonal, self.problem.decomposition
+        )
+
+    def state(self, thetas=None) -> jnp.ndarray:
+        """Real-space ansatz state (reference mode='state')."""
+        thetas = self.params_t if thetas is None else thetas
+        return self._to_real(self._ansatz_k(thetas, self.selected_indices))
+
+    # -- operator selection -------------------------------------------------------
+
+    def _build_screen(self):
+        p = self.problem
+
+        def screen(psi_k):
+            psi_r = self._to_real(psi_k)
+            w_r = p.observables["H"].apply(psi_r)
+            w_k = apply_givens_network_adjoint(
+                w_r, self.n_qubits, p.diagonal, p.decomposition
+            )
+            return self.packed_pool.screen(psi_k, w_k)
+
+        return jax.jit(screen)
+
+    def select_operator(self):
+        """Batched pool-gradient screening (adapt_vqe.py:297-323).
+
+        Returns (selected_indices, max_grads) with the reference's selection
+        rule: |g| >= max(ratio * g_max) AND |g| >= threshold1, sorted by
+        descending |g|.
+        """
+        psi_k = self._ansatz_k(self.params_t, self.selected_indices)
+        grads = np.abs(np.asarray(self._screen_fn(psi_k)))
+        max_grad = grads.max() if grads.size else 0.0
+        n_selected = int(np.sum((grads >= max_grad * self.ratio) & (grads >= self.threshold1)))
+        order = np.argsort(grads)[::-1][:n_selected]
+        return [int(i) for i in order], [float(grads[i]) for i in order]
+
+    # -- training ------------------------------------------------------------------
+
+    def _build_step(self, indices, optimizer):
+        obs = self.problem.observables
+        gs_states = self._gs_states
+
+        def loss_fn(thetas):
+            psi = self._to_real(self._ansatz_k(thetas, indices))
+            return obs["H"].expectation(psi), psi
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(thetas, opt_state):
+            (energy, psi), grads = grad_fn(thetas)
+            sz = obs["Sz"].expectation(psi)
+            s2 = obs["S^2"].expectation(psi)
+            if len(gs_states) > 1:
+                fid = subspace_fidelity(psi, gs_states)
+            elif len(gs_states) == 1:
+                fid = state_fidelity(psi, gs_states[0])
+            else:
+                fid = jnp.zeros((), dtype=energy.dtype)
+            gnorm = jnp.linalg.norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            thetas = optax.apply_updates(thetas, updates)
+            return thetas, opt_state, energy, sz, s2, fid, gnorm
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def run(self):
+        if self.ground_state_energy is not None:
+            print("ground state energy: ", self.ground_state_energy)
+        i_epoch = len(self.results["epoch loss"])
+
+        while i_epoch < self.n_epoch:
+            new_indices, max_grads = self.select_operator()
+            if not new_indices:
+                print("\nconvergence criterion has satisfied, break the loop!")
+                break
+
+            self.selected_indices += new_indices
+            self.params_t = jnp.concatenate(
+                [self.params_t, jnp.zeros(len(new_indices), dtype=self._rdt)]
+            )
+            self.results["selected operators"] += [
+                repr(self.fermion_pool[i]).replace("\n", " ") for i in new_indices
+            ]
+            self.results["n_params"].append(len(self.selected_indices))
+
+            # dynamic learning rate (adapt_vqe.py:392)
+            n_new = len(new_indices)
+            lr = float(np.linalg.norm(max_grads) / np.sqrt(n_new) * self.lr_scale)
+            optimizer = optax.adam(lr)
+            opt_state = optimizer.init(self.params_t)
+            print(f"epoch {i_epoch + 1}: selected {n_new} operators, lr = {lr:.6f}")
+
+            step = self._build_step(tuple(self.selected_indices), optimizer)
+            inner = 0
+            while inner < self.max_inner_iterations:
+                self.params_t, opt_state, e, sz, s2, fid, gnorm = step(
+                    self.params_t, opt_state
+                )
+                e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
+                self.results["iteration loss"].append(e)
+                self.results["Sz"].append(sz)
+                self.results["S^2"].append(s2)
+                self.results["fidelity"].append(fid)
+                self.metrics.log(
+                    iter=len(self.results["iteration loss"]),
+                    loss=e,
+                    norm=gnorm,
+                    fidelity=fid,
+                    Sz=sz,
+                    S_square=s2,
+                )
+                inner += 1
+                if gnorm < self.threshold2:
+                    break
+
+            self.results["epoch loss"].append(self.results["iteration loss"][-1])
+            i_epoch += 1
+            self.save_model()
+            if self.plot and self.ground_state_energy is not None:
+                plot_energy_iterations(
+                    self.img_filepath,
+                    self.results["iteration loss"],
+                    self.results["epoch loss"],
+                    self.ground_state_energy,
+                )
+
+        return self.results
+
+    # -- persistence ------------------------------------------------------------------
+
+    def save_model(self):
+        ckpt.save_model(
+            self.model_filepath,
+            {
+                "t": np.asarray(self.params_t),
+                "selected_indices": np.asarray(self.selected_indices, dtype=np.int64),
+            },
+            meta={"n_qubits": self.n_qubits, "pool_size": len(self.fermion_pool)},
+        )
+        ckpt.save_results(self.result_filepath, self.results)
+
+    def load_model(self):
+        if not os.path.exists(self.model_filepath):
+            raise ValueError(f"Please check if the file {self.model_filepath} exists!")
+        if not os.path.exists(self.result_filepath):
+            raise ValueError(f"Please check if the file {self.result_filepath} exists!")
+        params, meta = ckpt.load_model(self.model_filepath)
+        if meta and meta.get("pool_size") not in (None, len(self.fermion_pool)):
+            raise ValueError("checkpoint was written with a different pool")
+        self.params_t = jnp.asarray(params["t"], dtype=self._rdt)
+        self.selected_indices = [int(i) for i in params["selected_indices"]]
+        self.results = ckpt.load_results(self.result_filepath)
+
+
+if __name__ == "__main__":
+    # reference __main__ config (/root/reference/models/adapt_vqe.py:470-485)
+    vqe = ADAPT(
+        n_epoch=100,
+        threshold1=1e-2,
+        threshold2=1e-2,
+        x_dimension=2,
+        y_dimension=4,
+        n_electrons=8,
+        n_spin_up=4,
+        n_spin_down=4,
+        tunneling=1,
+        coulomb=2,
+        load_model=False,
+    )
+    vqe.run()

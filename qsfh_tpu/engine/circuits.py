@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,11 +56,16 @@ def slater_prep_state(
 
     Mirrors the reference state-prep block (/root/reference/models/hva.py:276-289).
     The result is a constant (no traced parameters), so drivers compute it
-    once and reuse it every step.
+    once and reuse it every step.  Jitted as one program: eager per-gate
+    dispatch costs a host->device round trip per rotation (~n^2/2 of them),
+    which dominates on a remote-tunneled TPU.
     """
-    psi = basis_state(n_qubits, occupied_modes, dtype=dtype)
-    psi = apply_givens_network(psi, n_qubits, diagonal, decomposition)
-    return psi
+
+    def prep():
+        psi = basis_state(n_qubits, occupied_modes, dtype=dtype)
+        return apply_givens_network(psi, n_qubits, diagonal, decomposition)
+
+    return jax.jit(prep)()
 
 
 def apply_givens_network(
@@ -81,6 +87,30 @@ def apply_givens_network(
                 i, j, theta, phi = op
                 psi = gates.single_excitation(psi, n_qubits, 2 * float(theta), i, j)
                 psi = gates.rz(psi, n_qubits, float(phi), j)
+    return psi
+
+
+def apply_givens_network_adjoint(
+    psi: jnp.ndarray, n_qubits: int, diagonal: np.ndarray, decomposition: Plan
+) -> jnp.ndarray:
+    """Inverse of :func:`apply_givens_network` (U_FT^dag).
+
+    Used by the ADAPT screening pass to rotate ``H |psi_real>`` back into
+    momentum space, where the pool generators act
+    (/root/reference/models/adapt_vqe.py:336-341 appends the pool in k-space).
+    Gates within one parallel layer act on disjoint wires, so only the layer
+    order reverses.
+    """
+    for parallel_ops in decomposition:
+        for op in reversed(parallel_ops):
+            if op == "pht":
+                psi = gates.pauli_x(psi, n_qubits, n_qubits - 1)
+            else:
+                i, j, theta, phi = op
+                psi = gates.rz(psi, n_qubits, -float(phi), j)
+                psi = gates.single_excitation(psi, n_qubits, -2 * float(theta), i, j)
+    for i in range(n_qubits):
+        psi = gates.rz(psi, n_qubits, -float(np.angle(diagonal[i])), i)
     return psi
 
 
