@@ -207,5 +207,12 @@ class HubbardProblem:
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         ujw = jordan_wigner(self.interacting_term)
-        D = diagonal_weight_vector(ujw, self.n_qubits, dtype=dtype)
-        return D - jnp.asarray(ujw.constant().real, dtype=dtype)
+        shift = ujw.constant().real
+
+        # one jitted program: eager per-term dispatch costs a compile per
+        # primitive on a remote-tunneled TPU backend
+        def build():
+            D = diagonal_weight_vector(ujw, self.n_qubits, dtype=dtype)
+            return D - jnp.asarray(shift, dtype=dtype)
+
+        return jax.jit(build)()

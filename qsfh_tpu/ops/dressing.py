@@ -1,0 +1,86 @@
+"""iQCC Hamiltonian dressing on packed Pauli sums.
+
+The reference dresses with OpenFermion ``QubitOperator`` dict products
+(``/root/reference/models/iqcc.py:175-180``), whose term count grows
+multiplicatively per epoch.  On the packed (x, z, c) representation every
+product is a vectorized XOR + popcount pass and duplicate monomials merge in
+one lexsort (``PauliSum.simplify``), which keeps the growth tractable; an
+optional ``max_terms`` cap drops the smallest-|c| terms (standard iQCC
+compression) and logs what was dropped.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .pauli import PauliSum
+
+
+def dis_generators(hamiltonian: PauliSum) -> List[Tuple[Tuple[int, ...], PauliSum]]:
+    """Direct-interaction-set generators from the flip-index partition.
+
+    Mirrors ``partition_hamiltonian`` + the DIS construction
+    (/root/reference/models/iqcc.py:73-113): terms are grouped by the sorted
+    tuple of qubits where they act with X or Y (the packed x-mask IS that
+    set), and each non-empty flip set contributes one generator
+    P = Y_{i0} X_{i1} ... X_{ik} (Y on the smallest flip index).
+
+    Returns [(flip_indices, P)] ordered by first appearance of the flip
+    mask in the Hamiltonian's term list.
+    """
+    seen = {}
+    out: List[Tuple[Tuple[int, ...], PauliSum]] = []
+    for x in hamiltonian.x:
+        x = int(x)
+        if x == 0 or x in seen:
+            continue
+        seen[x] = None
+        flips = tuple(q for q in range(x.bit_length()) if (x >> q) & 1)
+        label = " ".join(
+            ("Y" if i == 0 else "X") + str(q) for i, q in enumerate(flips)
+        )
+        out.append((flips, PauliSum.from_string(label)))
+    return out
+
+
+def dress_once(hamiltonian: PauliSum, P: PauliSum, tau: float) -> PauliSum:
+    """H <- H + sin(tau)(-i/2)[H, P] + (1-cos(tau))/2 (P H P - H).
+
+    The similarity transform  exp(+i tau P / 2) H exp(-i tau P / 2)  for a
+    single Hermitian Pauli string P (iqcc.py:175-180); the optimized
+    rotation gates are folded into the Hamiltonian and discarded.
+    """
+    HP = hamiltonian * P
+    PH = P * hamiltonian
+    PHP = P * HP
+    dressed = (
+        hamiltonian
+        + (np.sin(tau) * -0.5j) * (HP - PH)
+        + (0.5 * (1.0 - np.cos(tau))) * (PHP - hamiltonian)
+    )
+    return dressed.simplify()
+
+
+def dress_hamiltonian(
+    hamiltonian: PauliSum,
+    generators: Sequence[PauliSum],
+    taus: Sequence[float],
+    max_terms: Optional[int] = None,
+) -> Tuple[PauliSum, int]:
+    """Apply the dressing for each (P_k, tau_k), REVERSED (iqcc.py:176).
+
+    Returns (dressed, n_dropped) where n_dropped counts terms discarded by
+    the ``max_terms`` magnitude cap (0 when uncapped).
+    """
+    H = hamiltonian
+    for P, tau in zip(reversed(list(generators)), reversed(list(taus))):
+        H = dress_once(H, P, float(tau))
+    dropped = 0
+    if max_terms is not None and len(H) > max_terms:
+        order = np.argsort(np.abs(H.c))[::-1]
+        keep = np.sort(order[:max_terms])
+        dropped = len(H) - max_terms
+        H = PauliSum(H.x[keep], H.z[keep], H.c[keep])
+    return H, dropped

@@ -1,0 +1,153 @@
+"""iQCC driver + dressing tests (reference: /root/reference/models/iqcc*.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qsfh_tpu.algos.iqcc import IQCC, product_state
+from qsfh_tpu.engine import gates
+from qsfh_tpu.engine.state import zero_state
+from qsfh_tpu.ops.dressing import dis_generators, dress_hamiltonian, dress_once
+from qsfh_tpu.ops.lattice import fermi_hubbard
+from qsfh_tpu.ops.jw import jordan_wigner
+from qsfh_tpu.ops.pauli import PauliSum, qubit_operator
+from qsfh_tpu.utils.dense import paulisum_to_dense
+
+
+class TestProductState:
+    def test_matches_gate_construction(self):
+        n = 4
+        key = jax.random.PRNGKey(3)
+        thetas = jax.random.uniform(key, (n,), minval=-2.0, maxval=2.0, dtype=jnp.float64)
+        phis = jax.random.uniform(
+            jax.random.PRNGKey(4), (n,), minval=-2.0, maxval=2.0, dtype=jnp.float64
+        )
+        fast = product_state(thetas, phis, n, jnp.complex128)
+        psi = zero_state(n, dtype=jnp.complex128)
+        for i in range(n):
+            psi = gates.ry(psi, n, thetas[i], i)
+            psi = gates.rz(psi, n, phis[i], i)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(psi), atol=1e-12)
+
+
+class TestDISGenerators:
+    def test_partition_and_labels(self):
+        H = (
+            qubit_operator("Z0 Z1", 0.5)
+            + qubit_operator("X0 X1", 0.25)
+            + qubit_operator("Y0 Y1", 0.1)  # same flip set as X0 X1
+            + qubit_operator("X2", 0.3)
+            + qubit_operator("", 1.0)
+        )
+        dis = dis_generators(H)
+        flipsets = [f for f, _ in dis]
+        assert (0, 1) in flipsets
+        assert (2,) in flipsets
+        assert () not in flipsets  # identity and Z-only terms contribute nothing
+        assert len(dis) == 2
+        for flips, P in dis:
+            term, coeff = P.to_terms()[0]
+            assert term.startswith("Y")  # Y on the smallest flip index
+            assert coeff == 1.0
+
+
+class TestDressing:
+    def _random_h(self, n=3, seed=0):
+        rng = np.random.default_rng(seed)
+        terms = [
+            ("Z0 Z1", 0.7),
+            ("X0 X1", 0.33),
+            ("Y1 Z2", -0.21),
+            ("X2", 0.11),
+            ("Z0", -0.4),
+        ]
+        return PauliSum.from_terms(terms)
+
+    def test_tau_zero_identity(self):
+        H = self._random_h()
+        P = qubit_operator("Y0 X1")
+        dressed = dress_once(H, P, 0.0)
+        np.testing.assert_allclose(
+            paulisum_to_dense(dressed, 3), paulisum_to_dense(H, 3), atol=1e-12
+        )
+
+    def test_spectrum_invariance(self):
+        """Dressing is a unitary similarity transform: spectrum preserved."""
+        H = self._random_h()
+        gens = [qubit_operator("Y0 X1"), qubit_operator("Y2")]
+        taus = [0.37, -0.81]
+        dressed, dropped = dress_hamiltonian(H, gens, taus)
+        assert dropped == 0
+        e0 = np.linalg.eigvalsh(paulisum_to_dense(H, 3))
+        e1 = np.linalg.eigvalsh(paulisum_to_dense(dressed, 3))
+        np.testing.assert_allclose(e0, e1, atol=1e-10)
+
+    def test_energy_folding(self):
+        """<psi| e^{+i tau P/2} H e^{-i tau P/2} |psi> equals the energy of
+        the gated state under the original H (the iQCC circuit identity)."""
+        n = 3
+        H = self._random_h()
+        P = qubit_operator("Y0 X1 X2")
+        tau = 0.53
+        dressed = dress_once(H, P, tau)
+        psi = product_state(
+            jnp.asarray([0.3, 1.1, -0.7]), jnp.asarray([0.2, -0.4, 0.9]), n, jnp.complex128
+        )
+        x, z = int(P.x[0]), int(P.z[0])
+        psi_gated = gates.pauli_rotation(psi, n, x, z, tau / 2)
+        Hd = paulisum_to_dense(H, n)
+        Dd = paulisum_to_dense(dressed, n)
+        e_gate = np.real(np.conj(np.asarray(psi_gated)) @ Hd @ np.asarray(psi_gated))
+        e_dress = np.real(np.conj(np.asarray(psi)) @ Dd @ np.asarray(psi))
+        np.testing.assert_allclose(e_gate, e_dress, atol=1e-10)
+
+    def test_term_cap(self):
+        H = self._random_h()
+        dressed, dropped = dress_hamiltonian(
+            H, [qubit_operator("Y0 X1")], [0.4], max_terms=4
+        )
+        assert len(dressed) == 4
+        assert dropped > 0
+
+
+class TestIQCCDriver:
+    def test_2x2_hubbard_improves(self, tmp_path):
+        H = fermi_hubbard(2, 2, 1.0, 4.0, periodic=True, spinless=False)
+        vqe = IQCC(
+            H,
+            n_epoch=2,
+            lr=5e-2,
+            threshold=5e-3,
+            max_inner_iterations=150,
+            results_root=str(tmp_path),
+            plot=False,
+            log_metrics=False,
+        )
+        hist = vqe.run()
+        assert len(hist["epoch"]) >= 1
+        # energy decreases and never dips below the exact ground energy
+        assert hist["epoch"][-1] < hist["iteration"][0]
+        assert hist["epoch"][-1] >= vqe.ground_state_energy - 1e-6
+        # dressing grew the Hamiltonian (complexity moved into H)
+        assert len(vqe.current_hamiltonian) >= len(vqe.initial_hamiltonian)
+
+    def test_resume_roundtrip(self, tmp_path):
+        H = fermi_hubbard(2, 2, 1.0, 4.0, periodic=True, spinless=False)
+        kwargs = dict(
+            n_epoch=1,
+            lr=5e-2,
+            threshold=5e-3,
+            max_inner_iterations=30,
+            results_root=str(tmp_path),
+            plot=False,
+            log_metrics=False,
+        )
+        vqe = IQCC(H, **kwargs)
+        vqe.run()
+        reloaded = IQCC(H, **kwargs, load_model=True)
+        np.testing.assert_allclose(
+            np.asarray(reloaded.params["theta"]), np.asarray(vqe.params["theta"])
+        )
+        assert len(reloaded.current_hamiltonian) == len(vqe.current_hamiltonian)
+        assert reloaded.loss_history["epoch"] == vqe.loss_history["epoch"]
