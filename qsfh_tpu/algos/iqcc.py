@@ -87,6 +87,15 @@ class IQCC:
         diagonalization on CPU, matching ``get_ground_state`` at
         iqcc_hubbard.py:57 (NO sector restriction).
         """
+        if hasattr(hamiltonian, "get_molecular_hamiltonian"):
+            # molecular variant (iqcc.py:34): accept a Molecule directly and
+            # track against its FCI energy
+            molecule = hamiltonian
+            hamiltonian = molecule.get_molecular_hamiltonian()
+            if n_electrons is None:
+                n_electrons = molecule.n_electrons
+            if reference_energy is None and molecule.fci_energy is not None:
+                reference_energy = molecule.fci_energy
         if isinstance(hamiltonian, FermionOperator):
             qubit_h = jordan_wigner(hamiltonian)
         else:
