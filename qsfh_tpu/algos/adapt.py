@@ -39,7 +39,8 @@ import optax
 from ..engine.circuits import apply_givens_network, apply_givens_network_adjoint
 from ..engine.expectation import PackedPool
 from ..engine.gates import generator_rotation
-from ..engine.state import basis_state, fidelity as state_fidelity, subspace_fidelity
+from ..grad.adjoint import adjoint_apply, expectation_value, givens_network_ops
+from ..engine.state import basis_state, from_reim, to_reim_host, fidelity as state_fidelity, subspace_fidelity
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger, plot_energy_iterations
 from ..ops.jw import jordan_wigner
@@ -74,6 +75,7 @@ class ADAPT:
         log_metrics: bool = True,
         pool=None,
         ground_truth: bool = True,
+        adjoint_threshold: int = 20,
     ):
         self.n_epoch = n_epoch
         self.threshold1 = threshold1
@@ -83,6 +85,10 @@ class ADAPT:
         self.max_inner_iterations = max_inner_iterations
         self.plot = plot
         self.dtype = dtype or default_dtype()
+        # adjoint-mode crossover, parity with the reference's backend switch
+        # at 20 qubits (adapt_vqe.py:299-304): above it, gradients come from
+        # the O(1)-memory reverse gate replay instead of backprop
+        self.adjoint_threshold = adjoint_threshold
 
         self.problem = HubbardProblem(
             x_dimension,
@@ -110,24 +116,24 @@ class ADAPT:
         self.pool_rot = [g.rotation_terms() for g in self.qubit_pool]
         self.packed_pool = PackedPool(self.qubit_pool, self.n_qubits)
 
-        # k-space initial state: occupied lowest momentum modes (adapt_vqe.py:328-329)
-        self.psi0_k = basis_state(
-            self.n_qubits, p.spin_up_indices + p.spin_down_indices, dtype=self.dtype
-        )
+        # k-space initial state: occupied lowest momentum modes
+        # (adapt_vqe.py:328-329); built INSIDE the jitted circuit so no
+        # complex constant crosses the jit ABI
+        self._occupied_modes = tuple(p.spin_up_indices + p.spin_down_indices)
 
         # exact ground truth
         self.degenerate_subspace = degenerate_subspace
         if not ground_truth:
             self.ground_state_energy = None
-            self._gs_states = []
+            self._gs_reim = []
         elif degenerate_subspace:
             self.ground_state_energy, gs = p.ground_state(
                 degenerate=True, n_states=degenerate_subspace
             )
-            self._gs_states = [jnp.asarray(w, dtype=self.dtype) for w in gs]
+            self._gs_reim = [to_reim_host(w, self.dtype) for w in gs]
         else:
             self.ground_state_energy, gs = p.ground_state()
-            self._gs_states = [jnp.asarray(gs, dtype=self.dtype)]
+            self._gs_reim = [to_reim_host(gs, self.dtype)]
 
         tag = p.tag("ADAPT")
         self.img_filepath = f"./images/{tag}.png"
@@ -160,7 +166,7 @@ class ADAPT:
 
     def _ansatz_k(self, thetas, indices) -> jnp.ndarray:
         """k-space ansatz: exp(-i theta_i G_i) over the selected pool ops."""
-        psi = self.psi0_k
+        psi = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
         for slot, idx in enumerate(indices):
             psi = generator_rotation(psi, self.n_qubits, self.pool_rot[idx], thetas[slot])
         return psi
@@ -208,11 +214,25 @@ class ADAPT:
 
     def _build_step(self, indices, optimizer):
         obs = self.problem.observables
-        gs_states = self._gs_states
+        gs_reim = self._gs_reim
+        p = self.problem
 
-        def loss_fn(thetas):
-            psi = self._to_real(self._ansatz_k(thetas, indices))
-            return obs["H"].expectation(psi), psi
+        if self.n_qubits >= self.adjoint_threshold:
+            ops = tuple(
+                [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
+                + givens_network_ops(self.n_qubits, p.diagonal, p.decomposition)
+            )
+
+            def loss_fn(thetas):
+                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
+                psi = adjoint_apply(self.n_qubits, ops, psi0, thetas)
+                return expectation_value(obs["H"], psi), psi
+
+        else:
+
+            def loss_fn(thetas):
+                psi = self._to_real(self._ansatz_k(thetas, indices))
+                return obs["H"].expectation(psi), psi
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -220,6 +240,7 @@ class ADAPT:
             (energy, psi), grads = grad_fn(thetas)
             sz = obs["Sz"].expectation(psi)
             s2 = obs["S^2"].expectation(psi)
+            gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
             if len(gs_states) > 1:
                 fid = subspace_fidelity(psi, gs_states)
             elif len(gs_states) == 1:

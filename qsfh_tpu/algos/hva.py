@@ -22,9 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..engine.circuits import slater_prep_state
+from ..engine.circuits import slater_prep_reim
 from ..engine.gates import diagonal_rotation, generator_rotation
-from ..engine.state import fidelity as state_fidelity, subspace_fidelity
+from ..engine.state import from_reim, to_reim_host, fidelity as state_fidelity, subspace_fidelity
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger, plot_energy_fidelity
 from .base import HubbardProblem, default_dtype
@@ -111,8 +111,9 @@ class HVA:
         rdt = jnp.zeros((), self.dtype).real.dtype
         self._coulomb_diag = p.coulomb_diagonal(dtype=rdt)
 
-        # constant initial state (Slater determinant of occupied k-modes)
-        self.psi0 = slater_prep_state(
+        # constant initial state (Slater determinant of occupied k-modes),
+        # stored as stacked real/imag for the complex-free jit ABI
+        self._psi0_reim = slater_prep_reim(
             p.n_qubits,
             p.spin_up_indices + p.spin_down_indices,
             p.diagonal,
@@ -126,15 +127,15 @@ class HVA:
         self.degenerate_subspace = degenerate_subspace
         if not ground_truth:
             self.ground_state_energy = None
-            self._gs_states = []
+            self._gs_reim = []
         elif degenerate_subspace:
             self.ground_state_energy, gs = p.ground_state(
                 degenerate=True, n_states=degenerate_subspace
             )
-            self._gs_states = [jnp.asarray(w, dtype=self.dtype) for w in gs]
+            self._gs_reim = [to_reim_host(w, self.dtype) for w in gs]
         else:
             self.ground_state_energy, gs = p.ground_state()
-            self._gs_states = [jnp.asarray(gs, dtype=self.dtype)]
+            self._gs_reim = [to_reim_host(gs, self.dtype)]
 
         tag = p.tag("HVA", reps=reps)
         self.img_filepath = f"./images/{tag}.png"
@@ -165,7 +166,7 @@ class HVA:
         Layer order matches /root/reference/models/hva.py:292-298.
         """
         return hva_circuit(
-            self.psi0,
+            from_reim(self._psi0_reim, self.dtype),
             self.n_qubits,
             self._coulomb_diag,
             self._v_rot,
@@ -181,7 +182,7 @@ class HVA:
 
     def _build_step(self):
         obs = self.problem.observables
-        gs_states = self._gs_states
+        gs_reim = self._gs_reim
 
         def loss_fn(params):
             psi = self.circuit(params)
@@ -193,6 +194,7 @@ class HVA:
             (energy, psi), grads = grad_fn(params)
             sz = obs["Sz"].expectation(psi)
             s2 = obs["S^2"].expectation(psi)
+            gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
             if len(gs_states) > 1:
                 fid = subspace_fidelity(psi, gs_states)
             elif len(gs_states) == 1:

@@ -1,0 +1,217 @@
+"""Command-line entry points for every driver.
+
+Replaces the reference's edit-the-__main__-block workflow (SURVEY.md
+section 5.6) with a real CLI:
+
+    python -m qsfh_tpu.cli hva   --x-dimension 2 --y-dimension 2 --n-epoch 200
+    python -m qsfh_tpu.cli adapt --x-dimension 3 --y-dimension 3 --degenerate-subspace 4
+    python -m qsfh_tpu.cli iqcc  --x-dimension 2 --y-dimension 2 --coulomb 4
+    python -m qsfh_tpu.cli iqcc  --molecule LiH --r 1.6
+    python -m qsfh_tpu.cli hea   --molecule H2 --r 0.8 --reps 5
+    python -m qsfh_tpu.cli ed    --x-dimension 2 --y-dimension 2
+
+``--platform cpu --x64`` forces the CPU double-precision path (must be the
+first thing configured; handled here before any driver import).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _add_lattice_args(p: argparse.ArgumentParser):
+    p.add_argument("--x-dimension", type=int, default=2)
+    p.add_argument("--y-dimension", type=int, default=2)
+    p.add_argument("--tunneling", type=float, default=1.0)
+    p.add_argument("--coulomb", type=float, default=6.0)
+    p.add_argument("--n-electrons", type=int, default=None, help="default: half filling")
+    p.add_argument("--n-spin-up", type=int, default=None)
+    p.add_argument("--n-spin-down", type=int, default=None)
+    p.add_argument("--open-boundary", action="store_true", help="non-periodic lattice")
+
+
+def _add_run_args(p: argparse.ArgumentParser):
+    p.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
+    p.add_argument("--x64", action="store_true", help="enable float64/complex128")
+    p.add_argument("--results-root", default="./results")
+    p.add_argument("--load-model", action="store_true")
+    p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--degenerate-subspace", type=int, default=0)
+
+
+def _setup_backend(args):
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _lattice_kwargs(args) -> dict:
+    n_sites = args.x_dimension * args.y_dimension
+    n_e = args.n_electrons if args.n_electrons is not None else n_sites
+    n_up = args.n_spin_up if args.n_spin_up is not None else (n_e + 1) // 2
+    n_dn = args.n_spin_down if args.n_spin_down is not None else n_e - n_up
+    return dict(
+        x_dimension=args.x_dimension,
+        y_dimension=args.y_dimension,
+        tunneling=args.tunneling,
+        coulomb=args.coulomb,
+        n_electrons=n_e,
+        n_spin_up=n_up,
+        n_spin_down=n_dn,
+        periodic=not args.open_boundary,
+    )
+
+
+def _make_molecule(name: str, r: float):
+    import qsfh_tpu.molecules as mols
+
+    factory = getattr(mols, name, None)
+    if factory is None:
+        raise SystemExit(
+            f"unknown molecule {name!r}; available: H2 HeH_Ion LiH BeH2 H4 H6"
+        )
+    return factory(r)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="qsfh_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("hva", help="Hamiltonian-variational-ansatz VQE")
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--n-epoch", type=int, default=1000)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--threshold", type=float, default=1e-2)
+    p.add_argument("--early-stop", action="store_true")
+
+    p = sub.add_parser("adapt", help="ADAPT-VQE with pool screening")
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--n-epoch", type=int, default=100)
+    p.add_argument("--threshold1", type=float, default=1e-2)
+    p.add_argument("--threshold2", type=float, default=1e-2)
+
+    p = sub.add_parser("iqcc", help="iterative QCC with Hamiltonian dressing")
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--molecule", default=None, help="use a molecule instead of the lattice")
+    p.add_argument("--r", type=float, default=1.0, help="bond length (Angstrom)")
+    p.add_argument("--n-epoch", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--threshold", type=float, default=5e-3)
+    p.add_argument("--max-terms", type=int, default=None)
+
+    p = sub.add_parser("hea", help="hardware-efficient-ansatz molecular VQE")
+    _add_run_args(p)
+    p.add_argument("--molecule", default="H2")
+    p.add_argument("--r", type=float, default=0.8)
+    p.add_argument("--n-epoch", type=int, default=100)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1e-1)
+    p.add_argument("--threshold", type=float, default=2e-3)
+
+    p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
+    _add_lattice_args(p)
+    _add_run_args(p)
+
+    args = parser.parse_args(argv)
+    _setup_backend(args)
+
+    if args.command == "hva":
+        from .algos.hva import HVA
+
+        vqe = HVA(
+            n_epoch=args.n_epoch,
+            reps=args.reps,
+            lr=args.lr,
+            threshold=args.threshold,
+            early_stop=args.early_stop,
+            load_model=args.load_model,
+            degenerate_subspace=args.degenerate_subspace,
+            results_root=args.results_root,
+            plot=not args.no_plot,
+            **_lattice_kwargs(args),
+        )
+        vqe.run()
+    elif args.command == "adapt":
+        from .algos.adapt import ADAPT
+
+        vqe = ADAPT(
+            n_epoch=args.n_epoch,
+            threshold1=args.threshold1,
+            threshold2=args.threshold2,
+            load_model=args.load_model,
+            degenerate_subspace=args.degenerate_subspace,
+            results_root=args.results_root,
+            plot=not args.no_plot,
+            **_lattice_kwargs(args),
+        )
+        vqe.run()
+    elif args.command == "iqcc":
+        from .algos.iqcc import IQCC
+
+        if args.molecule:
+            problem = _make_molecule(args.molecule, args.r)
+            tag = f"iqcc-{args.molecule}"
+        else:
+            from .ops.lattice import fermi_hubbard
+
+            lat = _lattice_kwargs(args)
+            problem = fermi_hubbard(
+                lat["x_dimension"],
+                lat["y_dimension"],
+                lat["tunneling"],
+                lat["coulomb"],
+                periodic=lat["periodic"],
+            )
+            tag = f"iqcc-hubbard-{lat['x_dimension']}x{lat['y_dimension']}"
+        vqe = IQCC(
+            problem,
+            n_epoch=args.n_epoch,
+            lr=args.lr,
+            threshold=args.threshold,
+            max_terms=args.max_terms,
+            results_root=args.results_root,
+            tag=tag,
+            plot=not args.no_plot,
+            load_model=args.load_model,
+        )
+        vqe.run()
+    elif args.command == "hea":
+        from .algos.hea import VQE
+
+        molecule = _make_molecule(args.molecule, args.r)
+        vqe = VQE(
+            molecule,
+            n_epoch=args.n_epoch,
+            reps=args.reps,
+            lr=args.lr,
+            threshold=args.threshold,
+            results_root=args.results_root,
+            plot=not args.no_plot,
+        )
+        vqe.run()
+    elif args.command == "ed":
+        from .algos.base import HubbardProblem
+
+        lat = _lattice_kwargs(args)
+        problem = HubbardProblem(results_root=args.results_root, **lat)
+        if args.degenerate_subspace:
+            energy, states = problem.ground_state(
+                degenerate=True, n_states=args.degenerate_subspace
+            )
+            print(f"ground energy: {energy}  (degenerate subspace of {len(states)})")
+        else:
+            energy, _ = problem.ground_state()
+            print(f"ground energy: {energy}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,29 @@ def slater_prep_state(
     return jax.jit(prep)()
 
 
+def slater_prep_reim(
+    n_qubits: int,
+    occupied_modes: Sequence[int],
+    diagonal: np.ndarray,
+    decomposition: Plan,
+    dtype=jnp.complex128,
+) -> jnp.ndarray:
+    """Slater determinant in stacked (2, 2^n) real/imag form.
+
+    The storable/closable representation for the complex-free jit ABI
+    (see qsfh_tpu.engine.state): drivers keep this real array and rebuild
+    the complex state with ``from_reim`` inside their jitted step.
+    """
+    from .state import to_reim
+
+    def prep():
+        psi = basis_state(n_qubits, occupied_modes, dtype=dtype)
+        psi = apply_givens_network(psi, n_qubits, diagonal, decomposition)
+        return to_reim(psi)
+
+    return jax.jit(prep)()
+
+
 def apply_givens_network(
     psi: jnp.ndarray, n_qubits: int, diagonal: np.ndarray, decomposition: Plan
 ) -> jnp.ndarray:

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..ops.pauli import PauliSum
 from .gates import _xor_flip, apply_pauli_string
-from .state import index_bits, parity_signs, qmask_to_bmask, real_dtype
+from .state import const_complex, index_bits, parity_signs, qmask_to_bmask, real_dtype
 
 # threshold above which an x-group switches from unrolled to vmapped-z
 _VMAP_THRESHOLD = 8
@@ -69,7 +69,7 @@ def _group_diag_weight(n: int, zs: np.ndarray, cs: np.ndarray, dtype) -> jnp.nda
         for z, c in zip(zs, cs):
             zb = qmask_to_bmask(int(z), n)
             s = parity_signs(n, zb, rdt) if zb else jnp.ones(1 << n, rdt)
-            acc = acc + jnp.asarray(c, dtype) * s.astype(dtype)
+            acc = acc + const_complex(c, dtype) * s.astype(dtype)
         return acc
     # traced path: scan over chunks of terms
     idx = index_bits(n)
@@ -77,7 +77,7 @@ def _group_diag_weight(n: int, zs: np.ndarray, cs: np.ndarray, dtype) -> jnp.nda
     acc = jnp.zeros(1 << n, dtype=dtype)
     for start in range(0, len(zs), _CHUNK):
         zb = jnp.asarray(zb_host[start : start + _CHUNK])
-        c = jnp.asarray(cs[start : start + _CHUNK], dtype=dtype)
+        c = const_complex(cs[start : start + _CHUNK], dtype)
 
         def body(carry, zc):
             zbj, cj = zc
@@ -218,7 +218,7 @@ class PackedPool:
             zb_host = np.array([qmask_to_bmask(int(z), n) for z in zs], dtype=np.uint32)
             for start in range(0, len(zs), _CHUNK):
                 zb = jnp.asarray(zb_host[start : start + _CHUNK])
-                c = jnp.asarray(cs_adj[start : start + _CHUNK])
+                c = const_complex(cs_adj[start : start + _CHUNK], psi.dtype)
                 kk = jnp.asarray(ks[start : start + _CHUNK])
 
                 def term_val(zbj):

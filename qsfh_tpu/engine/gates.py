@@ -28,7 +28,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .state import bitpos, index_bits, parity_signs, qmask_to_bmask, real_dtype
+from .state import (
+    bitpos,
+    const_complex,
+    index_bits,
+    parity_signs,
+    qmask_to_bmask,
+    real_dtype,
+)
+
+
+def _operand_matrix(U, dtype):
+    """Lift a gate matrix into traced code.
+
+    Host (numpy/list) matrices become complex-free-ABI constants
+    (const_complex); traced/jax values pass through with a dtype cast.
+    """
+    if isinstance(U, (np.ndarray, list, tuple)):
+        return const_complex(np.asarray(U), dtype)
+    return jnp.asarray(U, dtype=dtype)
 
 
 # -- shape helpers -------------------------------------------------------------
@@ -82,7 +100,7 @@ def apply_pauli_string(psi: jnp.ndarray, n: int, x: int, z: int) -> jnp.ndarray:
     k = bin(x & z).count("1") % 4
     phase = (-1j) ** k
     if phase != 1:
-        t = t * jnp.asarray(phase, dtype=psi.dtype)
+        t = t * const_complex(phase, psi.dtype)
     return t
 
 
@@ -136,7 +154,7 @@ def generator_rotation(psi: jnp.ndarray, n: int, rot_terms, theta) -> jnp.ndarra
 def apply_one_qubit(psi: jnp.ndarray, n: int, U2, q: int) -> jnp.ndarray:
     p = bitpos(q, n)
     A, C = 1 << (n - 1 - p), 1 << p
-    U = jnp.asarray(U2, dtype=psi.dtype)
+    U = _operand_matrix(U2, psi.dtype)
     t = psi.reshape(A, 2, C)
     out = jnp.einsum("xi,aic->axc", U, t)
     return out.reshape(psi.shape)
@@ -146,7 +164,7 @@ def apply_two_qubit(psi: jnp.ndarray, n: int, U4, qa: int, qb: int) -> jnp.ndarr
     """Apply a 4x4 unitary; U4 is indexed row-major by the basis |qa qb>."""
     if qa == qb:
         raise ValueError("two-qubit gate needs distinct qubits")
-    U = jnp.asarray(U4, dtype=psi.dtype).reshape(2, 2, 2, 2)
+    U = _operand_matrix(U4, psi.dtype).reshape(2, 2, 2, 2)
     if qa > qb:
         # swap which tensor factor each axis refers to
         U = jnp.transpose(U, (1, 0, 3, 2))

@@ -73,6 +73,61 @@ def parity_signs(n_qubits: int, bmask: int, dtype) -> jnp.ndarray:
     return (1.0 - 2.0 * par.astype(dtype))
 
 
+# -- complex-free jit ABI -------------------------------------------------------
+#
+# The axon TPU backend cannot move complex buffers across the host/program
+# boundary (UNIMPLEMENTED on transfer), and a jitted program that takes a
+# complex buffer as an input (including closure-captured device constants)
+# produces outputs that cannot be fetched either.  The engine therefore keeps
+# a complex-free ABI: every complex constant is built INSIDE traced code from
+# real parts (const_complex), and persistent complex state (initial states,
+# exact wavefunctions) is stored as stacked (2, ...) real arrays (to_reim /
+# from_reim) that combine on first use inside the program.
+
+
+def const_complex(arr, dtype=jnp.complex128) -> jnp.ndarray:
+    """A complex constant safe to embed in traced code: built from two real
+    constants in-program instead of a complex buffer at the ABI."""
+    arr = np.asarray(arr)
+    rdt = real_dtype(dtype)
+    re = jnp.asarray(np.ascontiguousarray(arr.real), dtype=rdt)
+    if not np.any(arr.imag):
+        return re.astype(dtype)
+    im = jnp.asarray(np.ascontiguousarray(arr.imag), dtype=rdt)
+    return (re + 1j * im).astype(dtype)
+
+
+def to_reim(psi: jnp.ndarray) -> jnp.ndarray:
+    """(2, ...) stacked real/imag parts -- the storable, transferable form."""
+    return jnp.stack([jnp.real(psi), jnp.imag(psi)])
+
+
+def from_reim(arr: jnp.ndarray, dtype=jnp.complex128) -> jnp.ndarray:
+    """Rebuild the complex array inside traced code."""
+    return (arr[0] + 1j * arr[1]).astype(dtype)
+
+
+def to_reim_host(arr, dtype=jnp.complex128) -> jnp.ndarray:
+    """Host complex array -> device (2, ...) real array (one real transfer)."""
+    arr = np.asarray(arr)
+    rdt = real_dtype(dtype)
+    return jnp.asarray(np.stack([arr.real, arr.imag]).astype(rdt))
+
+
+def as_device_complex(arr, dtype=jnp.complex128) -> jnp.ndarray:
+    """Host complex array -> on-device complex array via two real transfers.
+
+    NOTE: the result must stay device-internal on axon TPU; to pass state
+    across jit boundaries store ``to_reim`` arrays and ``from_reim`` inside
+    the program instead.
+    """
+    arr = np.asarray(arr)
+    rdt = real_dtype(dtype)
+    re = jnp.asarray(np.ascontiguousarray(arr.real), dtype=rdt)
+    im = jnp.asarray(np.ascontiguousarray(arr.imag), dtype=rdt)
+    return jax.jit(lambda r, i: (r + 1j * i).astype(dtype))(re, im)
+
+
 def norm(psi: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(jnp.abs(psi) ** 2).real)
 

@@ -19,7 +19,8 @@ import optax
 
 from ..algos.base import HubbardProblem
 from ..algos.hva import hva_circuit
-from ..engine.circuits import slater_prep_state
+from ..engine.circuits import slater_prep_reim
+from ..engine.state import from_reim
 from .mesh import amp_sharding, constrain_amp, replicated, shard_statevector
 
 
@@ -43,14 +44,17 @@ def build_sharded_hva_step(
     rdt = jnp.zeros((), dtype).real.dtype
     coulomb_diag = p.coulomb_diagonal(dtype=rdt)
 
-    psi0 = slater_prep_state(
+    psi0_reim = slater_prep_reim(
         p.n_qubits,
         p.spin_up_indices + p.spin_down_indices,
         p.diagonal,
         p.decomposition,
         dtype=dtype,
     )
-    psi0 = shard_statevector(psi0, mesh)
+    # stacked (2, 2^n) real array sharded on the amplitude axis
+    psi0_reim = jax.device_put(
+        psi0_reim, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "amp"))
+    )
     coulomb_diag = jax.device_put(coulomb_diag, amp_sharding(mesh))
     obs_h = p.observables["H"]
 
@@ -66,6 +70,7 @@ def build_sharded_hva_step(
     pin = partial(constrain_amp, mesh=mesh)
 
     def loss_fn(params):
+        psi0 = pin(from_reim(psi0_reim, dtype))
         psi = hva_circuit(
             psi0, p.n_qubits, coulomb_diag, v_rot, h_rot, reps, params, constrain=pin
         )

@@ -40,7 +40,7 @@ class TestScreening:
         # random current ansatz of 3 pool ops
         idx = [0, 5, 11]
         thetas = jax.random.uniform(key, (3,), minval=-0.3, maxval=0.3)
-        thetas = thetas.astype(vqe.psi0_k.real.dtype)
+        thetas = thetas.astype(vqe._rdt)
 
         psi_k = vqe._ansatz_k(thetas, idx)
         screened = np.asarray(vqe._screen_fn(psi_k))
