@@ -20,7 +20,7 @@ from ..ops.givens import Plan
 from ..ops.jw import jordan_wigner
 from ..ops.pauli import PauliSum
 from . import gates
-from .state import basis_state
+from .state import basis_state, const_complex as state_const_complex
 
 
 def get_non_interacting_ground_state_indices(
@@ -91,6 +91,9 @@ def slater_prep_reim(
     return jax.jit(prep)()
 
 
+_STATIC_RZ_LAYER_MAX_QUBITS = 22  # above this the 2^n host constant is too big
+
+
 def apply_givens_network(
     psi: jnp.ndarray, n_qubits: int, diagonal: np.ndarray, decomposition: Plan
 ) -> jnp.ndarray:
@@ -99,17 +102,28 @@ def apply_givens_network(
     Used standalone by ADAPT, whose ansatz acts in k-space BEFORE this
     network transforms back to real space
     (/root/reference/models/adapt_vqe.py:343-354).
+
+    All plan angles are static, so the RZ layer collapses to one
+    elementwise phase multiply and each (SingleExcitation, RZ) pair to one
+    constant 4x4 apply -- the network costs ~40% of the HLO equations of
+    the naive gate stream (compile time on remote TPU backends scales with
+    equation count).
     """
-    for i in range(n_qubits):
-        psi = gates.rz(psi, n_qubits, float(np.angle(diagonal[i])), i)
+    angles = [float(np.angle(diagonal[i])) for i in range(n_qubits)]
+    if n_qubits <= _STATIC_RZ_LAYER_MAX_QUBITS:
+        phases = gates.static_rz_layer_phases(angles, n_qubits)
+        psi = psi * state_const_complex(phases, psi.dtype)
+    else:
+        for i in range(n_qubits):
+            psi = gates.rz(psi, n_qubits, angles[i], i)
     for parallel_ops in reversed(decomposition):
         for op in parallel_ops:
             if op == "pht":
                 psi = gates.pauli_x(psi, n_qubits, n_qubits - 1)
             else:
                 i, j, theta, phi = op
-                psi = gates.single_excitation(psi, n_qubits, 2 * float(theta), i, j)
-                psi = gates.rz(psi, n_qubits, float(phi), j)
+                M = gates.givens_plan_matrix(float(theta), float(phi))
+                psi = gates.apply_two_qubit(psi, n_qubits, M, i, j)
     return psi
 
 
@@ -130,10 +144,15 @@ def apply_givens_network_adjoint(
                 psi = gates.pauli_x(psi, n_qubits, n_qubits - 1)
             else:
                 i, j, theta, phi = op
-                psi = gates.rz(psi, n_qubits, -float(phi), j)
-                psi = gates.single_excitation(psi, n_qubits, -2 * float(theta), i, j)
-    for i in range(n_qubits):
-        psi = gates.rz(psi, n_qubits, -float(np.angle(diagonal[i])), i)
+                M = gates.givens_plan_matrix(float(theta), float(phi))
+                psi = gates.apply_two_qubit(psi, n_qubits, M.conj().T, i, j)
+    angles = [-float(np.angle(diagonal[i])) for i in range(n_qubits)]
+    if n_qubits <= _STATIC_RZ_LAYER_MAX_QUBITS:
+        phases = gates.static_rz_layer_phases(angles, n_qubits)
+        psi = psi * state_const_complex(phases, psi.dtype)
+    else:
+        for i in range(n_qubits):
+            psi = gates.rz(psi, n_qubits, angles[i], i)
     return psi
 
 

@@ -216,6 +216,42 @@ def cnot(psi: jnp.ndarray, n: int, control: int, target: int) -> jnp.ndarray:
     return apply_two_qubit(psi, n, U, control, target)
 
 
+def givens_plan_matrix(theta: float, phi: float) -> np.ndarray:
+    """Constant 4x4 for one Givens-plan op: RZ(phi) on wire j AFTER
+    SingleExcitation(2*theta) on wires (i, j).
+
+    The plan angles are static floats, so fusing the two gates into one
+    host-built matrix halves the gate count of the FT network -- which
+    dominates compile time at 18 qubits (the axon compiler costs ~7ms per
+    HLO equation).
+    """
+    c, s = np.cos(theta), np.sin(theta)
+    se = np.array(
+        [[1, 0, 0, 0], [0, c, -s, 0], [0, s, c, 0], [0, 0, 0, 1]],
+        dtype=np.complex128,
+    )
+    rzj = np.diag(
+        np.exp(np.array([-1j, 1j, -1j, 1j]) * (phi / 2))
+    )
+    return rzj @ se
+
+
+def static_rz_layer_phases(angles, n: int) -> np.ndarray:
+    """Host-precomputed phase vector for a whole layer of static RZ gates.
+
+    phase[b] = prod_i exp(-i angles[i]/2 * s_i(b)),  s_i = +-1 by bit i.
+    Replaces n sequential rz passes with ONE elementwise multiply.
+    """
+    total = np.zeros(1 << n, dtype=np.float64)
+    idx = np.arange(1 << n, dtype=np.uint64)
+    for q in range(n):
+        if angles[q] == 0.0:
+            continue
+        bit = (idx >> np.uint64(n - 1 - q)) & np.uint64(1)
+        total += angles[q] / 2 * (1.0 - 2.0 * bit.astype(np.float64))
+    return np.exp(-1j * total)
+
+
 def single_excitation(psi: jnp.ndarray, n: int, phi, qa: int, qb: int) -> jnp.ndarray:
     """PennyLane SingleExcitation(phi) on wires [qa, qb].
 

@@ -36,20 +36,25 @@ from ..engine.state import real_dtype
 
 def givens_network_ops(n_qubits: int, diagonal, decomposition) -> List[tuple]:
     """The Slater/FT Givens network as constant adjoint-program ops
-    (same gate stream as engine.circuits.apply_givens_network)."""
+    (fused form matching engine.circuits.apply_givens_network: one static
+    RZ-layer op + one 4x4 per plan rotation)."""
     import numpy as np
 
     ops: List[tuple] = []
-    for i in range(n_qubits):
-        ops.append(("fixed", "rz", (float(np.angle(diagonal[i])), i)))
+    angles = tuple(float(np.angle(diagonal[i])) for i in range(n_qubits))
+    if n_qubits <= 22:
+        ops.append(("fixed", "rzlayer", angles))
+    else:  # 2^n host phase vector too large; fall back to per-qubit gates
+        for i in range(n_qubits):
+            ops.append(("fixed", "rz", (angles[i], i)))
     for parallel_ops in reversed(decomposition):
         for op in parallel_ops:
             if op == "pht":
                 ops.append(("fixed", "x", (n_qubits - 1,)))
             else:
                 i, j, theta, phi = op
-                ops.append(("fixed", "se", (2 * float(theta), i, j)))
-                ops.append(("fixed", "rz", (float(phi), j)))
+                M = gates.givens_plan_matrix(float(theta), float(phi))
+                ops.append(("fixed", "u4", (tuple(map(complex, M.ravel())), i, j)))
     return ops
 
 
@@ -62,6 +67,22 @@ def _apply_op(psi, n, op, thetas, direction=1):
     if tag == "rz":
         phi, q = payload
         return gates.rz(psi, n, direction * phi, q)
+    if tag == "rzlayer":
+        import numpy as np
+
+        from ..engine.state import const_complex
+
+        angles = [direction * a for a in payload]
+        phases = gates.static_rz_layer_phases(angles, n)
+        return psi * const_complex(phases, psi.dtype)
+    if tag == "u4":
+        import numpy as np
+
+        flat, i, j = payload
+        M = np.array(flat, dtype=np.complex128).reshape(4, 4)
+        if direction < 0:
+            M = M.conj().T
+        return gates.apply_two_qubit(psi, n, M, i, j)
     if tag == "se":
         ang, i, j = payload
         return gates.single_excitation(psi, n, direction * ang, i, j)
