@@ -25,10 +25,17 @@ import time
 
 import numpy as np
 
+
+def _log(msg, _t0=[None]):
+    now = time.time()
+    if _t0[0] is None:
+        _t0[0] = now
+    print(f"[bench +{now - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 NX, NY = 3, 3
 N_ANSATZ = 12
 WARMUP = 2
-ITERS = 10
+ITERS = 5
 
 
 def main():
@@ -41,6 +48,7 @@ def main():
 
     from qsfh_tpu.algos.adapt import ADAPT
 
+    _log("imports done")
     n_e = NX * NY
     n_up = (n_e + 1) // 2
     vqe = ADAPT(
@@ -58,6 +66,7 @@ def main():
         plot=False,
         log_metrics=False,
     )
+    _log("ADAPT built (pool + problem)")
     indices = tuple(range(N_ANSATZ))
     vqe.selected_indices = list(indices)
     vqe.params_t = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
@@ -67,9 +76,10 @@ def main():
     step = vqe._build_step(indices, optimizer)
 
     params, state = vqe.params_t, opt_state
-    for _ in range(WARMUP):
+    for w in range(WARMUP):
         params, state, e, sz, s2, fid, gn = step(params, state)
         float(e)
+        _log(f"warmup {w} done (first includes compile)")
 
     times = []
     for _ in range(ITERS):
@@ -77,6 +87,7 @@ def main():
         params, state, e, sz, s2, fid, gn = step(params, state)
         float(e)  # forces full sync each iteration
         times.append(time.time() - t0)
+        _log(f"iter {len(times)}: {times[-1]*1e3:.1f} ms")
     sec_per_iter = float(np.median(times))
     iters_per_sec = 1.0 / sec_per_iter
 

@@ -25,7 +25,31 @@ import numpy as np
 
 from ..engine.expectation import Observable
 from ..ops.pauli import PauliSum
-from .sectors import random_sector_state, sector_dimension
+from .sectors import jw_number_spin_indices, random_sector_state, sector_dimension
+
+
+def _sector_matvec(hamiltonian: PauliSum, n_qubits, n_electrons, spin_up, spin_down, dtype):
+    """(matvec over SECTOR coordinates, sector index array).
+
+    The Krylov iteration runs in the C(n,N)-dimensional sector space --
+    reorthogonalizing 2^n-length vectors dominated the old full-space
+    formulation (a (k, 2^n) basis is ~1 GB at 18 qubits) -- while each
+    matvec scatters to the full space, applies the packed Hamiltonian
+    matrix-free, and gathers back.  The embedding order is bit-for-bit the
+    reference's (exact_diagonalization.py:26-32 sector restriction).
+    """
+    obs = Observable(hamiltonian, n_qubits)
+    idx = jnp.asarray(
+        jw_number_spin_indices(n_electrons, spin_up, spin_down, n_qubits),
+        dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32,
+    )
+    dim_full = 1 << n_qubits
+
+    def mv(v):
+        full = jnp.zeros(dim_full, dtype=dtype).at[idx].set(v)
+        return obs.apply(full)[idx]
+
+    return mv, idx
 
 
 @partial(jax.jit, static_argnames=("matvec", "k"))
@@ -116,16 +140,23 @@ def ground_state(
     Parity with ``jw_get_ground_state``
     (/root/reference/linalg/exact_diagonalization.py:34-51).
     """
-    obs = Observable(hamiltonian, n_qubits)
     dim_sector = sector_dimension(n_electrons, spin_up, n_qubits)
     if k is None:
         k = int(min(max(2 * dim_sector, 8), 160))
     k = min(k, max(dim_sector, 2))
-    v0 = random_sector_state(
-        n_qubits, n_electrons, spin_up, key=jax.random.PRNGKey(seed), dtype=dtype
+    mv, idx = _sector_matvec(
+        hamiltonian, n_qubits, n_electrons, spin_up, spin_down, dtype
     )
-    evals, vecs = lanczos_eigsh(obs.apply, v0, k=k, n_eigen=1)
-    return float(evals[0]), vecs[0]
+    kr, ki = jax.random.split(jax.random.PRNGKey(seed))
+    rdt = jnp.zeros((), dtype).real.dtype
+    v0 = (
+        jax.random.normal(kr, (dim_sector,), dtype=rdt)
+        + 1j * jax.random.normal(ki, (dim_sector,), dtype=rdt)
+    ).astype(dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+    evals, vecs = lanczos_eigsh(mv, v0, k=k, n_eigen=1)
+    full = jnp.zeros(1 << n_qubits, dtype=dtype).at[idx].set(vecs[0])
+    return float(evals[0]), full
 
 
 def degenerate_ground_space(
@@ -149,16 +180,21 @@ def degenerate_ground_space(
     comes from a deflated restart: previously found eigenvectors are shifted
     upward inside the matvec, guaranteeing the full degenerate subspace.
     """
-    obs = Observable(hamiltonian, n_qubits)
     dim_sector = sector_dimension(n_electrons, spin_up, n_qubits)
     k = min(k, dim_sector)
-    found: List[jnp.ndarray] = []
+    mv, idx = _sector_matvec(
+        hamiltonian, n_qubits, n_electrons, spin_up, spin_down, dtype
+    )
+    rdt = jnp.zeros((), dtype).real.dtype
+    found: List[jnp.ndarray] = []  # sector-coordinate eigenvectors
     energies: List[float] = []
     shift = None
     for s in range(n_states):
-        v0 = random_sector_state(
-            n_qubits, n_electrons, spin_up, key=jax.random.PRNGKey(seed + s), dtype=dtype
-        )
+        kr, ki = jax.random.split(jax.random.PRNGKey(seed + s))
+        v0 = (
+            jax.random.normal(kr, (dim_sector,), dtype=rdt)
+            + 1j * jax.random.normal(ki, (dim_sector,), dtype=rdt)
+        ).astype(dtype)
         for u in found:
             v0 = v0 - jnp.vdot(u, v0) * u
         v0 = v0 / jnp.linalg.norm(v0)
@@ -167,11 +203,11 @@ def degenerate_ground_space(
             sft = jnp.asarray(shift, dtype=dtype)
 
             def matvec(v, _U=U, _s=sft):
-                w = obs.apply(v)
+                w = mv(v)
                 return w + _s * (_U.T @ (jnp.conj(_U) @ v))
 
         else:
-            matvec = obs.apply
+            matvec = mv
         evals, vecs = lanczos_eigsh(matvec, v0, k=k, n_eigen=1)
         e, vec = float(evals[0]), vecs[0]
         if shift is None:
@@ -184,4 +220,7 @@ def degenerate_ground_space(
         vec = vec / jnp.linalg.norm(vec)
         found.append(vec)
         energies.append(e)
-    return energies[0], found
+    full_states = [
+        jnp.zeros(1 << n_qubits, dtype=dtype).at[idx].set(v) for v in found
+    ]
+    return energies[0], full_states

@@ -134,6 +134,119 @@ class ShardedPauliEngine:
             total = total + jnp.real(jnp.sum(coeff * conj * term))
         return jax.lax.psum(total, AMP_AXIS)
 
+    def apply_two_qubit_local(self, psi_l, U4, qa: int, qb: int):
+        """Arbitrary 4x4 unitary on wires (qa, qb), either wire may be sharded.
+
+        out[b] = sum_{s,t} U[(b_a b_b), (s t)] psi[b with bits a,b := s,t].
+        Written as four fused multiply-adds over the XOR-shifted copies
+        psi, psi^A, psi^B, psi^AB (each shift = local flip and/or one
+        ppermute), with elementwise coefficient vectors selected by the
+        CURRENT bit values -- no gathers, no data-dependent control flow.
+        """
+        rdt = real_dtype(psi_l.dtype)
+        U = np.asarray(U4, dtype=np.complex128).reshape(4, 4)
+        fa = self._flat(1 << qa)
+        fb = self._flat(1 << qb)
+
+        # bit-value indicators for the CURRENT index b (0 or 1 vectors),
+        # factored into device scalar x local vector
+        def bit_vec(flat_one_bit):
+            hi, lo = _split_mask_flat(flat_one_bit, self.n, self.k)
+            if hi:
+                d = jax.lax.axis_index(AMP_AXIS).astype(jnp.uint32)
+                v = (jax.lax.population_count(d & jnp.uint32(hi)) & jnp.uint32(1)).astype(rdt)
+                return jnp.broadcast_to(v, (1 << self.n_local,))
+            idx = jax.lax.iota(jnp.uint32, 1 << self.n_local)
+            return ((idx >> jnp.uint32(int(np.log2(lo)))) & jnp.uint32(1)).astype(rdt)
+
+        ba = bit_vec(fa)
+        bb = bit_vec(fb)
+
+        def shifted(mask_flat):
+            hi, lo = _split_mask_flat(mask_flat, self.n, self.k)
+            t = _xor_flip(psi_l, self.n_local, lo)
+            return _xor_ppermute(t, hi, self.n_devices)
+
+        copies = {
+            (0, 0): psi_l,
+            (1, 0): shifted(fa),
+            (0, 1): shifted(fb),
+            (1, 1): shifted(fa | fb),
+        }
+
+        out = jnp.zeros_like(psi_l)
+        for (da, db), shift in copies.items():
+            # row index r = (b_a b_b); source column = (b_a^da, b_b^db)
+            # coefficient at b: U[r, c(b)] -- expand over the 4 r values
+            coeff = jnp.zeros((1 << self.n_local,), dtype=psi_l.dtype)
+            for ra in (0, 1):
+                for rb in (0, 1):
+                    u = complex(U[2 * ra + rb, 2 * (ra ^ da) + (rb ^ db)])
+                    if u == 0:
+                        continue
+                    ind_a = ba if ra == 1 else (1.0 - ba)
+                    ind_b = bb if rb == 1 else (1.0 - bb)
+                    coeff = coeff + const_complex(u, psi_l.dtype) * (ind_a * ind_b).astype(
+                        psi_l.dtype
+                    )
+            out = out + coeff * shift
+        return out
+
+    def rz_layer_local(self, psi_l, angles):
+        """A whole layer of static RZ(angles[q]) as one fused elementwise pass.
+
+        The phase factors over (device, local) bits, so no 2^n host constant
+        is needed at any qubit count: a local angle-sum vector (built from
+        iota in-program) plus a per-device scalar.
+        """
+        rdt = real_dtype(psi_l.dtype)
+        idx = jax.lax.iota(jnp.uint32, 1 << self.n_local)
+        t_lo = jnp.zeros((1 << self.n_local,), dtype=rdt)
+        t_hi = jnp.zeros((), dtype=rdt)
+        d = jax.lax.axis_index(AMP_AXIS).astype(jnp.uint32)
+        for q in range(self.n):
+            a = float(angles[q])
+            if a == 0.0:
+                continue
+            p = self.n - 1 - q  # flat bit
+            if p >= self.n_local:  # sharded bit
+                bit = (d >> jnp.uint32(p - self.n_local)) & jnp.uint32(1)
+                t_hi = t_hi + (a / 2) * (1.0 - 2.0 * bit.astype(rdt))
+            else:
+                bit = (idx >> jnp.uint32(p)) & jnp.uint32(1)
+                t_lo = t_lo + (a / 2) * (1.0 - 2.0 * bit.astype(rdt))
+        total = t_lo + t_hi
+        return psi_l * (jnp.cos(total) - 1j * jnp.sin(total)).astype(psi_l.dtype)
+
+    def givens_network_local(self, psi_l, diagonal, decomposition):
+        """The full FT/Slater Givens network on the sharded state
+        (fused form matching engine.circuits.apply_givens_network)."""
+        from ..engine.gates import givens_plan_matrix
+
+        angles = [float(np.angle(diagonal[i])) for i in range(self.n)]
+        psi_l = self.rz_layer_local(psi_l, angles)
+        for parallel_ops in reversed(decomposition):
+            for op in parallel_ops:
+                if op == "pht":
+                    psi_l = self.apply_pauli_local(psi_l, 1 << (self.n - 1), 0)
+                else:
+                    i, j, theta, phi = op
+                    M = givens_plan_matrix(float(theta), float(phi))
+                    psi_l = self.apply_two_qubit_local(psi_l, M, i, j)
+        return psi_l
+
+    def basis_state_local(self, occupied_qubits, dtype=jnp.complex64):
+        """Computational basis state, built per shard (no host constant)."""
+        index = 0
+        for q in occupied_qubits:
+            index |= 1 << (self.n - 1 - q)
+        hi = index >> self.n_local
+        lo = index & ((1 << self.n_local) - 1)
+        d = jax.lax.axis_index(AMP_AXIS)
+        psi_l = jnp.zeros(1 << self.n_local, dtype=dtype)
+        hit = (d == hi).astype(psi_l.dtype)
+        return psi_l.at[lo].set(1.0) * hit
+
     # -- jit-ready wrappers ----------------------------------------------------
 
     def shard_spec(self):

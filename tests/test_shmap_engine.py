@@ -114,3 +114,43 @@ class TestExpectation:
         fn = sharded_expectation(eng, p.qubit_hamiltonian)
         got = float(fn(jax.device_put(psi, eng.shard_spec())))
         np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+class TestTwoQubit:
+    @pytest.mark.parametrize(
+        "qa,qb",
+        [
+            (8, 9),   # both local
+            (0, 9),   # sharded + local
+            (9, 0),   # swapped order
+            (0, 1),   # both sharded
+            (2, 5),   # sharded + mid
+        ],
+    )
+    def test_matches_single_shard(self, engine, psi, qa, qb):
+        from qsfh_tpu.engine.gates import apply_two_qubit, givens_plan_matrix
+
+        M = givens_plan_matrix(0.61, -0.47)
+        expected = np.asarray(apply_two_qubit(psi, N, M, qa, qb))
+        fn = jax.jit(
+            engine.wrap(
+                lambda p: engine.apply_two_qubit_local(p, M, qa, qb), out_replicated=False
+            )
+        )
+        got = np.asarray(fn(_shard(psi, engine)))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_random_unitary(self, engine, psi):
+        from qsfh_tpu.engine.gates import apply_two_qubit
+
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        Q, _ = np.linalg.qr(A)
+        expected = np.asarray(apply_two_qubit(psi, N, Q, 1, 7))
+        fn = jax.jit(
+            engine.wrap(
+                lambda p: engine.apply_two_qubit_local(p, Q, 1, 7), out_replicated=False
+            )
+        )
+        got = np.asarray(fn(_shard(psi, engine)))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
