@@ -5,25 +5,35 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value     = ADAPT train-step iterations/sec (energy + Sz + S^2 + gradient +
-            Adam update, 12-operator ansatz, Givens FT network included) on
-            the default JAX backend (TPU under axon, else CPU).
+            Adam update, 12-operator ansatz, Givens FT network included;
+            scan-compiled circuit lowering).
 baseline  = the reference-equivalent torch-CPU gate-by-gate step measured by
             benchmarks/reference_baseline.py on this host (the reference
             stack itself -- PennyLane default.qubit.torch backprop -- is not
             installable here; the emulation reproduces its per-iteration
-            structure: one tensor op per gate of the PauliStringRotation
-            decomposition, per-term Hamiltonian expectation, backprop).
-vs_baseline = value / baseline_iters_per_sec  (higher is better).
+            structure).  vs_baseline = value * baseline_sec_per_iter.
+
+The TPU attempt runs in a subprocess with a hard timeout: the tunneled TPU
+compile service in this environment intermittently stalls, and a bench that
+hangs is worse than a CPU number.  On timeout/failure the benchmark reruns
+on the CPU backend and says so in the metric name.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+NX, NY = 3, 3
+N_ANSATZ = 12
+WARMUP = 2
+ITERS = 5
+TPU_TIMEOUT_S = int(os.environ.get("QSFH_BENCH_TPU_TIMEOUT", "480"))
 
 
 def _log(msg, _t0=[None]):
@@ -32,23 +42,21 @@ def _log(msg, _t0=[None]):
         _t0[0] = now
     print(f"[bench +{now - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
-NX, NY = 3, 3
-N_ANSATZ = 12
-WARMUP = 2
-ITERS = 5
 
-
-def main():
+def measure(backend: str) -> dict:
     import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
-
     from qsfh_tpu.algos.adapt import ADAPT
 
-    _log("imports done")
+    _log(f"imports done (backend={jax.devices()[0].platform})")
     n_e = NX * NY
     n_up = (n_e + 1) // 2
     vqe = ADAPT(
@@ -65,6 +73,7 @@ def main():
         ground_truth=False,
         plot=False,
         log_metrics=False,
+        circuit_mode="compiled",
     )
     _log("ADAPT built (pool + problem)")
     indices = tuple(range(N_ANSATZ))
@@ -87,10 +96,14 @@ def main():
         params, state, e, sz, s2, fid, gn = step(params, state)
         float(e)  # forces full sync each iteration
         times.append(time.time() - t0)
-        _log(f"iter {len(times)}: {times[-1]*1e3:.1f} ms")
+        _log(f"iter {len(times)}: {times[-1] * 1e3:.1f} ms")
     sec_per_iter = float(np.median(times))
-    iters_per_sec = 1.0 / sec_per_iter
+    return {"sec_per_iter": sec_per_iter, "platform": jax.devices()[0].platform}
 
+
+def emit(result: dict, suffix: str = ""):
+    here = os.path.dirname(os.path.abspath(__file__))
+    iters_per_sec = 1.0 / result["sec_per_iter"]
     baseline_path = os.path.join(here, "benchmarks", "baseline_measurements.json")
     vs_baseline = None
     if os.path.exists(baseline_path):
@@ -98,17 +111,48 @@ def main():
         entry = data.get(f"adapt_step_{2 * NX * NY}q")
         if entry:
             vs_baseline = iters_per_sec * entry["sec_per_iter"]
-
     print(
         json.dumps(
             {
-                "metric": f"adapt_vqe_train_step_{2 * NX * NY}q_iters_per_sec",
+                "metric": f"adapt_vqe_train_step_{2 * NX * NY}q_iters_per_sec{suffix}",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
             }
         )
     )
+
+
+def main():
+    if "--inner" in sys.argv:
+        result = measure("default")
+        print("INNER_RESULT " + json.dumps(result), file=sys.stderr, flush=True)
+        emit(result)
+        return
+
+    if "--cpu" in sys.argv:
+        emit(measure("cpu"), suffix="_cpu")
+        return
+
+    # default: try the TPU in a guarded subprocess, fall back to CPU
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True,
+            text=True,
+            timeout=TPU_TIMEOUT_S,
+        )
+        if proc.returncode == 0:
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line)
+                    return
+        _log(f"TPU attempt failed (rc={proc.returncode}); falling back to CPU")
+        _log(proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else "")
+    except subprocess.TimeoutExpired:
+        _log(f"TPU attempt exceeded {TPU_TIMEOUT_S}s; falling back to CPU")
+    emit(measure("cpu"), suffix="_cpu_fallback")
 
 
 if __name__ == "__main__":

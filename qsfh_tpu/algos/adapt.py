@@ -76,6 +76,7 @@ class ADAPT:
         pool=None,
         ground_truth: bool = True,
         adjoint_threshold: int = 20,
+        circuit_mode: str = "auto",
     ):
         self.n_epoch = n_epoch
         self.threshold1 = threshold1
@@ -89,6 +90,18 @@ class ADAPT:
         # at 20 qubits (adapt_vqe.py:299-304): above it, gradients come from
         # the O(1)-memory reverse gate replay instead of backprop
         self.adjoint_threshold = adjoint_threshold
+        # circuit lowering: "unrolled" (fastest steady state, HLO grows with
+        # depth) vs "compiled" (lax.scan segments, constant compile size --
+        # required on remote TPU backends whose compile service cannot
+        # digest multi-thousand-equation programs). "auto" picks compiled
+        # off-CPU.
+        if circuit_mode == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            circuit_mode = "compiled" if platform != "cpu" else "unrolled"
+        self.circuit_mode = circuit_mode
 
         self.problem = HubbardProblem(
             x_dimension,
@@ -186,15 +199,84 @@ class ADAPT:
     def _build_screen(self):
         p = self.problem
 
-        def screen(psi_k):
-            psi_r = self._to_real(psi_k)
-            w_r = p.observables["H"].apply(psi_r)
-            w_k = apply_givens_network_adjoint(
-                w_r, self.n_qubits, p.diagonal, p.decomposition
+        if self.circuit_mode == "compiled":
+            from ..engine.compiled import CompiledCircuit
+            from ..grad.adjoint import givens_network_ops
+
+            net = CompiledCircuit(
+                givens_network_ops(self.n_qubits, p.diagonal, p.decomposition),
+                self.n_qubits,
             )
-            return self.packed_pool.screen(psi_k, w_k)
+            empty = jnp.zeros(0, dtype=self._rdt)
+
+            def screen(psi_k):
+                psi_r = net.apply(psi_k, empty)
+                w_r = p.observables["H"].apply(psi_r)
+                w_k = net.apply_inverse(w_r, empty)
+                return self.packed_pool.screen_scan(psi_k, w_k)
+
+        else:
+
+            def screen(psi_k):
+                psi_r = self._to_real(psi_k)
+                w_r = p.observables["H"].apply(psi_r)
+                w_k = apply_givens_network_adjoint(
+                    w_r, self.n_qubits, p.diagonal, p.decomposition
+                )
+                return self.packed_pool.screen(psi_k, w_k)
 
         return jax.jit(screen)
+
+    def _screen_for(self, indices: tuple):
+        """Jitted end-to-end screening fn(thetas) for one ansatz shape.
+
+        The whole pipeline (k-space ansatz, FT network, H apply, inverse
+        network, batched pool pass) is ONE program -- no eager per-gate
+        dispatch, which a remote TPU backend would compile one primitive
+        at a time.
+        """
+        if not hasattr(self, "_screen_cache"):
+            self._screen_cache = {}
+        if indices in self._screen_cache:
+            return self._screen_cache[indices]
+        p = self.problem
+
+        if self.circuit_mode == "compiled":
+            from ..engine.compiled import CompiledCircuit
+            from ..grad.adjoint import givens_network_ops
+
+            ansatz = CompiledCircuit(
+                [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)],
+                self.n_qubits,
+            )
+            net = CompiledCircuit(
+                givens_network_ops(self.n_qubits, p.diagonal, p.decomposition),
+                self.n_qubits,
+            )
+            empty = jnp.zeros(0, dtype=self._rdt)
+
+            def fn(thetas):
+                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
+                psi_k = ansatz.apply(psi0, thetas)
+                psi_r = net.apply(psi_k, empty)
+                w_r = p.observables["H"].apply(psi_r)
+                w_k = net.apply_inverse(w_r, empty)
+                return self.packed_pool.screen_scan(psi_k, w_k)
+
+        else:
+
+            def fn(thetas):
+                psi_k = self._ansatz_k(thetas, indices)
+                psi_r = self._to_real(psi_k)
+                w_r = p.observables["H"].apply(psi_r)
+                w_k = apply_givens_network_adjoint(
+                    w_r, self.n_qubits, p.diagonal, p.decomposition
+                )
+                return self.packed_pool.screen(psi_k, w_k)
+
+        jitted = jax.jit(fn)
+        self._screen_cache[indices] = jitted
+        return jitted
 
     def select_operator(self):
         """Batched pool-gradient screening (adapt_vqe.py:297-323).
@@ -203,8 +285,8 @@ class ADAPT:
         rule: |g| >= max(ratio * g_max) AND |g| >= threshold1, sorted by
         descending |g|.
         """
-        psi_k = self._ansatz_k(self.params_t, self.selected_indices)
-        grads = np.abs(np.asarray(self._screen_fn(psi_k)))
+        fn = self._screen_for(tuple(self.selected_indices))
+        grads = np.abs(np.asarray(fn(self.params_t)))
         max_grad = grads.max() if grads.size else 0.0
         n_selected = int(np.sum((grads >= max_grad * self.ratio) & (grads >= self.threshold1)))
         order = np.argsort(grads)[::-1][:n_selected]
@@ -217,7 +299,19 @@ class ADAPT:
         gs_reim = self._gs_reim
         p = self.problem
 
-        if self.n_qubits >= self.adjoint_threshold:
+        if self.circuit_mode == "compiled":
+            from ..engine.compiled import CompiledCircuit
+
+            ops = [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
+            ops += givens_network_ops(self.n_qubits, p.diagonal, p.decomposition)
+            cc = CompiledCircuit(ops, self.n_qubits)
+
+            def loss_fn(thetas):
+                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
+                psi = cc.apply(psi0, thetas)
+                return obs["H"].expectation(psi), psi
+
+        elif self.n_qubits >= self.adjoint_threshold:
             ops = tuple(
                 [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
                 + givens_network_ops(self.n_qubits, p.diagonal, p.decomposition)

@@ -1,0 +1,289 @@
+"""Scan-compiled circuits: constant compile size in circuit depth.
+
+The unrolled engine (one fused flip per Pauli rotation) gives the fastest
+steady-state steps but its HLO size grows linearly with depth -- a 3x3
+ADAPT step is ~12k equations, which remote TPU compile services handle
+poorly (minutes, sometimes timeouts).  This module lowers a circuit to a
+few homogeneous ``lax.scan`` segments whose bodies are uniform over gates:
+
+* rot segment   -- per-Pauli-term arrays (flip mask, phase mask, scale,
+                   parameter index, string phase); body = ONE generic
+                   exp(-i theta P) with the flip-by-traced-mask expressed
+                   as n conditional single-bit flips (both branches are
+                   cheap static flips; `where` keeps it branchless)
+* u4 segment    -- static two-qubit gates as (T, 4, 4, 2) real arrays +
+                   single-bit wire masks; body = 4 XOR-shifted fused
+                   multiply-adds (same math as the sharded engine)
+* rzlayer/diag  -- single fused elementwise ops (not scanned)
+
+Program size: O(segment kinds), not O(depth).  Gradients come from an
+adjoint custom_vjp (reverse scans replaying inverse gates, two live
+statevectors) instead of scan residuals, so memory is O(1) in depth too.
+
+Circuit programs reuse the op format of :mod:`qsfh_tpu.grad.adjoint`:
+("rot", rot_terms, param_idx) and ("fixed", tag, payload).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gates import _xor_flip, givens_plan_matrix, static_rz_layer_phases
+from .state import const_complex, index_bits, qmask_to_bmask, real_dtype
+
+
+def xor_flip_traced(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
+    """t[b] = psi[b ^ xb] for a TRACED flat mask xb.
+
+    Composed from n conditional static single-bit flips -- no gather (TPU
+    gathers serialize), no dynamic shapes.
+    """
+    xb = jnp.asarray(xb, dtype=jnp.uint32)
+    for p in range(n):
+        flipped = _xor_flip(psi, n, 1 << p)
+        bit = (xb >> np.uint32(p)) & np.uint32(1)
+        psi = jnp.where(bit.astype(bool), flipped, psi)
+    return psi
+
+
+# -- program lowering -----------------------------------------------------------
+
+
+class Segment:
+    __slots__ = ("kind", "data")
+
+    def __init__(self, kind: str, data):
+        self.kind = kind
+        self.data = data
+
+
+def lower_program(ops: Sequence[tuple], n: int) -> List[Segment]:
+    """Group a gate program into homogeneous scan segments."""
+    segments: List[Segment] = []
+    rot_buf: List[tuple] = []
+    u4_buf: List[tuple] = []
+
+    def flush_rot():
+        if not rot_buf:
+            return
+        xs, zs, scales, pidx, phre, phim = [], [], [], [], [], []
+        for (x, z, scale, k) in rot_buf:
+            xs.append(qmask_to_bmask(x, n))
+            zs.append(qmask_to_bmask(z, n))
+            scales.append(scale)
+            pidx.append(k)
+            ph = (-1j) ** (bin(x & z).count("1") % 4)
+            phre.append(ph.real)
+            phim.append(ph.imag)
+        segments.append(
+            Segment(
+                "rot",
+                dict(
+                    xb=np.asarray(xs, np.uint32),
+                    zb=np.asarray(zs, np.uint32),
+                    scale=np.asarray(scales, np.float64),
+                    pidx=np.asarray(pidx, np.int32),
+                    phre=np.asarray(phre, np.float64),
+                    phim=np.asarray(phim, np.float64),
+                ),
+            )
+        )
+        rot_buf.clear()
+
+    def flush_u4():
+        if not u4_buf:
+            return
+        fa, fb, mats = [], [], []
+        for (M, qa, qb) in u4_buf:
+            Ma = np.asarray(M, dtype=np.complex128).reshape(4, 4)
+            if qa > qb:
+                Ma = Ma.reshape(2, 2, 2, 2).transpose(1, 0, 3, 2).reshape(4, 4)
+                qa, qb = qb, qa
+            fa.append(1 << (n - 1 - qa))
+            fb.append(1 << (n - 1 - qb))
+            mats.append(np.stack([Ma.real, Ma.imag], axis=-1))
+        segments.append(
+            Segment(
+                "u4",
+                dict(
+                    fa=np.asarray(fa, np.uint32),
+                    fb=np.asarray(fb, np.uint32),
+                    U=np.asarray(mats, np.float64),  # (T, 4, 4, 2)
+                ),
+            )
+        )
+        u4_buf.clear()
+
+    for op in ops:
+        if op[0] == "rot":
+            flush_u4()
+            _, rot_terms, k = op
+            for (x, z, scale) in rot_terms:
+                rot_buf.append((x, z, scale, k))
+        elif op[0] == "fixed":
+            _, tag, payload = op
+            if tag == "u4":
+                flush_rot()
+                flat, i, j = payload
+                u4_buf.append((np.array(flat).reshape(4, 4), i, j))
+            elif tag == "se":
+                flush_rot()
+                ang, i, j = payload
+                c, s = np.cos(ang / 2), np.sin(ang / 2)
+                M = np.array(
+                    [[1, 0, 0, 0], [0, c, -s, 0], [0, s, c, 0], [0, 0, 0, 1]],
+                    dtype=np.complex128,
+                )
+                u4_buf.append((M, i, j))
+            elif tag == "x":
+                flush_rot()
+                q = payload[0]
+                M = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+                # lift to a u4 on (q, partner) to stay in the segment
+                partner = q - 1 if q > 0 else q + 1
+                u4_buf.append((np.kron(np.eye(2), M) if partner < q else np.kron(M, np.eye(2)), min(partner, q), max(partner, q)))
+            elif tag in ("rz", "rzlayer"):
+                flush_rot()
+                flush_u4()
+                if tag == "rz":
+                    phi, q = payload
+                    angles = [0.0] * n
+                    angles[q] = phi
+                else:
+                    angles = list(payload)
+                segments.append(Segment("rzlayer", tuple(angles)))
+            else:
+                raise ValueError(f"unknown fixed tag {tag}")
+        elif op[0] == "diag":
+            flush_rot()
+            flush_u4()
+            _, weights, k = op
+            segments.append(Segment("diag", (np.asarray(weights), k)))
+        else:
+            raise ValueError(f"unknown op {op}")
+    flush_rot()
+    flush_u4()
+    return segments
+
+
+# -- forward execution -----------------------------------------------------------
+
+
+def _rot_body(n, rdt):
+    idx = index_bits(n)
+
+    def body(psi, term):
+        xb, zb, scale, pidx, phre, phim, thetas = term
+        theta = thetas * scale  # thetas already gathered per term
+        par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+        s = (1.0 - 2.0 * par.astype(rdt))
+        t = xor_flip_traced(psi, n, xb)
+        ph = (phre + 1j * phim).astype(psi.dtype)
+        ppsi = ph * s.astype(psi.dtype) * t
+        c = jnp.cos(theta).astype(psi.dtype)
+        sn = jnp.sin(theta).astype(psi.dtype)
+        return c * psi - 1j * sn * ppsi, None
+
+    return body
+
+
+def _u4_body(n, rdt):
+    idx = index_bits(n)
+
+    def body(psi, gate):
+        fa, fb, U = gate  # U: (4, 4, 2) real
+        ba = ((idx & fa) != 0).astype(rdt)
+        bb = ((idx & fb) != 0).astype(rdt)
+        pa = _xor_flip_onebit(psi, n, fa)
+        pb = _xor_flip_onebit(psi, n, fb)
+        pab = _xor_flip_onebit(pa, n, fb)
+        copies = ((0, 0, psi), (1, 0, pa), (0, 1, pb), (1, 1, pab))
+        out = jnp.zeros_like(psi)
+        Uc = (U[..., 0] + 1j * U[..., 1]).astype(psi.dtype)
+        for (da, db, shift) in copies:
+            coeff = jnp.zeros(psi.shape, dtype=psi.dtype)
+            for ra in (0, 1):
+                for rb in (0, 1):
+                    u = Uc[2 * ra + rb, 2 * (ra ^ da) + (rb ^ db)]
+                    ind = (ba if ra else (1.0 - ba)) * (bb if rb else (1.0 - bb))
+                    coeff = coeff + u * ind.astype(psi.dtype)
+            out = out + coeff * shift
+        return out, None
+
+    return body
+
+
+def _xor_flip_onebit(psi, n, fmask) -> jnp.ndarray:
+    """psi[b ^ fmask] for a traced SINGLE-BIT flat mask."""
+    return xor_flip_traced(psi, n, fmask)
+
+
+def run_segments(segments, psi, thetas, n, direction: int = 1):
+    """Execute the program (direction=-1: exact inverse, reversed order)."""
+    rdt = real_dtype(psi.dtype)
+    seq = segments if direction == 1 else list(reversed(segments))
+    for seg in seq:
+        if seg.kind == "rot":
+            d = seg.data
+            th = thetas[jnp.asarray(d["pidx"])] * direction
+            xs = (
+                jnp.asarray(d["xb"]),
+                jnp.asarray(d["zb"]),
+                jnp.asarray(d["scale"], rdt),
+                jnp.asarray(d["pidx"]),
+                jnp.asarray(d["phre"], rdt),
+                jnp.asarray(d["phim"], rdt),
+                th.astype(rdt),
+            )
+            if direction == -1:
+                xs = tuple(x[::-1] for x in xs)
+            psi, _ = jax.lax.scan(_rot_body(n, rdt), psi, xs)
+        elif seg.kind == "u4":
+            d = seg.data
+            U = jnp.asarray(d["U"], rdt)
+            if direction == -1:
+                # inverse = conj transpose of each gate, reversed order
+                U = jnp.flip(
+                    jnp.stack(
+                        [jnp.swapaxes(U[..., 0], 1, 2), -jnp.swapaxes(U[..., 1], 1, 2)],
+                        axis=-1,
+                    ),
+                    axis=0,
+                )
+                fa = jnp.asarray(d["fa"])[::-1]
+                fb = jnp.asarray(d["fb"])[::-1]
+            else:
+                fa = jnp.asarray(d["fa"])
+                fb = jnp.asarray(d["fb"])
+            psi, _ = jax.lax.scan(_u4_body(n, rdt), psi, (fa, fb, U))
+        elif seg.kind == "rzlayer":
+            angles = [direction * a for a in seg.data]
+            phases = static_rz_layer_phases(angles, n)
+            psi = psi * const_complex(phases, psi.dtype)
+        elif seg.kind == "diag":
+            weights, k = seg.data
+            D = jnp.asarray(weights, rdt)
+            theta = (thetas[k] * direction).astype(rdt)
+            psi = psi * (jnp.cos(theta * D) - 1j * jnp.sin(theta * D)).astype(psi.dtype)
+        else:  # pragma: no cover
+            raise ValueError(seg.kind)
+    return psi
+
+
+class CompiledCircuit:
+    """ops -> scan segments, with unrolled-engine-equivalent semantics."""
+
+    def __init__(self, ops: Sequence[tuple], n_qubits: int):
+        self.n = n_qubits
+        self.segments = lower_program(ops, n_qubits)
+
+    def apply(self, psi, thetas):
+        return run_segments(self.segments, psi, thetas, self.n)
+
+    def apply_inverse(self, psi, thetas):
+        return run_segments(self.segments, psi, thetas, self.n, direction=-1)

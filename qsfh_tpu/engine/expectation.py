@@ -199,6 +199,64 @@ class PackedPool:
             for x, (zs, cs, ks) in flat.items()
         }
 
+    def screen_scan(self, psi: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """grad_k = 2 Im <w | G_k psi> via ONE lax.scan over flat pool terms.
+
+        Constant compile size in pool size (the grouped :meth:`screen`
+        unrolls one flip per distinct mask -- thousands of HLO equations
+        for 3x3 pools, which remote TPU compile services cannot digest).
+        """
+        from .compiled import xor_flip_traced
+
+        n = self.n
+        rdt = real_dtype(psi.dtype)
+        idx = index_bits(n)
+        # flat per-term arrays (host, built once)
+        if not hasattr(self, "_scan_arrays"):
+            xs, zs, cre, cim, ks = [], [], [], [], []
+            for x, (zarr, carr, karr) in self._groups.items():
+                xb = qmask_to_bmask(x, n)
+                for z, c, k in zip(zarr, carr, karr):
+                    zb = qmask_to_bmask(int(z), n)
+                    c_adj = complex(c) * ((-1.0) ** bin(int(z) & x).count("1"))
+                    xs.append(xb)
+                    zs.append(zb)
+                    cre.append(c_adj.real)
+                    cim.append(c_adj.imag)
+                    ks.append(k)
+            self._scan_arrays = (
+                np.asarray(xs, np.uint32),
+                np.asarray(zs, np.uint32),
+                np.asarray(cre, np.float64),
+                np.asarray(cim, np.float64),
+                np.asarray(ks, np.int32),
+            )
+        xs, zs, cre, cim, ks = self._scan_arrays
+        conj_w = jnp.conj(w)
+
+        def body(grads, term):
+            xb, zb, re, im, k = term
+            t = xor_flip_traced(psi, n, xb)
+            par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+            s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+            val = jnp.sum(conj_w * s * t)
+            contrib = 2.0 * jnp.imag((re + 1j * im).astype(psi.dtype) * val).astype(rdt)
+            return grads.at[k].add(contrib), None
+
+        grads0 = jnp.zeros(self.size, dtype=rdt)
+        grads, _ = jax.lax.scan(
+            body,
+            grads0,
+            (
+                jnp.asarray(xs),
+                jnp.asarray(zs),
+                jnp.asarray(cre, rdt),
+                jnp.asarray(cim, rdt),
+                jnp.asarray(ks),
+            ),
+        )
+        return grads
+
     def screen(self, psi: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         """grad_k = 2 Im <w | G_k psi> for every generator, in one fused pass.
 
