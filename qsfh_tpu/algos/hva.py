@@ -30,6 +30,26 @@ from ..io.metrics import MetricsLogger, plot_energy_fidelity
 from .base import HubbardProblem, default_dtype
 
 
+def hva_program(reps, v_rot, h_rot, coulomb_diag_np):
+    """The HVA ansatz as a compiled-engine op program over a FLAT theta
+    vector laid out [theta_U (reps+1) | theta_v (reps*Nv) | theta_h (reps*Nh)].
+    """
+    Nv, Nh = len(v_rot), len(h_rot)
+    ops = []
+    for rep in range(reps):
+        ops.append(("diag", coulomb_diag_np, rep))
+        for i, rot in enumerate(v_rot):
+            ops.append(("rot", tuple(rot), (reps + 1) + rep * Nv + i))
+        for i, rot in enumerate(h_rot):
+            ops.append(("rot", tuple(rot), (reps + 1) + reps * Nv + rep * Nh + i))
+    ops.append(("diag", coulomb_diag_np, reps))
+    return ops
+
+
+def flatten_hva_params(params):
+    return jnp.concatenate([params["theta_U"], params["theta_v"], params["theta_h"]])
+
+
 def hva_circuit(psi0, n_qubits, coulomb_diag, v_rot, h_rot, reps, params, constrain=None):
     """The HVA ansatz as a free function (layer order: hva.py:292-298).
 
@@ -77,6 +97,7 @@ class HVA:
         log_metrics: bool = True,
         checkpoint_every: int = 10,
         ground_truth: bool = True,
+        circuit_mode: str = "auto",
     ):
         self.n_epoch = n_epoch
         self.reps = reps
@@ -86,6 +107,13 @@ class HVA:
         self.plot = plot
         self.checkpoint_every = checkpoint_every
         self.dtype = dtype or default_dtype()
+        if circuit_mode == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            circuit_mode = "compiled" if platform != "cpu" else "unrolled"
+        self.circuit_mode = circuit_mode
 
         self.problem = HubbardProblem(
             x_dimension,
@@ -184,9 +212,25 @@ class HVA:
         obs = self.problem.observables
         gs_reim = self._gs_reim
 
-        def loss_fn(params):
-            psi = self.circuit(params)
-            return obs["H"].expectation(psi), psi
+        if self.circuit_mode == "compiled":
+            from ..engine.compiled import CompiledCircuit
+
+            ops = hva_program(
+                self.reps, self._v_rot, self._h_rot, np.asarray(self._coulomb_diag)
+            )
+            cc = CompiledCircuit(ops, self.n_qubits)
+            psi0_reim = self._psi0_reim
+
+            def loss_fn(params):
+                psi0 = from_reim(psi0_reim, self.dtype)
+                psi = cc.apply(psi0, flatten_hva_params(params))
+                return obs["H"].expectation(psi), psi
+
+        else:
+
+            def loss_fn(params):
+                psi = self.circuit(params)
+                return obs["H"].expectation(psi), psi
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
