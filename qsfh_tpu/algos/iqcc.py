@@ -188,8 +188,8 @@ class IQCC:
 
         def screen(theta, phi):
             psi = product_state(theta, phi, self.n_qubits, self.dtype)
-            w = observable.apply(psi)
-            return pool.screen(psi, w)
+            w = observable.apply_auto(psi)
+            return pool.screen_scan(psi, w)
 
         grads = np.abs(np.asarray(jax.jit(screen)(self.params["theta"], self.params["phi"])))
         max_grad = grads.max()
@@ -207,7 +207,7 @@ class IQCC:
     def _build_step(self, observable: Observable, selected_masks, optimizer):
         def loss_fn(params):
             psi = self._state(params, selected_masks)
-            return observable.expectation(psi)
+            return observable.expectation_auto(psi)
 
         grad_fn = jax.value_and_grad(loss_fn)
 

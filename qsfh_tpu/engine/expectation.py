@@ -148,8 +148,14 @@ class Observable:
     """A Hamiltonian/observable prepared for repeated fast evaluation.
 
     Host-side grouping is done once; every `expectation`/`apply` call after
-    that traces only fused flips and elementwise passes.
+    that traces only fused flips and elementwise passes.  For operators
+    with many flip-mask groups (iQCC dressed Hamiltonians grow per epoch)
+    the ``*_scan`` variants keep the program size constant by scanning flat
+    per-group arrays with traced masks.
     """
+
+    # above this many x-groups the unrolled lowering becomes compile-hostile
+    SCAN_GROUP_THRESHOLD = 96
 
     def __init__(self, op: PauliSum, n_qubits: int):
         self.op = op
@@ -161,6 +167,96 @@ class Observable:
 
     def apply(self, psi: jnp.ndarray) -> jnp.ndarray:
         return apply_paulisum(psi, self.n, self.op, self.groups)
+
+    # -- scan lowering ---------------------------------------------------------
+
+    def _scan_terms(self):
+        if not hasattr(self, "_scan_cache"):
+            n = self.n
+            xs, zs, cre, cim = [], [], [], []
+            for x, z, c in zip(self.op.x, self.op.z, self.op.c):
+                x, z = int(x), int(z)
+                c_adj = complex(c) * ((-1.0) ** bin(z & x).count("1"))
+                xs.append(qmask_to_bmask(x, n))
+                zs.append(qmask_to_bmask(z, n))
+                cre.append(c_adj.real)
+                cim.append(c_adj.imag)
+            self._scan_cache = (
+                np.asarray(xs, np.uint32),
+                np.asarray(zs, np.uint32),
+                np.asarray(cre, np.float64),
+                np.asarray(cim, np.float64),
+            )
+        return self._scan_cache
+
+    def expectation_scan(self, psi: jnp.ndarray) -> jnp.ndarray:
+        """Re <psi|op|psi> via one lax.scan over flat terms (constant HLO)."""
+        from .compiled import xor_flip_traced
+
+        n = self.n
+        rdt = real_dtype(psi.dtype)
+        idx = index_bits(n)
+        xs, zs, cre, cim = self._scan_terms()
+        conj = jnp.conj(psi)
+
+        def body(total, term):
+            xb, zb, re, im = term
+            t = xor_flip_traced(psi, n, xb)
+            par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+            s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+            val = jnp.sum(conj * s * t)
+            return total + jnp.real((re + 1j * im).astype(psi.dtype) * val).astype(rdt), None
+
+        total, _ = jax.lax.scan(
+            body,
+            jnp.zeros((), rdt),
+            (
+                jnp.asarray(xs),
+                jnp.asarray(zs),
+                jnp.asarray(cre, rdt),
+                jnp.asarray(cim, rdt),
+            ),
+        )
+        return total
+
+    def apply_scan(self, psi: jnp.ndarray) -> jnp.ndarray:
+        """op|psi> via one lax.scan over flat terms (constant HLO)."""
+        from .compiled import xor_flip_traced
+
+        n = self.n
+        rdt = real_dtype(psi.dtype)
+        idx = index_bits(n)
+        xs, zs, cre, cim = self._scan_terms()
+
+        def body(out, term):
+            xb, zb, re, im = term
+            t = xor_flip_traced(psi, n, xb)
+            par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+            s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+            return out + (re + 1j * im).astype(psi.dtype) * s * t, None
+
+        out, _ = jax.lax.scan(
+            body,
+            jnp.zeros_like(psi),
+            (
+                jnp.asarray(xs),
+                jnp.asarray(zs),
+                jnp.asarray(cre, rdt),
+                jnp.asarray(cim, rdt),
+            ),
+        )
+        return out
+
+    def expectation_auto(self, psi: jnp.ndarray) -> jnp.ndarray:
+        """Pick the unrolled or scan lowering by group count."""
+        if len(self.groups) > self.SCAN_GROUP_THRESHOLD:
+            return self.expectation_scan(psi)
+        return self.expectation(psi)
+
+    def apply_auto(self, psi: jnp.ndarray) -> jnp.ndarray:
+        if len(self.groups) > self.SCAN_GROUP_THRESHOLD:
+            return self.apply_scan(psi)
+        return self.apply(psi)
 
     def __len__(self):
         return len(self.op)
