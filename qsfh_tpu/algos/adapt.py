@@ -349,12 +349,17 @@ class ADAPT:
         return jax.jit(step, donate_argnums=(0, 1))
 
     def run(self):
+        from ..utils.profiling import PhaseTimer, xla_trace
+
+        timer = PhaseTimer()
+        self.timer = timer
         if self.ground_state_energy is not None:
             print("ground state energy: ", self.ground_state_energy)
         i_epoch = len(self.results["epoch loss"])
 
         while i_epoch < self.n_epoch:
-            new_indices, max_grads = self.select_operator()
+            with timer.phase("screening"):
+                new_indices, max_grads = self.select_operator()
             if not new_indices:
                 print("\nconvergence criterion has satisfied, break the loop!")
                 break
@@ -375,12 +380,14 @@ class ADAPT:
             opt_state = optimizer.init(self.params_t)
             print(f"epoch {i_epoch + 1}: selected {n_new} operators, lr = {lr:.6f}")
 
-            step = self._build_step(tuple(self.selected_indices), optimizer)
+            with timer.phase("step build+compile"):
+                step = self._build_step(tuple(self.selected_indices), optimizer)
             inner = 0
             while inner < self.max_inner_iterations:
-                self.params_t, opt_state, e, sz, s2, fid, gnorm = step(
-                    self.params_t, opt_state
-                )
+                with timer.phase("inner iteration"):
+                    self.params_t, opt_state, e, sz, s2, fid, gnorm = step(
+                        self.params_t, opt_state
+                    )
                 e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
                 self.results["iteration loss"].append(e)
                 self.results["Sz"].append(sz)
@@ -400,7 +407,8 @@ class ADAPT:
 
             self.results["epoch loss"].append(self.results["iteration loss"][-1])
             i_epoch += 1
-            self.save_model()
+            with timer.phase("checkpoint"):
+                self.save_model()
             if self.plot and self.ground_state_energy is not None:
                 plot_energy_iterations(
                     self.img_filepath,
@@ -409,6 +417,7 @@ class ADAPT:
                     self.ground_state_energy,
                 )
 
+        print(timer.report())
         return self.results
 
     # -- persistence ------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Pallas kernel correctness (interpret mode on CPU; real lowering on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qsfh_tpu.engine.compiled import xor_flip_traced
+from qsfh_tpu.engine.gates import pauli_rotation
+from qsfh_tpu.engine.pallas_kernels import (
+    HAVE_PALLAS,
+    pauli_rotation_pallas,
+    xor_gather_pallas,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+
+N = 10
+
+
+@pytest.fixture(scope="module")
+def psi():
+    k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    v = jax.random.normal(k1, (1 << N,)) + 1j * jax.random.normal(k2, (1 << N,))
+    return (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+
+
+class TestXorGather:
+    @pytest.mark.parametrize(
+        "mask", [0, 1, 0b101, 127, 128, 0b1010000000, 0b1111111111, 0b1000000001]
+    )
+    def test_matches_xla(self, psi, mask):
+        expected = np.asarray(xor_flip_traced(psi, N, jnp.uint32(mask)))
+        got = np.asarray(xor_gather_pallas(psi, N, jnp.uint32(mask)))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestPauliRotationKernel:
+    @pytest.mark.parametrize(
+        "x,z",
+        [
+            (0b11, 0),          # XX on lane bits
+            (0b11, 0b01),       # XY-like
+            (1 << 9, 1 << 9),   # Y on a row bit (qubit 0)
+            ((1 << 9) | 3, (1 << 4) | 1),
+            (0, 0b1001),        # diagonal
+        ],
+    )
+    def test_matches_engine(self, psi, x, z):
+        theta = 0.37
+        # engine reference (qubit-indexed masks)
+        expected = np.asarray(pauli_rotation(psi, N, x, z, theta))
+        # kernel takes FLAT masks + string phase, matching the compiled path
+        from qsfh_tpu.engine.state import qmask_to_bmask
+
+        xb = qmask_to_bmask(x, N)
+        zb = qmask_to_bmask(z, N)
+        ph = (-1j) ** (bin(x & z).count("1") % 4)
+        got = np.asarray(
+            pauli_rotation_pallas(
+                psi, N, jnp.uint32(xb), jnp.uint32(zb), theta, ph.real, ph.imag
+            )
+        )
+        np.testing.assert_allclose(got, expected, atol=1e-6)
