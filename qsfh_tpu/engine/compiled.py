@@ -37,18 +37,48 @@ from .gates import _xor_flip, givens_plan_matrix, static_rz_layer_phases
 from .state import const_complex, index_bits, qmask_to_bmask, real_dtype
 
 
+_LANE = 128
+_LANE_BITS = 7
+
+
 def xor_flip_traced(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     """t[b] = psi[b ^ xb] for a TRACED flat mask xb.
 
-    Composed from n conditional static single-bit flips -- no gather (TPU
-    gathers serialize), no dynamic shapes.
+    TPU-layout-aware lowering: the state is viewed as (rows, 128) so every
+    intermediate keeps a full 128 lane axis (TPU tiles pad the last two
+    dims to (8, 128) -- naive per-bit reshapes with tiny trailing dims
+    inflate memory traffic by up to 128x).  The low 7 mask bits apply as
+    ONE XOR-permutation matmul over the lane axis (MXU); the row bits as a
+    cascade of conditional reversals with the lane axis intact.  No
+    gathers (TPU gathers serialize), no dynamic shapes.
     """
     xb = jnp.asarray(xb, dtype=jnp.uint32)
-    for p in range(n):
-        flipped = _xor_flip(psi, n, 1 << p)
-        bit = (xb >> np.uint32(p)) & np.uint32(1)
-        psi = jnp.where(bit.astype(bool), flipped, psi)
-    return psi
+    if n < _LANE_BITS:
+        out = psi
+        for p in range(n):
+            flipped = _xor_flip(out, n, 1 << p)
+            bit = (xb >> np.uint32(p)) & np.uint32(1)
+            out = jnp.where(bit.astype(bool), flipped, out)
+        return out
+
+    rows = (1 << n) // _LANE
+    a2 = psi.reshape(rows, _LANE)
+
+    # lane bits: permutation matmul P[i, j] = [i ^ j == lane_mask]
+    lane_mask = xb & np.uint32(_LANE - 1)
+    ii = jax.lax.broadcasted_iota(jnp.uint32, (_LANE, _LANE), 0)
+    jj = jax.lax.broadcasted_iota(jnp.uint32, (_LANE, _LANE), 1)
+    P = ((ii ^ jj) == lane_mask).astype(psi.dtype)
+    a2 = a2 @ P
+
+    # row bits: conditional reversal, trailing dims stay (2, B*128)
+    row_mask = xb >> np.uint32(_LANE_BITS)
+    for p in range(max(n - _LANE_BITS, 0)):
+        A = rows >> (p + 1)
+        v = a2.reshape(A, 2, (1 << p) * _LANE)
+        bit = (row_mask >> np.uint32(p)) & np.uint32(1)
+        a2 = jnp.where(bit.astype(bool), jnp.flip(v, axis=1), v).reshape(rows, _LANE)
+    return a2.reshape(psi.shape)
 
 
 # -- program lowering -----------------------------------------------------------

@@ -72,13 +72,51 @@ def _flip_shape(n: int, positions) -> tuple:
     return tuple(shape), tuple(axes)
 
 
+_LANE = 128
+_LANE_BITS = 7
+
+
+@lru_cache(maxsize=512)
+def _lane_perm_matrix(lane_mask: int) -> np.ndarray:
+    """Static 0/1 permutation matrix P[i, j] = [i ^ j == lane_mask]."""
+    ii = np.arange(_LANE)[:, None]
+    jj = np.arange(_LANE)[None, :]
+    return ((ii ^ jj) == lane_mask).astype(np.float64)
+
+
 def _xor_flip(psi: jnp.ndarray, n: int, bmask: int) -> jnp.ndarray:
-    """t[b] = psi[b ^ bmask] via one multi-axis reverse."""
+    """t[b] = psi[b ^ bmask], TPU-layout-aware.
+
+    TPU tiles pad an array's last two dims to (8, 128); multi-axis
+    reverses over per-bit reshapes create tiny trailing dims and inflate
+    memory traffic up to 128x.  Instead the state is viewed as
+    (rows, 128): the low 7 mask bits apply as one constant permutation
+    matmul over the full lane axis, the row bits as axis reversals whose
+    trailing dims stay (2, B*128).
+    """
     if bmask == 0:
         return psi
-    positions = [p for p in range(n - 1, -1, -1) if (bmask >> p) & 1]
-    shape, axes = _flip_shape(n, positions)
-    return jnp.flip(psi.reshape(shape), axis=axes).reshape(psi.shape)
+    if n < _LANE_BITS:
+        positions = [p for p in range(n - 1, -1, -1) if (bmask >> p) & 1]
+        shape, axes = _flip_shape(n, positions)
+        return jnp.flip(psi.reshape(shape), axis=axes).reshape(psi.shape)
+
+    rows = (1 << n) // _LANE
+    a2 = psi.reshape(rows, _LANE)
+    lane_mask = bmask & (_LANE - 1)
+    if lane_mask:
+        P = jnp.asarray(_lane_perm_matrix(lane_mask), dtype=real_dtype(psi.dtype)).astype(
+            psi.dtype
+        )
+        a2 = a2 @ P
+    row_mask = bmask >> _LANE_BITS
+    for p in range(max(n - _LANE_BITS, 0)):
+        if (row_mask >> p) & 1:
+            A = rows >> (p + 1)
+            a2 = jnp.flip(a2.reshape(A, 2, (1 << p) * _LANE), axis=1).reshape(
+                rows, _LANE
+            )
+    return a2.reshape(psi.shape)
 
 
 # -- packed Pauli application ----------------------------------------------------
