@@ -135,23 +135,38 @@ def main():
         return
 
     # default: try the TPU in a guarded subprocess, fall back to CPU
+    import tempfile
+
+    err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            capture_output=True,
-            text=True,
-            timeout=TPU_TIMEOUT_S,
-        )
-        if proc.returncode == 0:
-            for line in proc.stdout.splitlines():
+        with open(err_path, "w") as err_fh, tempfile.TemporaryFile(
+            mode="w+"
+        ) as out_fh:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                stdout=out_fh,
+                stderr=err_fh,
+                text=True,
+            )
+            rc = proc.wait(timeout=TPU_TIMEOUT_S)
+            out_fh.seek(0)
+            stdout = out_fh.read()
+        if rc == 0:
+            for line in stdout.splitlines():
                 line = line.strip()
                 if line.startswith("{"):
                     print(line)
                     return
-        _log(f"TPU attempt failed (rc={proc.returncode}); falling back to CPU")
-        _log(proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else "")
+        _log(f"TPU attempt failed (rc={rc}); falling back to CPU")
     except subprocess.TimeoutExpired:
+        proc.kill()
         _log(f"TPU attempt exceeded {TPU_TIMEOUT_S}s; falling back to CPU")
+    try:
+        tail = open(err_path).read().strip().splitlines()[-4:]
+        for line in tail:
+            _log(f"inner: {line}")
+    except Exception:
+        pass
     emit(measure("cpu"), suffix="_cpu_fallback")
 
 

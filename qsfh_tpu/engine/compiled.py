@@ -65,11 +65,14 @@ def xor_flip_traced(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     a2 = psi.reshape(rows, _LANE)
 
     # lane bits: permutation matmul P[i, j] = [i ^ j == lane_mask]
+    # (real-plane matmuls -- complex matmul is not universally lowered)
+    from .state import real_dtype as _rdt_of
+
     lane_mask = xb & np.uint32(_LANE - 1)
     ii = jax.lax.broadcasted_iota(jnp.uint32, (_LANE, _LANE), 0)
     jj = jax.lax.broadcasted_iota(jnp.uint32, (_LANE, _LANE), 1)
-    P = ((ii ^ jj) == lane_mask).astype(psi.dtype)
-    a2 = a2 @ P
+    P = ((ii ^ jj) == lane_mask).astype(_rdt_of(psi.dtype))
+    a2 = (jnp.real(a2) @ P + 1j * (jnp.imag(a2) @ P)).astype(psi.dtype)
 
     # row bits: conditional reversal, trailing dims stay (2, B*128)
     row_mask = xb >> np.uint32(_LANE_BITS)

@@ -105,10 +105,10 @@ def _xor_flip(psi: jnp.ndarray, n: int, bmask: int) -> jnp.ndarray:
     a2 = psi.reshape(rows, _LANE)
     lane_mask = bmask & (_LANE - 1)
     if lane_mask:
-        P = jnp.asarray(_lane_perm_matrix(lane_mask), dtype=real_dtype(psi.dtype)).astype(
-            psi.dtype
-        )
-        a2 = a2 @ P
+        # real-plane matmuls: complex matmul is not universally lowered on
+        # TPU backends; P is a real 0/1 permutation
+        P = jnp.asarray(_lane_perm_matrix(lane_mask), dtype=real_dtype(psi.dtype))
+        a2 = (jnp.real(a2) @ P + 1j * (jnp.imag(a2) @ P)).astype(psi.dtype)
     row_mask = bmask >> _LANE_BITS
     for p in range(max(n - _LANE_BITS, 0)):
         if (row_mask >> p) & 1:

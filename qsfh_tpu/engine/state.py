@@ -41,9 +41,10 @@ def real_dtype(cdtype) -> jnp.dtype:
 
 
 def zero_state(n_qubits: int, dtype=jnp.complex128) -> jnp.ndarray:
-    """|00...0> as a flat statevector."""
-    psi = jnp.zeros(1 << n_qubits, dtype=dtype)
-    return psi.at[0].set(1.0)
+    """|00...0> as a flat statevector (fold-guarded, see runtime_one)."""
+    rdt = real_dtype(dtype)
+    psi = jnp.zeros(1 << n_qubits, dtype=rdt).at[0].set(1.0)
+    return (psi * runtime_one(rdt)).astype(dtype)
 
 
 def basis_state(n_qubits: int, occupied_qubits, dtype=jnp.complex128) -> jnp.ndarray:
@@ -51,8 +52,9 @@ def basis_state(n_qubits: int, occupied_qubits, dtype=jnp.complex128) -> jnp.nda
     index = 0
     for q in occupied_qubits:
         index |= 1 << bitpos(q, n_qubits)
-    psi = jnp.zeros(1 << n_qubits, dtype=dtype)
-    return psi.at[index].set(1.0)
+    rdt = real_dtype(dtype)
+    psi = jnp.zeros(1 << n_qubits, dtype=rdt).at[index].set(1.0)
+    return (psi * runtime_one(rdt)).astype(dtype)
 
 
 def index_bits(n_qubits: int) -> jnp.ndarray:
@@ -85,16 +87,41 @@ def parity_signs(n_qubits: int, bmask: int, dtype) -> jnp.ndarray:
 # from_reim) that combine on first use inside the program.
 
 
+_RUNTIME_ONE = {}
+
+
+def runtime_one(rdt) -> jnp.ndarray:
+    """A concrete DEVICE scalar 1.0 (a buffer parameter, not a literal).
+
+    Multiplying it into complex-constant construction makes the expression
+    runtime-dependent, so XLA cannot constant-fold it back into a large
+    complex constant buffer -- which the axon TPU backend cannot load.
+    Created with device_put on the concrete value, so it stays concrete
+    even when first requested inside a trace.
+    """
+    rdt = jnp.dtype(rdt)
+    key = (rdt, jax.default_backend())
+    if key not in _RUNTIME_ONE:
+        _RUNTIME_ONE[key] = jax.device_put(np.asarray(1.0, dtype=rdt))
+    return _RUNTIME_ONE[key]
+
+
 def const_complex(arr, dtype=jnp.complex128) -> jnp.ndarray:
-    """A complex constant safe to embed in traced code: built from two real
-    constants in-program instead of a complex buffer at the ABI."""
+    """A complex constant safe to embed in traced code.
+
+    Built from real constants in-program AND guarded against constant
+    folding by a runtime-one multiply (see :func:`runtime_one`): folded
+    complex constants above XLA's inline threshold become device buffers,
+    and complex buffer loads are UNIMPLEMENTED on the axon TPU backend.
+    """
     arr = np.asarray(arr)
     rdt = real_dtype(dtype)
+    one = runtime_one(rdt)
     re = jnp.asarray(np.ascontiguousarray(arr.real), dtype=rdt)
     if not np.any(arr.imag):
-        return re.astype(dtype)
+        return (re * one).astype(dtype)
     im = jnp.asarray(np.ascontiguousarray(arr.imag), dtype=rdt)
-    return (re + 1j * im).astype(dtype)
+    return (re * one + 1j * (im * one)).astype(dtype)
 
 
 def to_reim(psi: jnp.ndarray) -> jnp.ndarray:
