@@ -242,24 +242,23 @@ class ADAPT:
         p = self.problem
 
         if self.circuit_mode == "compiled":
-            from ..engine.compiled import CompiledCircuit
-            from ..grad.adjoint import givens_network_ops
+            from ..engine.compiled import CompiledCircuit, givens_network_static_ops
 
             ansatz = CompiledCircuit(
                 [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)],
                 self.n_qubits,
             )
-            net = CompiledCircuit(
-                givens_network_ops(self.n_qubits, p.diagonal, p.decomposition),
-                self.n_qubits,
+            net_ops, gphase = givens_network_static_ops(
+                self.n_qubits, p.diagonal, p.decomposition
             )
+            net = CompiledCircuit(net_ops, self.n_qubits, global_phase=gphase)
             empty = jnp.zeros(0, dtype=self._rdt)
 
             def fn(thetas):
                 psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
                 psi_k = ansatz.apply(psi0, thetas)
                 psi_r = net.apply(psi_k, empty)
-                w_r = p.observables["H"].apply(psi_r)
+                w_r = p.observables["H"].apply_scan(psi_r)
                 w_k = net.apply_inverse(w_r, empty)
                 return self.packed_pool.screen_scan(psi_k, w_k)
 
@@ -300,16 +299,18 @@ class ADAPT:
         p = self.problem
 
         if self.circuit_mode == "compiled":
-            from ..engine.compiled import CompiledCircuit
+            from ..engine.compiled import CompiledCircuit, givens_network_static_ops
 
             ops = [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
-            ops += givens_network_ops(self.n_qubits, p.diagonal, p.decomposition)
-            cc = CompiledCircuit(ops, self.n_qubits)
+            net_ops, gphase = givens_network_static_ops(
+                self.n_qubits, p.diagonal, p.decomposition
+            )
+            cc = CompiledCircuit(ops + net_ops, self.n_qubits, global_phase=gphase)
 
             def loss_fn(thetas):
                 psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
                 psi = cc.apply(psi0, thetas)
-                return obs["H"].expectation(psi), psi
+                return obs["H"].expectation_scan(psi), psi
 
         elif self.n_qubits >= self.adjoint_threshold:
             ops = tuple(

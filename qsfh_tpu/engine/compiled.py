@@ -84,6 +84,51 @@ def xor_flip_traced(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     return a2.reshape(psi.shape)
 
 
+def givens_network_static_ops(n_qubits: int, diagonal, decomposition):
+    """The Slater/FT Givens network as STATIC Pauli rotations.
+
+    Every plan op decomposes exactly into commuting Pauli rotations:
+      RZ(phi) on q            = exp(-i phi/2 Z_q)
+      SingleExcitation(2t)    = exp(-i t/2 Y_i X_j) exp(+i t/2 X_i Y_j)
+      PauliX ('pht')          = i * exp(-i pi/2 X_q)
+    so the whole circuit becomes ONE homogeneous rot segment (static angles
+    ride as scale with param index -1 -> an appended constant 1.0), instead
+    of a separate dense-4x4 scan -- the single-segment program is what
+    fragile remote compile services digest best.
+
+    Returns (ops, global_phase): energies and fidelities are phase-free,
+    but apply() multiplies the phase back for exact state parity.
+    """
+    ops: List[tuple] = []
+    n_pht = 0
+    for i in range(n_qubits):
+        ang = float(np.angle(diagonal[i]))
+        if ang != 0.0:
+            ops.append(("rot", ((0, 1 << i, ang / 2.0),), -1))
+    for parallel_ops in reversed(decomposition):
+        for op in parallel_ops:
+            if op == "pht":
+                q = n_qubits - 1
+                ops.append(("rot", ((1 << q, 0, np.pi / 2.0),), -1))
+                n_pht += 1
+            else:
+                i, j, theta, phi = op
+                both = (1 << i) | (1 << j)
+                ops.append(
+                    (
+                        "rot",
+                        (
+                            (both, 1 << i, float(theta) / 2.0),  # Y_i X_j
+                            (both, 1 << j, -float(theta) / 2.0),  # X_i Y_j
+                        ),
+                        -1,
+                    )
+                )
+                if float(phi) != 0.0:
+                    ops.append(("rot", ((0, 1 << j, float(phi) / 2.0),), -1))
+    return ops, (1j) ** (n_pht % 4)
+
+
 # -- program lowering -----------------------------------------------------------
 
 
@@ -260,10 +305,14 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
     """Execute the program (direction=-1: exact inverse, reversed order)."""
     rdt = real_dtype(psi.dtype)
     seq = segments if direction == 1 else list(reversed(segments))
+    # static-angle rot terms carry param index -1 -> an appended constant 1.0
+    n_params = thetas.shape[0]
+    thetas_ext = jnp.concatenate([thetas, jnp.ones(1, dtype=thetas.dtype)])
     for seg in seq:
         if seg.kind == "rot":
             d = seg.data
-            th = thetas[jnp.asarray(d["pidx"])] * direction
+            pidx_arr = np.where(d["pidx"] < 0, n_params, d["pidx"])
+            th = thetas_ext[jnp.asarray(pidx_arr)] * direction
             xs = (
                 jnp.asarray(d["xb"]),
                 jnp.asarray(d["zb"]),
@@ -311,12 +360,20 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
 class CompiledCircuit:
     """ops -> scan segments, with unrolled-engine-equivalent semantics."""
 
-    def __init__(self, ops: Sequence[tuple], n_qubits: int):
+    def __init__(self, ops: Sequence[tuple], n_qubits: int, global_phase: complex = 1.0):
         self.n = n_qubits
         self.segments = lower_program(ops, n_qubits)
+        self.global_phase = complex(global_phase)
+
+    def _phased(self, psi, phase):
+        if phase == 1.0:
+            return psi
+        return psi * const_complex(phase, psi.dtype)
 
     def apply(self, psi, thetas):
-        return run_segments(self.segments, psi, thetas, self.n)
+        out = run_segments(self.segments, psi, thetas, self.n)
+        return self._phased(out, self.global_phase)
 
     def apply_inverse(self, psi, thetas):
-        return run_segments(self.segments, psi, thetas, self.n, direction=-1)
+        out = run_segments(self.segments, psi, thetas, self.n, direction=-1)
+        return self._phased(out, np.conj(self.global_phase))
