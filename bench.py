@@ -34,6 +34,7 @@ N_ANSATZ = 12
 WARMUP = 2
 ITERS = 5
 TPU_TIMEOUT_S = int(os.environ.get("QSFH_BENCH_TPU_TIMEOUT", "480"))
+TPU_ATTEMPTS = int(os.environ.get("QSFH_BENCH_TPU_ATTEMPTS", "2"))
 
 
 def _log(msg, _t0=[None]):
@@ -73,7 +74,8 @@ def measure(backend: str) -> dict:
         ground_truth=False,
         plot=False,
         log_metrics=False,
-        circuit_mode="compiled",
+        circuit_mode="split" if backend != "cpu" else "compiled",
+        program_salt=float(os.environ.get("QSFH_BENCH_SALT", "0") or 0),
     )
     _log("ADAPT built (pool + problem)")
     indices = tuple(range(N_ANSATZ))
@@ -134,39 +136,47 @@ def main():
         emit(measure("cpu"), suffix="_cpu")
         return
 
-    # default: try the TPU in a guarded subprocess, fall back to CPU
+    # default: try the TPU in guarded subprocesses (retry with a program
+    # salt -- the flaky remote compile service appears to cache failures by
+    # program hash), then fall back to CPU
     import tempfile
 
     err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
-    try:
-        with open(err_path, "w") as err_fh, tempfile.TemporaryFile(
-            mode="w+"
-        ) as out_fh:
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--inner"],
-                stdout=out_fh,
-                stderr=err_fh,
-                text=True,
-            )
-            rc = proc.wait(timeout=TPU_TIMEOUT_S)
-            out_fh.seek(0)
-            stdout = out_fh.read()
-        if rc == 0:
-            for line in stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    print(line)
-                    return
-        _log(f"TPU attempt failed (rc={rc}); falling back to CPU")
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        _log(f"TPU attempt exceeded {TPU_TIMEOUT_S}s; falling back to CPU")
-    try:
-        tail = open(err_path).read().strip().splitlines()[-4:]
-        for line in tail:
-            _log(f"inner: {line}")
-    except Exception:
-        pass
+    per_attempt = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 120)
+    for attempt in range(TPU_ATTEMPTS):
+        env = dict(os.environ)
+        env["QSFH_BENCH_SALT"] = str(attempt * 1e-7)
+        try:
+            with open(err_path, "w") as err_fh, tempfile.TemporaryFile(
+                mode="w+"
+            ) as out_fh:
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__), "--inner"],
+                    stdout=out_fh,
+                    stderr=err_fh,
+                    text=True,
+                    env=env,
+                )
+                rc = proc.wait(timeout=per_attempt)
+                out_fh.seek(0)
+                stdout = out_fh.read()
+            if rc == 0:
+                for line in stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        print(line)
+                        return
+            _log(f"TPU attempt {attempt} failed (rc={rc})")
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            _log(f"TPU attempt {attempt} exceeded {per_attempt}s")
+        try:
+            tail = open(err_path).read().strip().splitlines()[-2:]
+            for line in tail:
+                _log(f"inner: {line}")
+        except Exception:
+            pass
+    _log("all TPU attempts failed; falling back to CPU")
     emit(measure("cpu"), suffix="_cpu_fallback")
 
 

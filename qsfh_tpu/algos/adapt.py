@@ -77,6 +77,7 @@ class ADAPT:
         ground_truth: bool = True,
         adjoint_threshold: int = 20,
         circuit_mode: str = "auto",
+        program_salt: float = 0.0,
     ):
         self.n_epoch = n_epoch
         self.threshold1 = threshold1
@@ -100,8 +101,14 @@ class ADAPT:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
-            circuit_mode = "compiled" if platform != "cpu" else "unrolled"
+            # off-CPU: "split" -- separately jitted single-scan programs
+            # (the remote compile service rejects long compilations)
+            circuit_mode = "split" if platform != "cpu" else "unrolled"
         self.circuit_mode = circuit_mode
+        # a tiny static Z-rotation appended to compiled programs; changing it
+        # changes the program hash, which evicts cached-failure entries in
+        # flaky remote compile services (used by bench retries)
+        self.program_salt = float(program_salt)
 
         self.problem = HubbardProblem(
             x_dimension,
@@ -241,7 +248,7 @@ class ADAPT:
             return self._screen_cache[indices]
         p = self.problem
 
-        if self.circuit_mode == "compiled":
+        if self.circuit_mode in ("compiled", "split"):
             from ..engine.compiled import CompiledCircuit, givens_network_static_ops
 
             ansatz = CompiledCircuit(
@@ -253,6 +260,27 @@ class ADAPT:
             )
             net = CompiledCircuit(net_ops, self.n_qubits, global_phase=gphase)
             empty = jnp.zeros(0, dtype=self._rdt)
+
+            if self.circuit_mode == "split":
+                # each stage its own (small) compilation
+                j_ans = jax.jit(
+                    lambda th: ansatz.apply(
+                        basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype),
+                        th,
+                    )
+                )
+                j_net = jax.jit(lambda psi: net.apply(psi, empty))
+                j_h = jax.jit(p.observables["H"].apply_scan)
+                j_netinv = jax.jit(lambda w: net.apply_inverse(w, empty))
+                j_screen = jax.jit(self.packed_pool.screen_scan)
+
+                def fn(thetas):
+                    psi_k = j_ans(thetas)
+                    w_k = j_netinv(j_h(j_net(psi_k)))
+                    return j_screen(psi_k, w_k)
+
+                self._screen_cache[indices] = fn
+                return fn
 
             def fn(thetas):
                 psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
@@ -293,10 +321,84 @@ class ADAPT:
 
     # -- training ------------------------------------------------------------------
 
+    def _build_step_split(self, indices, optimizer):
+        """Step composed from SEPARATELY jitted small programs.
+
+        The remote TPU compile service in this environment rejects
+        compilations past ~100 s; a monolithic value_and_grad step (4-5
+        scans) exceeds that, but each stage alone (one scan) compiles in
+        seconds.  Cost: a few extra dispatches per iteration.  Gradients
+        come from the explicit adjoint reverse scan (O(1) memory).
+        """
+        from ..engine.compiled import (
+            CompiledCircuit,
+            givens_network_static_ops,
+            run_rot_adjoint,
+        )
+
+        obs = self.problem.observables
+        gs_reim = self._gs_reim
+        p = self.problem
+        ops = [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
+        net_ops, gphase = givens_network_static_ops(
+            self.n_qubits, p.diagonal, p.decomposition
+        )
+        if self.program_salt:
+            net_ops = net_ops + [("rot", ((0, 1, self.program_salt),), -1)]
+        cc = CompiledCircuit(ops + net_ops, self.n_qubits, global_phase=gphase)
+        assert len(cc.segments) == 1 and cc.segments[0].kind == "rot"
+        seg = cc.segments[0]
+
+        fwd = jax.jit(
+            lambda th: cc.apply(
+                basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype), th
+            )
+        )
+        energy_fn = jax.jit(obs["H"].expectation_scan)
+        cotangent_fn = jax.jit(lambda psi: 2.0 * obs["H"].apply_scan(psi))
+        adjoint_fn = jax.jit(
+            lambda psi, lam, th: run_rot_adjoint(seg, psi, lam, th, self.n_qubits)[2]
+        )
+
+        def metrics_fn(psi):
+            sz = obs["Sz"].expectation(psi)
+            s2 = obs["S^2"].expectation(psi)
+            gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
+            if len(gs_states) > 1:
+                fid = subspace_fidelity(psi, gs_states)
+            elif len(gs_states) == 1:
+                fid = state_fidelity(psi, gs_states[0])
+            else:
+                fid = jnp.zeros((), dtype=self._rdt)
+            return sz, s2, fid
+
+        metrics_jit = jax.jit(metrics_fn)
+
+        def update_fn(thetas, grads, opt_state):
+            gnorm = jnp.linalg.norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return optax.apply_updates(thetas, updates), opt_state, gnorm
+
+        update_jit = jax.jit(update_fn)
+
+        def step(thetas, opt_state):
+            psi = fwd(thetas)
+            energy = energy_fn(psi)
+            lam = cotangent_fn(psi)
+            grads = adjoint_fn(psi, lam, thetas)
+            sz, s2, fid = metrics_jit(psi)
+            new_thetas, opt_state, gnorm = update_jit(thetas, grads, opt_state)
+            return new_thetas, opt_state, energy, sz, s2, fid, gnorm
+
+        return step
+
     def _build_step(self, indices, optimizer):
         obs = self.problem.observables
         gs_reim = self._gs_reim
         p = self.problem
+
+        if self.circuit_mode == "split":
+            return self._build_step_split(indices, optimizer)
 
         if self.circuit_mode == "compiled":
             from ..engine.compiled import CompiledCircuit, givens_network_static_ops

@@ -357,6 +357,55 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
     return psi
 
 
+def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
+    """Adjoint sweep over ONE rot segment: returns (psi0, lam0, grads).
+
+    Reverse scan with carry (psi, lam, grads): at each term (reversed),
+    grad[pidx] += scale * Im <lam | P psi>  evaluated at the state AFTER
+    the gate, then both psi and lam are inverse-rotated.  Memory is O(1)
+    in depth (two live statevectors), and the program is one scan.
+    """
+    rdt = real_dtype(psi_final.dtype)
+    d = segment.data
+    n_params = thetas.shape[0]
+    thetas_ext = jnp.concatenate([thetas, jnp.ones(1, dtype=thetas.dtype)])
+    pidx_host = np.where(d["pidx"] < 0, n_params, d["pidx"])
+    th = thetas_ext[jnp.asarray(pidx_host)]
+    idx = index_bits(n)
+
+    xs = (
+        jnp.asarray(d["xb"])[::-1],
+        jnp.asarray(d["zb"])[::-1],
+        (th * jnp.asarray(d["scale"], thetas.dtype))[::-1],
+        jnp.asarray(pidx_host)[::-1],
+        jnp.asarray(d["scale"], rdt)[::-1],
+        jnp.asarray(d["phre"], rdt)[::-1],
+        jnp.asarray(d["phim"], rdt)[::-1],
+    )
+
+    def body(carry, term):
+        psi, lam, grads = carry
+        xb, zb, angle, k, scale, phre, phim = term
+        par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+        s = (1.0 - 2.0 * par.astype(rdt))
+        ph = (phre + 1j * phim).astype(psi.dtype)
+        # gradient at the post-gate state: Im <lam| scale*P |psi>
+        ppsi = ph * s.astype(psi.dtype) * xor_flip_traced(psi, n, xb)
+        contrib = scale * jnp.imag(jnp.vdot(lam, ppsi)).astype(rdt)
+        grads = grads.at[k].add(contrib)
+        # inverse-rotate both carriers:  exp(+i angle P)
+        c = jnp.cos(angle).astype(psi.dtype)
+        sn = jnp.sin(angle).astype(psi.dtype)
+        psi = c * psi + 1j * sn * ppsi
+        plam = ph * s.astype(psi.dtype) * xor_flip_traced(lam, n, xb)
+        lam = c * lam + 1j * sn * plam
+        return (psi, lam, grads), None
+
+    grads0 = jnp.zeros(n_params + 1, dtype=rdt)
+    (psi0, lam0, grads), _ = jax.lax.scan(body, (psi_final, lam, grads0), xs)
+    return psi0, lam0, grads[:n_params]
+
+
 class CompiledCircuit:
     """ops -> scan segments, with unrolled-engine-equivalent semantics."""
 
