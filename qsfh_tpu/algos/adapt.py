@@ -449,7 +449,7 @@ class ADAPT:
             thetas = optax.apply_updates(thetas, updates)
             return thetas, opt_state, energy, sz, s2, fid, gnorm
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     def run(self):
         from ..utils.profiling import PhaseTimer, xla_trace

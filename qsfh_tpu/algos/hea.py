@@ -131,7 +131,7 @@ class VQE:
             params = optax.apply_updates(params, updates)
             return params, opt_state, energy, gnorm
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     def run(self):
         opt_state = self.optimizer.init(self.params)

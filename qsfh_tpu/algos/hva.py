@@ -33,6 +33,9 @@ from .base import HubbardProblem, default_dtype
 def hva_program(reps, v_rot, h_rot, coulomb_diag_np):
     """The HVA ansatz as a compiled-engine op program over a FLAT theta
     vector laid out [theta_U (reps+1) | theta_v (reps*Nv) | theta_h (reps*Nh)].
+
+    The Coulomb layer uses the precomputed diagonal weight vector (one fused
+    elementwise pass per layer).
     """
     Nv, Nh = len(v_rot), len(h_rot)
     ops = []
@@ -43,6 +46,24 @@ def hva_program(reps, v_rot, h_rot, coulomb_diag_np):
         for i, rot in enumerate(h_rot):
             ops.append(("rot", tuple(rot), (reps + 1) + reps * Nv + rep * Nh + i))
     ops.append(("diag", coulomb_diag_np, reps))
+    return ops
+
+
+def hva_program_rot(reps, v_rot, h_rot, u_rot):
+    """Single-segment variant: the Coulomb layer as shared-parameter Z-string
+    rotations (JW of the U term is a sum of commuting Z/ZZ strings), so the
+    WHOLE circuit lowers to one homogeneous rot scan -- the form fragile
+    remote TPU compile services digest (one small program, any depth).
+    """
+    Nv, Nh = len(v_rot), len(h_rot)
+    ops = []
+    for rep in range(reps):
+        ops.append(("rot", tuple(u_rot), rep))
+        for i, rot in enumerate(v_rot):
+            ops.append(("rot", tuple(rot), (reps + 1) + rep * Nv + i))
+        for i, rot in enumerate(h_rot):
+            ops.append(("rot", tuple(rot), (reps + 1) + reps * Nv + rep * Nh + i))
+    ops.append(("rot", tuple(u_rot), reps))
     return ops
 
 
@@ -250,7 +271,7 @@ class HVA:
             params = optax.apply_updates(params, updates)
             return params, opt_state, energy, sz, s2, fid, gnorm
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     def run(self):
         opt_state = self.optimizer.init(self.params)

@@ -218,7 +218,7 @@ class IQCC:
             params = optax.apply_updates(params, updates)
             return params, opt_state, energy, gnorm
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     def run(self):
         if self.ground_state_energy is not None:

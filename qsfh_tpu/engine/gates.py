@@ -96,7 +96,8 @@ def _xor_flip(psi: jnp.ndarray, n: int, bmask: int) -> jnp.ndarray:
     """
     if bmask == 0:
         return psi
-    if n < _LANE_BITS:
+    if n < _LANE_BITS or jax.default_backend() == "cpu":
+        # CPU has no tile padding -- the direct multi-axis reverse is fastest
         positions = [p for p in range(n - 1, -1, -1) if (bmask >> p) & 1]
         shape, axes = _flip_shape(n, positions)
         return jnp.flip(psi.reshape(shape), axis=axes).reshape(psi.shape)

@@ -100,10 +100,12 @@ def runtime_one(rdt) -> jnp.ndarray:
     even when first requested inside a trace.
     """
     rdt = jnp.dtype(rdt)
-    key = (rdt, jax.default_backend())
-    if key not in _RUNTIME_ONE:
-        _RUNTIME_ONE[key] = jax.device_put(np.asarray(1.0, dtype=rdt))
-    return _RUNTIME_ONE[key]
+    if jax.default_backend() == "cpu":
+        # CPU handles complex constants fine -- let XLA fold (faster tests)
+        return np.asarray(1.0, dtype=rdt)
+    # a FRESH buffer per call: sharing one cached buffer across executables
+    # lets donation in one program invalidate a captured const of another
+    return jax.device_put(np.asarray(1.0, dtype=rdt))
 
 
 def const_complex(arr, dtype=jnp.complex128) -> jnp.ndarray:
