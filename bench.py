@@ -74,7 +74,9 @@ def measure(backend: str) -> dict:
         ground_truth=False,
         plot=False,
         log_metrics=False,
-        circuit_mode="split" if backend != "cpu" else "compiled",
+        # cpu: unrolled (plain backprop; the scan path's grad residuals are
+        # O(steps * 2^n) and thrash memory at 18q). off-cpu: split stages.
+        circuit_mode="split" if backend != "cpu" else "unrolled",
         program_salt=float(os.environ.get("QSFH_BENCH_SALT", "0") or 0),
     )
     _log("ADAPT built (pool + problem)")
