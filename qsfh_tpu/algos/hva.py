@@ -133,7 +133,9 @@ class HVA:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
-            circuit_mode = "compiled" if platform != "cpu" else "unrolled"
+            # off-CPU: split stages (remote compile services reject long
+            # compilations; plain grad-of-scan residuals are O(depth * 2^n))
+            circuit_mode = "split" if platform != "cpu" else "unrolled"
         self.circuit_mode = circuit_mode
 
         self.problem = HubbardProblem(
@@ -229,9 +231,78 @@ class HVA:
 
     # -- training ------------------------------------------------------------------
 
+    def _build_step_split(self):
+        """Separately jitted stages + adjoint reverse scan (see ADAPT)."""
+        from ..engine.compiled import CompiledCircuit, run_rot_adjoint
+        from ..ops.jw import jordan_wigner
+
+        obs = self.problem.observables
+        gs_reim = self._gs_reim
+        u_rot = jordan_wigner(self.problem.interacting_term).rotation_terms()
+        cc = CompiledCircuit(
+            hva_program_rot(self.reps, self._v_rot, self._h_rot, u_rot),
+            self.n_qubits,
+        )
+        assert len(cc.segments) == 1 and cc.segments[0].kind == "rot"
+        seg = cc.segments[0]
+        psi0_reim = self._psi0_reim
+        optimizer = self.optimizer
+        n_U = self.reps + 1
+        n_v = self.reps * self.Nv
+
+        fwd = jax.jit(
+            lambda th: cc.apply(from_reim(psi0_reim, self.dtype), th)
+        )
+        energy_fn = jax.jit(obs["H"].expectation_scan)
+        cot_fn = jax.jit(lambda psi: 2.0 * obs["H"].apply_scan(psi))
+        adj_fn = jax.jit(
+            lambda psi, lam, th: run_rot_adjoint(seg, psi, lam, th, self.n_qubits)[2]
+        )
+
+        def metrics_fn(psi):
+            sz = obs["Sz"].expectation(psi)
+            s2 = obs["S^2"].expectation(psi)
+            gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
+            if len(gs_states) > 1:
+                fid = subspace_fidelity(psi, gs_states)
+            elif len(gs_states) == 1:
+                fid = state_fidelity(psi, gs_states[0])
+            else:
+                fid = jnp.zeros((), dtype=self._rdt)
+            return sz, s2, fid
+
+        metrics_jit = jax.jit(metrics_fn)
+
+        def update_fn(flat, grads, params, opt_state):
+            gnorm = jnp.linalg.norm(grads)
+            gdict = {
+                "theta_U": grads[:n_U],
+                "theta_v": grads[n_U : n_U + n_v],
+                "theta_h": grads[n_U + n_v :],
+            }
+            updates, opt_state = optimizer.update(gdict, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, gnorm
+
+        update_jit = jax.jit(update_fn)
+
+        def step(params, opt_state):
+            flat = flatten_hva_params(params)
+            psi = fwd(flat)
+            energy = energy_fn(psi)
+            grads = adj_fn(psi, cot_fn(psi), flat)
+            sz, s2, fid = metrics_jit(psi)
+            params, opt_state, gnorm = update_jit(flat, grads, params, opt_state)
+            return params, opt_state, energy, sz, s2, fid, gnorm
+
+        return step
+
     def _build_step(self):
         obs = self.problem.observables
         gs_reim = self._gs_reim
+
+        if self.circuit_mode == "split":
+            return self._build_step_split()
 
         if self.circuit_mode == "compiled":
             from ..engine.compiled import CompiledCircuit
