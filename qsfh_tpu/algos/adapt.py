@@ -29,7 +29,7 @@ transforms to real space, exactly like the reference circuit
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -452,7 +452,7 @@ class ADAPT:
         return jax.jit(step)
 
     def run(self):
-        from ..utils.profiling import PhaseTimer, xla_trace
+        from ..utils.profiling import PhaseTimer
 
         timer = PhaseTimer()
         self.timer = timer

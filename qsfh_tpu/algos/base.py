@@ -9,8 +9,6 @@ caching -- e.g. ``/root/reference/models/hva.py:147-245`` duplicated at
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

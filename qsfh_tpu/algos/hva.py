@@ -15,7 +15,7 @@ its degenerate-subspace variant ``hva_for_3x3.py``:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ first thing configured; handled here before any driver import).
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import sys
 
 
 def _add_lattice_args(p: argparse.ArgumentParser):

@@ -9,7 +9,7 @@ time, and only rotation angles are traced.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import numpy as np
 from ..ops.fermion import FermionOperator
 from ..ops.givens import Plan
 from ..ops.jw import jordan_wigner
-from ..ops.pauli import PauliSum
 from . import gates
 from .state import basis_state, const_complex as state_const_complex
 

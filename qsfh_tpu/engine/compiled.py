@@ -26,14 +26,13 @@ Circuit programs reuse the op format of :mod:`qsfh_tpu.grad.adjoint`:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .gates import _xor_flip, givens_plan_matrix, static_rz_layer_phases
+from .gates import _xor_flip, static_rz_layer_phases
 from .state import const_complex, index_bits, qmask_to_bmask, real_dtype
 
 

@@ -21,14 +21,14 @@ TPU-first redesign of the reference's measurement path:
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pauli import PauliSum
-from .gates import _xor_flip, apply_pauli_string
+from .gates import _xor_flip
 from .state import const_complex, index_bits, parity_signs, qmask_to_bmask, real_dtype
 
 # threshold above which an x-group switches from unrolled to vmapped-z

@@ -21,7 +21,6 @@ shapes and static transposes only.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax
@@ -31,7 +30,6 @@ import numpy as np
 from .state import (
     bitpos,
     const_complex,
-    index_bits,
     parity_signs,
     qmask_to_bmask,
     real_dtype,

@@ -8,7 +8,6 @@ the reference stack's OpenFermion/PennyLane indexing
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

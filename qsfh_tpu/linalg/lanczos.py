@@ -25,7 +25,7 @@ import numpy as np
 
 from ..engine.expectation import Observable
 from ..ops.pauli import PauliSum
-from .sectors import jw_number_spin_indices, random_sector_state, sector_dimension
+from .sectors import jw_number_spin_indices, sector_dimension
 
 
 def _sector_matvec(hamiltonian: PauliSum, n_qubits, n_electrons, spin_up, spin_down, dtype):

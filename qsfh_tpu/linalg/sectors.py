@@ -17,7 +17,6 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..engine.state import index_bits, qmask_to_bmask
 

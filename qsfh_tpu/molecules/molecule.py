@@ -17,7 +17,6 @@ beta; the molecular Hamiltonian is
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np

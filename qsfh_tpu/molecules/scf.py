@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
-import scipy.linalg
 
 
 def restricted_hartree_fock(

@@ -19,7 +19,7 @@ Conventions (matching OpenFermion so that energies agree bit-for-bit):
 from __future__ import annotations
 
 import numbers
-from typing import Dict, Iterable, Tuple
+from typing import Dict, Tuple
 
 Term = Tuple[Tuple[int, int], ...]
 

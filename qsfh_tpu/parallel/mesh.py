@@ -13,7 +13,7 @@ collectives -- no hand-written NCCL-style exchange.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

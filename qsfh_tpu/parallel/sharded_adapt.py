@@ -16,12 +16,9 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..algos.base import HubbardProblem
-from ..ops.jw import jordan_wigner
-from .mesh import AMP_AXIS
 from .shmap_engine import ShardedPauliEngine
 
 

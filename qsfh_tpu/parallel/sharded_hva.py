@@ -11,7 +11,6 @@ all-reduces.  Compare SURVEY.md §2.3 / §5.7-5.8.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +20,7 @@ from ..algos.base import HubbardProblem
 from ..algos.hva import hva_circuit
 from ..engine.circuits import slater_prep_reim
 from ..engine.state import from_reim
-from .mesh import amp_sharding, constrain_amp, replicated, shard_statevector
+from .mesh import amp_sharding, constrain_amp, replicated
 
 
 def build_sharded_hva_step(

@@ -25,8 +25,6 @@ against it in tests/test_shmap_engine.py on the virtual 8-device mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
