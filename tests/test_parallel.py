@@ -134,3 +134,31 @@ class TestShardedHVA:
         with mesh:
             got = float(jax.jit(problem.observables["H"].expectation)(psi_sharded))
         np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+class TestShardedPoolScreening:
+    def test_matches_screen_scan(self, problem):
+        """Pool-parallel screening (terms sharded over the mesh) equals the
+        single-device batched screening."""
+        import jax.numpy as jnp
+        from qsfh_tpu.engine.expectation import PackedPool
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+        from qsfh_tpu.parallel.pool_screening import build_sharded_pool_screen
+
+        n = problem.n_qubits
+        pool_ops = [jordan_wigner(g) for g in hubbard_interaction_pool_simplified(2, 3)]
+        pool = PackedPool(pool_ops, n)
+        mesh = amplitude_mesh(8)
+        key = jax.random.PRNGKey(3)
+        psi = jax.random.normal(key, (1 << n,), dtype=jnp.float64) + 1j * jax.random.normal(
+            jax.random.PRNGKey(4), (1 << n,), dtype=jnp.float64
+        )
+        psi = (psi / jnp.linalg.norm(psi)).astype(jnp.complex128)
+        w = problem.observables["H"].apply(psi)
+
+        expected = np.asarray(pool.screen_scan(psi, w))
+        with mesh:
+            got = np.asarray(build_sharded_pool_screen(pool, mesh)(psi, w))
+        assert expected.shape == got.shape == (pool.size,)
+        np.testing.assert_allclose(got, expected, atol=1e-10)
