@@ -49,6 +49,17 @@ def measure(backend: str) -> dict:
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent local compilation cache: one successful remote compile
+        # (in any healthy window) makes later runs independent of the flaky
+        # compile service
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
 
     import jax.numpy as jnp
     import optax
@@ -85,14 +96,29 @@ def measure(backend: str) -> dict:
     vqe.params_t = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
 
     optimizer = optax.adam(1e-2)
-    opt_state = optimizer.init(vqe.params_t)
-    step = vqe._build_step(indices, optimizer)
-
-    params, state = vqe.params_t, opt_state
-    for w in range(WARMUP):
-        params, state, e, sz, s2, fid, gn = step(params, state)
-        float(e)
-        _log(f"warmup {w} done (first includes compile)")
+    step = None
+    ok = False
+    for attempt in range(3):
+        try:
+            if attempt:
+                time.sleep(20)
+                # fresh salt -> fresh program hashes (jax caches in-process
+                # compile FAILURES per callable; the remote service may cache
+                # them per HLO)
+                vqe.program_salt = (attempt + 1) * 3e-7 + vqe.program_salt
+            step = vqe._build_step(indices, optimizer)
+            params = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
+            state = optimizer.init(params)
+            for w in range(WARMUP):
+                params, state, e, sz, s2, fid, gn = step(params, state)
+                float(e)
+                _log(f"warmup {w} done (first includes compile)")
+            ok = True
+            break
+        except Exception as exc:  # transient remote-compile failures
+            _log(f"warmup attempt {attempt} failed: {type(exc).__name__}; retrying")
+    if not ok:
+        raise RuntimeError("warmup failed after retries")
 
     times = []
     for _ in range(ITERS):

@@ -361,8 +361,10 @@ class ADAPT:
         )
 
         def metrics_fn(psi):
-            sz = obs["Sz"].expectation(psi)
-            s2 = obs["S^2"].expectation(psi)
+            # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the
+            # unrolled expectation exceeds the remote compile ceiling
+            sz = obs["Sz"].expectation_scan(psi)
+            s2 = obs["S^2"].expectation_scan(psi)
             gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
             if len(gs_states) > 1:
                 fid = subspace_fidelity(psi, gs_states)
