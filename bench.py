@@ -102,10 +102,10 @@ def measure(backend: str) -> dict:
         try:
             if attempt:
                 time.sleep(20)
-                # fresh salt -> fresh program hashes (jax caches in-process
-                # compile FAILURES per callable; the remote service may cache
-                # them per HLO)
-                vqe.program_salt = (attempt + 1) * 3e-7 + vqe.program_salt
+            # rebuild the step: jax caches in-process compile failures per
+            # callable; fresh callables re-attempt, and stages that already
+            # compiled are served by the persistent cache, so retries resume
+            # at the first failing stage
             step = vqe._build_step(indices, optimizer)
             params = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
             state = optimizer.init(params)
