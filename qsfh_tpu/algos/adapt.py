@@ -392,6 +392,20 @@ class ADAPT:
             new_thetas, opt_state, gnorm = update_jit(thetas, grads, opt_state)
             return new_thetas, opt_state, energy, sz, s2, fid, gnorm
 
+        # raw (unjitted) stages for granular cache warming (bench --warm-stages):
+        # each can be re-jitted fresh to bypass jax's in-process failure cache
+        step.raw_stages = {
+            "fwd": lambda th: cc.apply(
+                basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype), th
+            ),
+            "energy": obs["H"].expectation_scan,
+            "cotangent": lambda psi: 2.0 * obs["H"].apply_scan(psi),
+            "adjoint": lambda psi, lam, th: run_rot_adjoint(
+                seg, psi, lam, th, self.n_qubits
+            )[2],
+            "metrics": metrics_fn,
+            "update": update_fn,
+        }
         return step
 
     def _build_step(self, indices, optimizer):

@@ -1,0 +1,47 @@
+"""CLI smoke tests (argument plumbing; tiny configs)."""
+
+import json
+import os
+
+import pytest
+
+from qsfh_tpu.cli import main
+
+
+class TestCLI:
+    def test_ed_subcommand(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "ed",
+                "--x-dimension", "2",
+                "--y-dimension", "2",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "ground energy" in out
+        assert "-1.6346" in out  # 2x2 t=1 U=6 half filling
+
+    def test_hva_subcommand_short_run(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "hva",
+                "--n-epoch", "3",
+                "--reps", "2",
+                "--lr", "5e-2",
+                "--no-plot",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        saved = os.listdir(tmp_path / "saved_model")
+        assert any(f.startswith("HVA-2x2") for f in saved)
+        results = json.load(
+            open(tmp_path / "vqe_results" / [f for f in os.listdir(tmp_path / "vqe_results") if f.endswith(".json")][0])
+        )
+        assert len(results["loss"]) == 3
+
+    def test_unknown_molecule_exits(self):
+        with pytest.raises(SystemExit):
+            main(["hea", "--molecule", "Unobtainium"])
