@@ -162,3 +162,31 @@ class TestShardedPoolScreening:
             got = np.asarray(build_sharded_pool_screen(pool, mesh)(psi, w))
         assert expected.shape == got.shape == (pool.size,)
         np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+@pytest.mark.slow
+class TestBeyondReferenceScale:
+    def test_20_qubit_sharded_adapt_step(self):
+        """A 2x5 (20-qubit) fully sharded ADAPT train step -- beyond the
+        reference's 18-qubit ceiling (its backend switch at 20 qubits
+        required a CUDA GPU, adapt_vqe.py:299-304)."""
+        import jax.numpy as jnp
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+        from qsfh_tpu.parallel.sharded_adapt import build_sharded_adapt_step
+
+        p = HubbardProblem(2, 5, 1.0, 6.0, 10, 5, 5)
+        assert p.n_qubits == 20
+        pool = hubbard_interaction_pool_simplified(2, 5)[:6]
+        pool_rot = [jordan_wigner(g).rotation_terms() for g in pool]
+        mesh = amplitude_mesh(8)
+        with mesh:
+            step, th0, st0 = build_sharded_adapt_step(
+                p, pool_rot, [0, 1, 2, 3], mesh, dtype=jnp.complex64, lr=1e-2
+            )
+            th, st, e, gn = step(
+                jnp.asarray([0.1, 0.05, -0.05, 0.02], jnp.float32), st0
+            )
+        assert np.isfinite(float(e)) and np.isfinite(float(gn))
+        assert float(gn) > 0
