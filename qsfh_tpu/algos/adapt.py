@@ -349,20 +349,32 @@ class ADAPT:
         assert len(cc.segments) == 1 and cc.segments[0].kind == "rot"
         seg = cc.segments[0]
 
-        fwd = jax.jit(
-            lambda th: cc.apply(
-                basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype), th
-            )
-        )
-        energy_fn = jax.jit(obs["H"].expectation_scan)
-        cotangent_fn = jax.jit(lambda psi: 2.0 * obs["H"].apply_scan(psi))
-        adjoint_fn = jax.jit(
-            lambda psi, lam, th: run_rot_adjoint(seg, psi, lam, th, self.n_qubits)[2]
-        )
+        # ALL stage boundaries exchange stacked (2, 2^n) REAL arrays: the
+        # axon backend cannot consume another program's complex output
+        # (complex-free jit ABI, see engine.state)
+        from ..engine.state import to_reim
 
-        def metrics_fn(psi):
+        dt = self.dtype
+
+        def fwd_raw(th):
+            psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
+            return to_reim(cc.apply(psi0, th))
+
+        def energy_raw(psi_r):
+            return obs["H"].expectation_scan(from_reim(psi_r, dt))
+
+        def cotangent_raw(psi_r):
+            return to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
+
+        def adjoint_raw(psi_r, lam_r, th):
+            return run_rot_adjoint(
+                seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th, self.n_qubits
+            )[2]
+
+        def metrics_fn(psi_r):
             # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the
             # unrolled expectation exceeds the remote compile ceiling
+            psi = from_reim(psi_r, dt)
             sz = obs["Sz"].expectation_scan(psi)
             s2 = obs["S^2"].expectation_scan(psi)
             gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
@@ -374,35 +386,34 @@ class ADAPT:
                 fid = jnp.zeros((), dtype=self._rdt)
             return sz, s2, fid
 
-        metrics_jit = jax.jit(metrics_fn)
-
         def update_fn(thetas, grads, opt_state):
             gnorm = jnp.linalg.norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state)
             return optax.apply_updates(thetas, updates), opt_state, gnorm
 
+        fwd = jax.jit(fwd_raw)
+        energy_fn = jax.jit(energy_raw)
+        cotangent_fn = jax.jit(cotangent_raw)
+        adjoint_fn = jax.jit(adjoint_raw)
+        metrics_jit = jax.jit(metrics_fn)
         update_jit = jax.jit(update_fn)
 
         def step(thetas, opt_state):
-            psi = fwd(thetas)
-            energy = energy_fn(psi)
-            lam = cotangent_fn(psi)
-            grads = adjoint_fn(psi, lam, thetas)
-            sz, s2, fid = metrics_jit(psi)
+            psi_r = fwd(thetas)
+            energy = energy_fn(psi_r)
+            lam_r = cotangent_fn(psi_r)
+            grads = adjoint_fn(psi_r, lam_r, thetas)
+            sz, s2, fid = metrics_jit(psi_r)
             new_thetas, opt_state, gnorm = update_jit(thetas, grads, opt_state)
             return new_thetas, opt_state, energy, sz, s2, fid, gnorm
 
         # raw (unjitted) stages for granular cache warming (bench --warm-stages):
         # each can be re-jitted fresh to bypass jax's in-process failure cache
         step.raw_stages = {
-            "fwd": lambda th: cc.apply(
-                basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype), th
-            ),
-            "energy": obs["H"].expectation_scan,
-            "cotangent": lambda psi: 2.0 * obs["H"].apply_scan(psi),
-            "adjoint": lambda psi, lam, th: run_rot_adjoint(
-                seg, psi, lam, th, self.n_qubits
-            )[2],
+            "fwd": fwd_raw,
+            "energy": energy_raw,
+            "cotangent": cotangent_raw,
+            "adjoint": adjoint_raw,
             "metrics": metrics_fn,
             "update": update_fn,
         }

@@ -250,18 +250,29 @@ class HVA:
         n_U = self.reps + 1
         n_v = self.reps * self.Nv
 
-        fwd = jax.jit(
-            lambda th: cc.apply(from_reim(psi0_reim, self.dtype), th)
+        # reim stage boundaries: the axon backend cannot consume another
+        # program's complex output (complex-free jit ABI, engine.state)
+        from ..engine.state import to_reim
+
+        dt = self.dtype
+
+        fwd = jax.jit(lambda th: to_reim(cc.apply(from_reim(psi0_reim, dt), th)))
+        energy_fn = jax.jit(
+            lambda psi_r: obs["H"].expectation_scan(from_reim(psi_r, dt))
         )
-        energy_fn = jax.jit(obs["H"].expectation_scan)
-        cot_fn = jax.jit(lambda psi: 2.0 * obs["H"].apply_scan(psi))
+        cot_fn = jax.jit(
+            lambda psi_r: to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
+        )
         adj_fn = jax.jit(
-            lambda psi, lam, th: run_rot_adjoint(seg, psi, lam, th, self.n_qubits)[2]
+            lambda psi_r, lam_r, th: run_rot_adjoint(
+                seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th, self.n_qubits
+            )[2]
         )
 
-        def metrics_fn(psi):
+        def metrics_fn(psi_r):
             # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the
             # unrolled expectation exceeds the remote compile ceiling
+            psi = from_reim(psi_r, dt)
             sz = obs["Sz"].expectation_scan(psi)
             s2 = obs["S^2"].expectation_scan(psi)
             gs_states = [from_reim(g, psi.dtype) for g in gs_reim]
@@ -290,13 +301,14 @@ class HVA:
 
         def step(params, opt_state):
             flat = flatten_hva_params(params)
-            psi = fwd(flat)
-            energy = energy_fn(psi)
-            grads = adj_fn(psi, cot_fn(psi), flat)
-            sz, s2, fid = metrics_jit(psi)
+            psi_r = fwd(flat)
+            energy = energy_fn(psi_r)
+            grads = adj_fn(psi_r, cot_fn(psi_r), flat)
+            sz, s2, fid = metrics_jit(psi_r)
             params, opt_state, gnorm = update_jit(flat, grads, params, opt_state)
             return params, opt_state, energy, sz, s2, fid, gnorm
 
+        return step
         return step
 
     def _build_step(self):
