@@ -120,11 +120,16 @@ def measure(backend: str) -> dict:
     if not ok:
         raise RuntimeError("warmup failed after retries")
 
+    # NOTE: block_until_ready does NOT synchronize on the tunneled backend
+    # (async futures resolve at dispatch); only a device->host fetch gives an
+    # honest execution boundary. Fetches fail in unhealthy service windows --
+    # then this attempt fails and the caller falls back, rather than ever
+    # reporting dispatch time as execution time.
     times = []
     for _ in range(ITERS):
         t0 = time.time()
         params, state, e, sz, s2, fid, gn = step(params, state)
-        float(e)  # forces full sync each iteration
+        float(e)  # forces a real sync each iteration
         times.append(time.time() - t0)
         _log(f"iter {len(times)}: {times[-1] * 1e3:.1f} ms")
     sec_per_iter = float(np.median(times))
