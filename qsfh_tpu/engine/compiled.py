@@ -252,6 +252,22 @@ def lower_program(ops: Sequence[tuple], n: int) -> List[Segment]:
 
 
 def _rot_body(n, rdt):
+    # opt-in pallas lowering: the whole rotation (XOR gather, parity signs,
+    # string phase, cos/sin combine) as ONE VMEM-resident kernel pass
+    # instead of n conditional flips (engine.pallas_kernels)
+    from .pallas_kernels import LANE_BITS, pallas_enabled
+
+    if pallas_enabled() and n >= LANE_BITS and rdt == jnp.float32:
+        from .pallas_kernels import pauli_rotation_pallas
+
+        def body(psi, term):
+            xb, zb, scale, pidx, phre, phim, thetas = term
+            theta = thetas * scale
+            out = pauli_rotation_pallas(psi, n, xb, zb, theta, phre, phim)
+            return out, None
+
+        return body
+
     idx = index_bits(n)
 
     def body(psi, term):

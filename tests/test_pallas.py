@@ -62,3 +62,27 @@ class TestPauliRotationKernel:
             )
         )
         np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestPallasScanIntegration:
+    def test_rot_scan_with_pallas_body(self, psi, monkeypatch):
+        """QSFH_PALLAS=1 routes the rot-scan body through the fused kernel;
+        results must match the pure-XLA lowering."""
+        import os
+
+        import jax.numpy as jnp
+
+        from qsfh_tpu.engine.compiled import CompiledCircuit
+
+        ops = [
+            ("rot", ((0b11, 0b01, 0.5), ((1 << 9) | 3, (1 << 4), -0.25)), 0),
+            ("rot", ((1 << 9, 1 << 9, 1.0),), 1),
+        ]
+        psi32 = psi.astype(jnp.complex64)
+        th = jnp.asarray([0.3, -0.7], jnp.float32)
+        cc = CompiledCircuit(ops, N)
+        expected = np.asarray(cc.apply(psi32, th))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        cc2 = CompiledCircuit(ops, N)
+        got = np.asarray(jax.jit(cc2.apply)(psi32, th))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
