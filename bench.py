@@ -33,7 +33,7 @@ NX, NY = 3, 3
 N_ANSATZ = 12
 WARMUP = 2
 ITERS = 4
-TPU_TIMEOUT_S = int(os.environ.get("QSFH_BENCH_TPU_TIMEOUT", "300"))
+TPU_TIMEOUT_S = int(os.environ.get("QSFH_BENCH_TPU_TIMEOUT", "240"))
 TPU_ATTEMPTS = int(os.environ.get("QSFH_BENCH_TPU_ATTEMPTS", "2"))
 
 
