@@ -52,6 +52,10 @@ def xor_flip_traced(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     gathers (TPU gathers serialize), no dynamic shapes.
     """
     xb = jnp.asarray(xb, dtype=jnp.uint32)
+    if jax.default_backend() == "cpu":
+        # CPU executes gathers efficiently (TPU serializes them): one pass
+        idx = index_bits(n)
+        return jnp.take(psi, (idx ^ xb).astype(jnp.int32), axis=0)
     if n < _LANE_BITS:
         out = psi
         for p in range(n):
