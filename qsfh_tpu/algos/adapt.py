@@ -518,7 +518,9 @@ class ADAPT:
                     self.params_t, opt_state, e, sz, s2, fid, gnorm = step(
                         self.params_t, opt_state
                     )
-                e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
+                    # the host conversion is the sync point (dispatch is
+                    # async); keep it inside the phase for honest timing
+                    e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
                 self.results["iteration loss"].append(e)
                 self.results["Sz"].append(sz)
                 self.results["S^2"].append(s2)
