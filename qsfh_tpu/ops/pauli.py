@@ -152,6 +152,13 @@ class PauliSum:
         """Merge duplicate (x, z) monomials and drop negligible ones."""
         if len(self) == 0:
             return self
+        if len(self) >= 2048:
+            from .. import native
+
+            merged = native.merge_terms(self.x, self.z, self.c, tol)
+            if merged is not None:
+                self.x, self.z, self.c = merged
+                return self
         order = np.lexsort((self.z, self.x))
         x, z, c = self.x[order], self.z[order], self.c[order]
         new_group = np.empty(len(x), dtype=bool)
