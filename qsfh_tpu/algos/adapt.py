@@ -29,7 +29,7 @@ transforms to real space, exactly like the reference circuit
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +75,7 @@ class ADAPT:
         log_metrics: bool = True,
         pool=None,
         ground_truth: bool = True,
-        adjoint_threshold: int = 20,
+        adjoint_threshold: Optional[int] = None,
         circuit_mode: str = "auto",
         program_salt: float = 0.0,
     ):
@@ -87,9 +87,20 @@ class ADAPT:
         self.max_inner_iterations = max_inner_iterations
         self.plot = plot
         self.dtype = dtype or default_dtype()
-        # adjoint-mode crossover, parity with the reference's backend switch
-        # at 20 qubits (adapt_vqe.py:299-304): above it, gradients come from
-        # the O(1)-memory reverse gate replay instead of backprop
+        # adjoint-mode crossover (the reference switches backends at 20
+        # qubits, adapt_vqe.py:299-304): at/above it, gradients come from the
+        # O(1)-memory reverse gate replay instead of backprop.  Default is
+        # platform-aware: on CPU the adjoint gradient is measured 3-4x faster
+        # at EVERY size (the backprop pass is dominated by statevector
+        # residual traffic), so it is always on; off-CPU the scan/split
+        # lowerings have their own adjoint reverse and keep the reference's
+        # crossover.
+        if adjoint_threshold is None:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            adjoint_threshold = 0 if platform == "cpu" else 20
         self.adjoint_threshold = adjoint_threshold
         # circuit lowering: "unrolled" (fastest steady state, HLO grows with
         # depth) vs "compiled" (lax.scan segments, constant compile size --
