@@ -102,19 +102,15 @@ class ADAPT:
                 platform = "cpu"
             adjoint_threshold = 0 if platform == "cpu" else 20
         self.adjoint_threshold = adjoint_threshold
-        # circuit lowering: "unrolled" (fastest steady state, HLO grows with
-        # depth) vs "compiled" (lax.scan segments, constant compile size --
-        # required on remote TPU backends whose compile service cannot
-        # digest multi-thousand-equation programs). "auto" picks compiled
-        # off-CPU.
+        # circuit lowering: "split" (separately jitted single-scan stages +
+        # adjoint reverse scan) vs "unrolled" (straight-line HLO + backprop)
+        # vs "compiled" (one scan program).  "auto" picks split everywhere:
+        # measured on CPU it is faster at every size (0.6/8.6/1286 ms/iter at
+        # 8/12/18 qubits vs 1.8/31/2640 unrolled) and compiles 5-10x faster;
+        # on remote TPU backends its constant-size programs are the only form
+        # the ~100 s compile-service ceiling digests.
         if circuit_mode == "auto":
-            try:
-                platform = jax.devices()[0].platform
-            except Exception:
-                platform = "cpu"
-            # off-CPU: "split" -- separately jitted single-scan programs
-            # (the remote compile service rejects long compilations)
-            circuit_mode = "split" if platform != "cpu" else "unrolled"
+            circuit_mode = "split"
         self.circuit_mode = circuit_mode
         # a tiny static Z-rotation appended to compiled programs; changing it
         # changes the program hash, which evicts cached-failure entries in

