@@ -106,3 +106,30 @@ class TestTraining:
             np.asarray(reloaded.params_t), np.asarray(vqe.params_t)
         )
         assert reloaded.results["epoch loss"] == vqe.results["epoch loss"]
+
+
+class TestLoweringDefaults:
+    def test_auto_resolves_to_split_and_platform_adjoint(self):
+        import jax as _jax
+
+        from qsfh_tpu.algos.adapt import ADAPT as _ADAPT
+
+        vqe = _ADAPT(
+            n_epoch=0, threshold1=1e-2, threshold2=1e-2,
+            x_dimension=2, y_dimension=2, n_electrons=4, n_spin_up=2,
+            n_spin_down=2, tunneling=1.0, coulomb=6.0,
+            ground_truth=False, plot=False, log_metrics=False,
+        )
+        assert vqe.circuit_mode == "split"
+        platform = _jax.devices()[0].platform
+        assert vqe.adjoint_threshold == (0 if platform == "cpu" else 20)
+        # explicit overrides still win
+        vqe2 = _ADAPT(
+            n_epoch=0, threshold1=1e-2, threshold2=1e-2,
+            x_dimension=2, y_dimension=2, n_electrons=4, n_spin_up=2,
+            n_spin_down=2, tunneling=1.0, coulomb=6.0,
+            ground_truth=False, plot=False, log_metrics=False,
+            circuit_mode="unrolled", adjoint_threshold=20,
+        )
+        assert vqe2.circuit_mode == "unrolled"
+        assert vqe2.adjoint_threshold == 20
