@@ -24,7 +24,7 @@ import optax
 
 from ..engine.circuits import slater_prep_reim
 from ..engine.gates import diagonal_rotation, generator_rotation
-from ..engine.state import from_reim, to_reim_host, fidelity as state_fidelity, subspace_fidelity
+from ..engine.state import from_reim, real_dtype, to_reim_host, fidelity as state_fidelity, subspace_fidelity
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger, plot_energy_fidelity
 from .base import HubbardProblem, default_dtype
@@ -280,7 +280,7 @@ class HVA:
             elif len(gs_states) == 1:
                 fid = state_fidelity(psi, gs_states[0])
             else:
-                fid = jnp.zeros((), dtype=jnp.zeros((), dt).real.dtype)
+                fid = jnp.zeros((), dtype=real_dtype(dt))
             return sz, s2, fid
 
         metrics_jit = jax.jit(metrics_fn)

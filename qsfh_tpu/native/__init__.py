@@ -28,21 +28,33 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++",
-        "-O3",
-        "-std=c++17",
-        "-shared",
-        "-fPIC",
-        "-o",
-        _SO,
-        _SRC,
-    ]
+    # compile to a temp path and rename into place: atomic for concurrent
+    # starters and never truncates a .so another process has already mapped
+    tmp = _SO + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        proc = subprocess.run(cmd, capture_output=True, timeout=120, text=True)
+        if proc.returncode != 0:
+            import warnings
+
+            warnings.warn(
+                "qsfh_tpu.native: g++ build failed, falling back to numpy "
+                f"paths:\n{proc.stderr[-2000:]}"
+            )
+            return False
+        os.replace(tmp, _SO)
         return True
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(f"qsfh_tpu.native: build unavailable ({e}); numpy fallback")
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():

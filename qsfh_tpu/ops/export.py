@@ -68,6 +68,11 @@ def process_pauli_strings(
     strings: List[Tuple[List[str], List[int]]] = []
     coeffs: List[float] = []
     for letters, idx, c in to_sparse_list(op):
+        if not idx:
+            # identity: a global phase no rotation can express; skipped, like
+            # rotation_terms()/Trotterize_generator (the reference's qiskit
+            # path would emit a 0-qubit circuit here)
+            continue
         strings.append((list(letters), idx))
         coeffs.append(float((c * 2j).real))
     return strings, coeffs
@@ -112,14 +117,34 @@ def generator_rotation_gates(theta: float, generator: PauliSum) -> List[Gate]:
     The export analog of the drivers' ``Trotterize_generator``
     (models/hva.py:84-95): one ``pauli_rotation_gates`` block per non-identity
     term with angle ``2 * theta * Re(coeff)`` — identical unitary to the
-    engine's fused ``generator_rotation`` over ``rotation_terms()``.
+    engine's fused ``generator_rotation``, guaranteed by consuming the SAME
+    ``rotation_terms()`` list the engine does.
     """
     ops: List[Gate] = []
-    for letters, wires, c in to_sparse_list(generator):
-        if not wires or abs(c.real) <= 1e-12:
-            continue  # identity / imaginary part skipped (reference parity)
-        ops.extend(pauli_rotation_gates(2.0 * theta * c.real, (list(letters), wires)))
+    for x, z, scale in generator.rotation_terms():
+        letters, wires = _mask_string(x, z)
+        ops.extend(pauli_rotation_gates(2.0 * theta * scale, (letters, wires)))
     return ops
+
+
+def _mask_string(x: int, z: int) -> Tuple[List[str], List[int]]:
+    """Packed (x, z) masks -> (pauli letters, qubit indices), Y-string form."""
+    letters: List[str] = []
+    wires: List[int] = []
+    q = 0
+    m = x | z
+    while m >> q:
+        bx, bz = (x >> q) & 1, (z >> q) & 1
+        if bx and bz:
+            letters.append("Y")
+        elif bx:
+            letters.append("X")
+        elif bz:
+            letters.append("Z")
+        if bx or bz:
+            wires.append(q)
+        q += 1
+    return letters, wires
 
 
 def to_qasm2(ops: Sequence[Gate], n_qubits: int) -> str:
@@ -133,7 +158,7 @@ def to_qasm2(ops: Sequence[Gate], n_qubits: int) -> str:
         if name == "cx":
             lines.append(f"cx q[{wires[0]}],q[{wires[1]}];")
         elif name in ("rx", "ry", "rz"):
-            lines.append(f"{name}({param!r}) q[{wires[0]}];")
+            lines.append(f"{name}({float(param)!r}) q[{wires[0]}];")
         else:
             raise ValueError(f"unknown gate: {name}")
     return "\n".join(lines) + "\n"
