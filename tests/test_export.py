@@ -120,3 +120,22 @@ class TestQasm:
         assert "qreg q[2];" in qasm
         assert qasm.count("cx q[0],q[1];") == 2
         assert "rz(0.5) q[1];" in qasm
+
+
+class TestReviewFixes:
+    def test_process_pauli_strings_skips_identity(self):
+        op = qubit_operator("", 0.7j) + qubit_operator("X0 Y1", 0.3j)
+        strings, coeffs = export.process_pauli_strings(op)
+        assert strings == [(["X", "Y"], [0, 1])]
+        np.testing.assert_allclose(coeffs, [-0.6])
+
+    def test_qasm_coerces_numpy_angles(self):
+        plan = [("rz", (0,), np.float64(0.5)), ("cx", (0, 1), 0.0)]
+        qasm = export.to_qasm2(plan, 2)
+        assert "rz(0.5) q[0];" in qasm
+        assert "np.float64" not in qasm
+
+    def test_generator_plan_skips_identity_and_imag_terms(self):
+        # identity + purely imaginary string coeff: both produce no gates
+        op = qubit_operator("", 2.0) + qubit_operator("Z0", 1e-15)
+        assert export.generator_rotation_gates(0.5, op) == []
