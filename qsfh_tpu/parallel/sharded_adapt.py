@@ -29,12 +29,23 @@ def build_sharded_adapt_step(
     mesh,
     dtype=jnp.complex64,
     lr: float = 1e-2,
+    gradient: str = "adjoint",
 ):
     """Return (step_fn, thetas0, opt_state0) for the sharded ADAPT step.
 
     ``pool_rot``: rotation_terms() per pool generator; ``selected``: pool
     indices forming the current ansatz (k-space, before the FT network,
     matching /root/reference/models/adapt_vqe.py:325-354).
+
+    ``gradient="adjoint"`` (default) computes the gradient by reverse gate
+    replay INSIDE the shard_map region -- three live sharded vectors (psi,
+    H psi, the peeled state) regardless of depth.  This is what makes the
+    32-qubit target feasible: plain backprop ("backprop") stores one
+    2^n-amplitude residual per gate, i.e. hundreds of multi-GiB buffers at
+    4x4, while the adjoint path stays O(1) in circuit depth (the sharded
+    analog of qsfh_tpu/grad/adjoint.py, replacing the reference's
+    Lightning-GPU C++ adjoint engine at >= 20 qubits,
+    /root/reference/models/adapt_vqe.py:299-304).
     """
     p = problem
     engine = ShardedPauliEngine(p.n_qubits, mesh)
@@ -43,6 +54,12 @@ def build_sharded_adapt_step(
     obs_op = p.qubit_hamiltonian
     rdt = jnp.zeros((), dtype).real.dtype
 
+    from jax import shard_map
+    from jax.lax import psum
+    from jax.sharding import PartitionSpec as P
+
+    from .shmap_engine import AMP_AXIS
+
     def local_loss(thetas):
         psi = engine.basis_state_local(occupied, dtype=dtype)
         for slot, rot in enumerate(rots):
@@ -50,18 +67,48 @@ def build_sharded_adapt_step(
         psi = engine.givens_network_local(psi, p.diagonal, p.decomposition)
         return engine.expectation_local(psi, obs_op)
 
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    sharded_loss = shard_map(
-        local_loss, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
-    )
+    def local_value_and_grad(thetas):
+        # forward
+        psi = engine.basis_state_local(occupied, dtype=dtype)
+        for slot, rot in enumerate(rots):
+            psi = engine.generator_rotation_local(psi, rot, thetas[slot])
+        psi = engine.givens_network_local(psi, p.diagonal, p.decomposition)
+        # energy + analytic cotangent w = 2 H|psi> in one H application
+        hpsi = engine.apply_paulisum_local(psi, obs_op)
+        energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
+        lam = 2.0 * hpsi
+        # reverse replay: peel the constant FT network off both vectors
+        psi = engine.givens_network_inverse_local(psi, p.diagonal, p.decomposition)
+        lam = engine.givens_network_inverse_local(lam, p.diagonal, p.decomposition)
+        grads = jnp.zeros(len(rots), dtype=rdt)
+        for slot in range(len(rots) - 1, -1, -1):
+            rot = rots[slot]
+            gpsi = engine.apply_generator_local(psi, rot)
+            g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
+            grads = grads.at[slot].set(g)
+            psi = engine.generator_rotation_local(psi, rot, -thetas[slot])
+            lam = engine.generator_rotation_local(lam, rot, -thetas[slot])
+        return energy, grads
 
     optimizer = optax.adam(lr)
     thetas0 = jnp.zeros(len(rots), dtype=rdt)
     opt_state0 = optimizer.init(thetas0)
 
-    grad_fn = jax.value_and_grad(sharded_loss)
+    if gradient == "adjoint":
+        grad_fn = shard_map(
+            local_value_and_grad,
+            mesh=mesh,
+            in_specs=(P(),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    elif gradient == "backprop":
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+        )
+        grad_fn = jax.value_and_grad(sharded_loss)
+    else:
+        raise ValueError(f"unknown gradient mode: {gradient!r}")
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(thetas, opt_state):

@@ -121,6 +121,22 @@ class ShardedPauliEngine:
             psi_l = self.pauli_rotation_local(psi_l, x, z, theta * scale)
         return psi_l
 
+    def apply_paulisum_local(self, psi_l, op) -> jnp.ndarray:
+        """op|psi> on the local shard (op: PauliSum, packed coeffs)."""
+        out = jnp.zeros_like(psi_l)
+        for x, z, c in zip(op.x, op.z, op.c):
+            x, z = int(x), int(z)
+            coeff = const_complex(complex(c) * _string_phase(x, z), psi_l.dtype)
+            out = out + coeff * self.apply_pauli_local(psi_l, x, z)
+        return out
+
+    def apply_generator_local(self, psi_l, rot_terms) -> jnp.ndarray:
+        """G|psi> for G = sum scale * P (rotation_terms form; all real)."""
+        out = jnp.zeros_like(psi_l)
+        for (x, z, scale) in rot_terms:
+            out = out + scale * self.apply_pauli_local(psi_l, x, z)
+        return out
+
     def expectation_local(self, psi_l, op) -> jnp.ndarray:
         """Per-shard partial of Re<psi|op|psi>; psum at the end."""
         rdt = real_dtype(psi_l.dtype)
@@ -232,6 +248,21 @@ class ShardedPauliEngine:
                     M = givens_plan_matrix(float(theta), float(phi))
                     psi_l = self.apply_two_qubit_local(psi_l, M, i, j)
         return psi_l
+
+    def givens_network_inverse_local(self, psi_l, diagonal, decomposition):
+        """Exact inverse of :meth:`givens_network_local` (for adjoint replay)."""
+        from ..engine.gates import givens_plan_matrix
+
+        for parallel_ops in decomposition:
+            for op in reversed(parallel_ops):
+                if op == "pht":
+                    psi_l = self.apply_pauli_local(psi_l, 1 << (self.n - 1), 0)
+                else:
+                    i, j, theta, phi = op
+                    M = givens_plan_matrix(float(theta), float(phi)).conj().T
+                    psi_l = self.apply_two_qubit_local(psi_l, M, i, j)
+        angles = [-float(np.angle(diagonal[i])) for i in range(self.n)]
+        return self.rz_layer_local(psi_l, angles)
 
     def basis_state_local(self, occupied_qubits, dtype=jnp.complex64):
         """Computational basis state, built per shard (no host constant)."""
