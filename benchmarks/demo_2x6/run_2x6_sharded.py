@@ -68,7 +68,7 @@ def main():
 
     energies = [e]
     t0 = time.time()
-    n_steps = 5
+    n_steps = 2
     with mesh:
         for _ in range(n_steps):
             thetas, opt, e, gn = step(thetas, opt)

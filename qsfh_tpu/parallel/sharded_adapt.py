@@ -92,7 +92,13 @@ def build_sharded_adapt_step(
 
     optimizer = optax.adam(lr)
     thetas0 = jnp.zeros(len(rots), dtype=rdt)
-    opt_state0 = optimizer.init(thetas0)
+    # pre-place on the replicated mesh sharding so the FIRST step call has
+    # the same input sharding as every later one (the step returns
+    # mesh-replicated outputs; without this the second call recompiles)
+    from .mesh import replicated
+
+    thetas0 = jax.device_put(thetas0, replicated(mesh))
+    opt_state0 = jax.device_put(optimizer.init(thetas0), replicated(mesh))
 
     if gradient == "adjoint":
         grad_fn = shard_map(
