@@ -84,7 +84,7 @@ def main():
         "compile_plus_first_s": round(compile_s, 1),
         "steady_state_s_per_step": round(per_step, 2),
         "energy_first": energies[0],
-        "energy_after_6_steps": energies[-1],
+        "energy_after_steps": energies[-1],
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "result.json"), "w") as f:

@@ -30,6 +30,7 @@ def build_sharded_adapt_step(
     dtype=jnp.complex64,
     lr: float = 1e-2,
     gradient: str = "adjoint",
+    lowering: str = "scan",
 ):
     """Return (step_fn, thetas0, opt_state0) for the sharded ADAPT step.
 
@@ -60,34 +61,70 @@ def build_sharded_adapt_step(
 
     from .shmap_engine import AMP_AXIS
 
+    if lowering == "scan":
+        from .sharded_compiled import (
+            ShardedGivensNetwork,
+            apply_generator_scan,
+            generator_rotation_scan,
+            generator_rotation_scan_inverse,
+            pack_generator,
+        )
+
+        packed = [pack_generator(engine, rot) for rot in rots]
+        network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+        fwd_rot = lambda psi, slot, th: generator_rotation_scan(
+            engine, psi, packed[slot], th
+        )
+        inv_rot = lambda psi, slot, th: generator_rotation_scan_inverse(
+            engine, psi, packed[slot], th
+        )
+        gen_apply = lambda psi, slot: apply_generator_scan(engine, psi, packed[slot])
+        net_fwd = lambda psi: network.apply(psi)
+        net_inv = lambda psi: network.apply(psi, inverse=True)
+    elif lowering == "unrolled":
+        fwd_rot = lambda psi, slot, th: engine.generator_rotation_local(
+            psi, rots[slot], th
+        )
+        inv_rot = lambda psi, slot, th: engine.generator_rotation_local(
+            psi, rots[slot], -th
+        )
+        gen_apply = lambda psi, slot: engine.apply_generator_local(psi, rots[slot])
+        net_fwd = lambda psi: engine.givens_network_local(
+            psi, p.diagonal, p.decomposition
+        )
+        net_inv = lambda psi: engine.givens_network_inverse_local(
+            psi, p.diagonal, p.decomposition
+        )
+    else:
+        raise ValueError(f"unknown lowering: {lowering!r}")
+
     def local_loss(thetas):
         psi = engine.basis_state_local(occupied, dtype=dtype)
-        for slot, rot in enumerate(rots):
-            psi = engine.generator_rotation_local(psi, rot, thetas[slot])
-        psi = engine.givens_network_local(psi, p.diagonal, p.decomposition)
+        for slot in range(len(rots)):
+            psi = fwd_rot(psi, slot, thetas[slot])
+        psi = net_fwd(psi)
         return engine.expectation_local(psi, obs_op)
 
     def local_value_and_grad(thetas):
         # forward
         psi = engine.basis_state_local(occupied, dtype=dtype)
-        for slot, rot in enumerate(rots):
-            psi = engine.generator_rotation_local(psi, rot, thetas[slot])
-        psi = engine.givens_network_local(psi, p.diagonal, p.decomposition)
+        for slot in range(len(rots)):
+            psi = fwd_rot(psi, slot, thetas[slot])
+        psi = net_fwd(psi)
         # energy + analytic cotangent w = 2 H|psi> in one H application
         hpsi = engine.apply_paulisum_local(psi, obs_op)
         energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
         lam = 2.0 * hpsi
         # reverse replay: peel the constant FT network off both vectors
-        psi = engine.givens_network_inverse_local(psi, p.diagonal, p.decomposition)
-        lam = engine.givens_network_inverse_local(lam, p.diagonal, p.decomposition)
+        psi = net_inv(psi)
+        lam = net_inv(lam)
         grads = jnp.zeros(len(rots), dtype=rdt)
         for slot in range(len(rots) - 1, -1, -1):
-            rot = rots[slot]
-            gpsi = engine.apply_generator_local(psi, rot)
+            gpsi = gen_apply(psi, slot)
             g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
             grads = grads.at[slot].set(g)
-            psi = engine.generator_rotation_local(psi, rot, -thetas[slot])
-            lam = engine.generator_rotation_local(lam, rot, -thetas[slot])
+            psi = inv_rot(psi, slot, thetas[slot])
+            lam = inv_rot(lam, slot, thetas[slot])
         return energy, grads
 
     optimizer = optax.adam(lr)

@@ -1,0 +1,249 @@
+"""Scan-compiled lowering for the sharded engine: constant-size programs.
+
+The unrolled sharded ADAPT step (one op per gate, ~400 collective-bearing
+ops at 24 qubits) compiles for ~35 minutes on the virtual CPU mesh and
+would blow straight through a real TPU compile service's ~100 s ceiling at
+4x4 = 32 qubits.  This module shrinks the program to O(#generators +
+#cross-shard gates) scan segments:
+
+* **Generator rotations scan.**  Every JW string of one scattering
+  generator i(c†c†cc − h.c.) flips the SAME set of modes — the packed
+  x-mask is identical across its terms, only the z-mask varies.  So a
+  generator lowers to ONE ``lax.scan`` whose body does a STATIC flip
+  (local XOR + at most one static-partner collective permute) and
+  traced z-parity signs — compile size O(1) per generator, runtime
+  identical to the unrolled form.
+* **Givens-network scan.**  Plan gates whose two wires are both
+  shard-local (the vast majority: cross-shard gates touch only the k
+  sharded qubits) batch into homogeneous u4 scans with traced single-bit
+  masks (reusing the single-chip scan body on the local shard); the few
+  cross-shard gates stay unrolled with static ppermutes, preserving
+  execution order.
+
+Everything supports exact inverse execution (reverse order, negated
+angles / conjugate-transposed gates) for the O(1)-memory adjoint gradient.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.compiled import _u4_body, xor_flip_traced
+from ..engine.gates import givens_plan_matrix
+from ..engine.state import const_complex, real_dtype
+from .shmap_engine import AMP_AXIS, ShardedPauliEngine, _split_mask_flat, _xor_ppermute
+
+
+# -- generator rotation scans -----------------------------------------------------
+
+
+def pack_generator(engine: ShardedPauliEngine, rot_terms) -> List[tuple]:
+    """Group a generator's (x, z, scale) terms by their (shared) x-mask.
+
+    Returns [(x_qmask, zb_flat[], scale[], phre[], phim[])]; almost always a
+    single group (see module docstring).
+    """
+    groups = {}
+    for (x, z, scale) in rot_terms:
+        groups.setdefault(int(x), []).append((int(z), float(scale)))
+    out = []
+    for x, terms in groups.items():
+        zbs, scales, phre, phim = [], [], [], []
+        for (z, scale) in terms:
+            zbs.append(engine._flat(z))
+            scales.append(scale)
+            ph = (-1j) ** (bin(x & z).count("1") % 4)
+            phre.append(ph.real)
+            phim.append(ph.imag)
+        out.append(
+            (
+                x,
+                np.asarray(zbs, np.uint32),
+                np.asarray(scales, np.float64),
+                np.asarray(phre, np.float64),
+                np.asarray(phim, np.float64),
+            )
+        )
+    return out
+
+
+def _static_flip(engine: ShardedPauliEngine, psi_l, x_qmask: int):
+    """psi[b ^ x] for a STATIC qubit mask: local XOR + static ppermute."""
+    xb = engine._flat(x_qmask)
+    x_hi, x_lo = _split_mask_flat(xb, engine.n, engine.k)
+    from ..engine.gates import _xor_flip
+
+    t = _xor_flip(psi_l, engine.n_local, x_lo)
+    return _xor_ppermute(t, x_hi, engine.n_devices)
+
+
+def _z_signs(engine: ShardedPauliEngine, zb, rdt):
+    """(-1)^{z.b} for a TRACED flat z-mask: local parity x device parity."""
+    idx = jax.lax.iota(jnp.uint32, 1 << engine.n_local)
+    z_lo = (zb & jnp.uint32((1 << engine.n_local) - 1)).astype(jnp.uint32)
+    z_hi = (zb >> jnp.uint32(engine.n_local)).astype(jnp.uint32)
+    par_lo = jax.lax.population_count(idx & z_lo) & jnp.uint32(1)
+    d = jax.lax.axis_index(AMP_AXIS).astype(jnp.uint32)
+    par_hi = jax.lax.population_count(d & z_hi) & jnp.uint32(1)
+    par = (par_lo + par_hi) & jnp.uint32(1)
+    return 1.0 - 2.0 * par.astype(rdt)
+
+
+def generator_rotation_scan(engine, psi_l, packed, theta):
+    """exp(-i theta G)|psi> as one scan per x-group of the generator."""
+    rdt = real_dtype(psi_l.dtype)
+    theta = jnp.asarray(theta, dtype=rdt)
+    for (x, zbs, scales, phre, phim) in packed:
+        def body(psi, term, _x=x):
+            zb, scale, pr, pi = term
+            t = _static_flip(engine, psi, _x)
+            s = _z_signs(engine, zb, rdt)
+            ph = (pr + 1j * pi).astype(psi.dtype)
+            ppsi = ph * s.astype(psi.dtype) * t
+            th = theta * scale.astype(rdt)
+            c = jnp.cos(th).astype(psi.dtype)
+            sn = jnp.sin(th).astype(psi.dtype)
+            return c * psi - 1j * sn * ppsi, None
+
+        xs = (
+            jnp.asarray(zbs),
+            jnp.asarray(scales, rdt),
+            jnp.asarray(phre, rdt),
+            jnp.asarray(phim, rdt),
+        )
+        psi_l, _ = jax.lax.scan(body, psi_l, xs)
+    return psi_l
+
+
+def generator_rotation_scan_inverse(engine, psi_l, packed, theta):
+    """Exact inverse: reversed term order, negated angle."""
+    rdt = real_dtype(psi_l.dtype)
+    return generator_rotation_scan(
+        engine,
+        psi_l,
+        [
+            (x, zbs[::-1].copy(), -scales[::-1], phre[::-1].copy(), phim[::-1].copy())
+            for (x, zbs, scales, phre, phim) in reversed(packed)
+        ],
+        theta,
+    )
+
+
+def apply_generator_scan(engine, psi_l, packed):
+    """G|psi> (the gradient probe) as scans accumulating over terms."""
+    rdt = real_dtype(psi_l.dtype)
+    out = jnp.zeros_like(psi_l)
+    for (x, zbs, scales, phre, phim) in packed:
+        flipped = _static_flip(engine, psi_l, x)
+
+        def body(acc, term):
+            zb, scale, pr, pi = term
+            s = _z_signs(engine, zb, rdt)
+            ph = (pr + 1j * pi).astype(acc.dtype)
+            return acc + scale.astype(rdt) * ph * s.astype(acc.dtype) * flipped, None
+
+        xs = (
+            jnp.asarray(zbs),
+            jnp.asarray(scales, rdt),
+            jnp.asarray(phre, rdt),
+            jnp.asarray(phim, rdt),
+        )
+        out, _ = jax.lax.scan(body, out, xs)
+    return out
+
+
+# -- Givens network ---------------------------------------------------------------
+
+
+class ShardedGivensNetwork:
+    """The Slater/FT Givens network lowered to ordered segments:
+
+    ("rzlayer", angles) | ("u4scan", fa[], fb[], U[T,4,4,2]) |
+    ("u4x", M(4x4 complex), i, j)   [cross-shard, unrolled]
+    """
+
+    def __init__(self, engine: ShardedPauliEngine, diagonal, decomposition):
+        self.engine = engine
+        n, k = engine.n, engine.k
+        segments: List[tuple] = []
+        angles = tuple(float(np.angle(diagonal[i])) for i in range(n))
+        segments.append(("rzlayer", angles))
+
+        buf: List[tuple] = []
+
+        def flush():
+            if not buf:
+                return
+            fa, fb, mats = [], [], []
+            for (M, qa, qb) in buf:
+                Ma = np.asarray(M, dtype=np.complex128)
+                if qa > qb:
+                    Ma = Ma.reshape(2, 2, 2, 2).transpose(1, 0, 3, 2).reshape(4, 4)
+                    qa, qb = qb, qa
+                # local flat bit of qubit q (q >= k): n-1-q < n_local
+                fa.append(1 << (n - 1 - qa))
+                fb.append(1 << (n - 1 - qb))
+                mats.append(np.stack([Ma.real, Ma.imag], axis=-1))
+            segments.append(
+                (
+                    "u4scan",
+                    np.asarray(fa, np.uint32),
+                    np.asarray(fb, np.uint32),
+                    np.asarray(mats, np.float64),
+                )
+            )
+            buf.clear()
+
+        for parallel_ops in reversed(decomposition):
+            for op in parallel_ops:
+                if op == "pht":
+                    q = n - 1
+                    M = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+                    partner = q - 1
+                    lifted = np.kron(np.eye(2), M)  # partner < q
+                    self._emit_gate(segments, buf, flush, lifted, partner, q, k)
+                else:
+                    i, j, theta, phi = op
+                    M = givens_plan_matrix(float(theta), float(phi))
+                    self._emit_gate(segments, buf, flush, M, i, j, k)
+        flush()
+        self.segments = segments
+
+    @staticmethod
+    def _emit_gate(segments, buf, flush, M, i, j, k):
+        if min(i, j) < k:  # touches a sharded qubit
+            flush()
+            segments.append(("u4x", np.asarray(M, np.complex128), i, j))
+        else:
+            buf.append((M, i, j))
+
+    def apply(self, psi_l, inverse: bool = False):
+        engine = self.engine
+        rdt = real_dtype(psi_l.dtype)
+        body = _u4_body(engine.n_local, rdt)
+        seq = self.segments if not inverse else list(reversed(self.segments))
+        for seg in seq:
+            kind = seg[0]
+            if kind == "rzlayer":
+                angles = seg[1] if not inverse else [-a for a in seg[1]]
+                psi_l = engine.rz_layer_local(psi_l, angles)
+            elif kind == "u4scan":
+                fa, fb, U = seg[1], seg[2], seg[3]
+                if inverse:
+                    # conj transpose each gate, reversed order
+                    Uc = U[..., 0] + 1j * U[..., 1]
+                    Uc = np.conj(np.transpose(Uc, (0, 2, 1)))[::-1]
+                    U = np.stack([Uc.real, Uc.imag], axis=-1)
+                    fa, fb = fa[::-1].copy(), fb[::-1].copy()
+                xs = (jnp.asarray(fa), jnp.asarray(fb), jnp.asarray(U, rdt))
+                psi_l, _ = jax.lax.scan(body, psi_l, xs)
+            else:  # u4x
+                M, i, j = seg[1], seg[2], seg[3]
+                if inverse:
+                    M = M.conj().T
+                psi_l = engine.apply_two_qubit_local(psi_l, M, i, j)
+        return psi_l

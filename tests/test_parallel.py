@@ -235,3 +235,46 @@ class TestShardedAdjointGradient:
         mesh = amplitude_mesh(8)
         with pytest.raises(ValueError):
             build_sharded_adapt_step(p, [], [], mesh, gradient="nope")
+
+
+class TestScanLowering:
+    def test_scan_matches_unrolled_bitwise_f64(self):
+        """The constant-size scan lowering (per-generator static-flip scans +
+        Givens u4 scans) is exactly the same computation as the unrolled
+        sharded program -- identical energy/gradient bit patterns at f64."""
+        import jax.numpy as jnp
+        import optax
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+        from qsfh_tpu.parallel.sharded_adapt import build_sharded_adapt_step
+
+        p = HubbardProblem(2, 3, 1.0, 6.0, 6, 3, 3)
+        pool_rot = [
+            jordan_wigner(g).rotation_terms()
+            for g in hubbard_interaction_pool_simplified(2, 3)[:4]
+        ]
+        mesh = amplitude_mesh(8)
+        outs = {}
+        for lowering in ("scan", "unrolled"):
+            with mesh:
+                step, th0, _ = build_sharded_adapt_step(
+                    p, pool_rot, [0, 1, 2, 3], mesh,
+                    dtype=jnp.complex128, lr=1e-2, lowering=lowering,
+                )
+                th = th0 + 0.07
+                st = optax.adam(1e-2).init(th)
+                th2, st, e, gn = step(th, st)
+                outs[lowering] = (np.asarray(th2), float(e), float(gn))
+        a, b = outs["scan"], outs["unrolled"]
+        assert a[1] == b[1]
+        assert a[2] == b[2]
+        assert np.array_equal(a[0], b[0])
+
+    def test_unknown_lowering_raises(self):
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.parallel.sharded_adapt import build_sharded_adapt_step
+
+        p = HubbardProblem(2, 2, 1.0, 6.0, 4, 2, 2)
+        with pytest.raises(ValueError):
+            build_sharded_adapt_step(p, [], [], amplitude_mesh(8), lowering="nope")
