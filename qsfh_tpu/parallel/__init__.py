@@ -8,6 +8,7 @@ from .mesh import (
     shard_statevector,
 )
 from .sharded_hva import build_sharded_hva_step
+from .sharded_hva_shmap import build_sharded_hva_step_shmap
 
 __all__ = [
     "AMP_AXIS",
@@ -18,4 +19,5 @@ __all__ = [
     "replicated",
     "shard_statevector",
     "build_sharded_hva_step",
+    "build_sharded_hva_step_shmap",
 ]

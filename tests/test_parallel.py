@@ -278,3 +278,41 @@ class TestScanLowering:
         p = HubbardProblem(2, 2, 1.0, 6.0, 4, 2, 2)
         with pytest.raises(ValueError):
             build_sharded_adapt_step(p, [], [], amplitude_mesh(8), lowering="nope")
+
+
+class TestShmapHVA:
+    def test_matches_gspmd_step_f64(self):
+        """The explicit shard_map HVA step (scan-lowered, adjoint gradient,
+        no 2^n host Coulomb vector -- the 32-qubit form) matches the GSPMD
+        step at f64."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.parallel import (
+            build_sharded_hva_step,
+            build_sharded_hva_step_shmap,
+        )
+
+        p = HubbardProblem(2, 3, 1.0, 6.0, 6, 3, 3)
+        mesh = amplitude_mesh(8)
+        with mesh:
+            g_step, g_params, _ = build_sharded_hva_step(
+                p, 2, mesh, dtype=jnp.complex128, lr=1e-2
+            )
+            g_params = jax.tree.map(lambda a: a + 0.07, g_params)
+            g_opt = optax.adam(1e-2).init(g_params)
+            gp, _, ge, ggn = g_step(g_params, g_opt)
+        with mesh:
+            s_step, s_params, _ = build_sharded_hva_step_shmap(
+                p, 2, mesh, dtype=jnp.complex128, lr=1e-2
+            )
+            s_params = s_params + 0.07
+            s_opt = optax.adam(1e-2).init(s_params)
+            sp, _, se, sgn = s_step(s_params, s_opt)
+        assert float(ge) == pytest.approx(float(se), abs=1e-12)
+        assert float(ggn) == pytest.approx(float(sgn), abs=1e-10)
+        flat_g = np.concatenate(
+            [np.asarray(gp["theta_U"]), np.asarray(gp["theta_v"]), np.asarray(gp["theta_h"])]
+        )
+        np.testing.assert_allclose(flat_g, np.asarray(sp), atol=1e-12)
