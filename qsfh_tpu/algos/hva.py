@@ -119,6 +119,7 @@ class HVA:
         checkpoint_every: int = 10,
         ground_truth: bool = True,
         circuit_mode: str = "auto",
+        mesh_devices: int = 1,
     ):
         self.n_epoch = n_epoch
         self.reps = reps
@@ -204,6 +205,11 @@ class HVA:
                 "theta_h": jnp.zeros(reps * self.Nh, dtype=rdt),
             }
             self.results = {"loss": [], "Sz": [], "S^2": [], "fidelity": []}
+
+        # multi-chip training: amplitude-shard the statevector over a device
+        # mesh (the capability the reference delegates to a single CUDA GPU,
+        # adapt_vqe.py:299-304; here it is a first-class driver mode)
+        self.mesh_devices = int(mesh_devices)
 
         self.optimizer = optax.adam(lr)
         self._step = self._build_step()
@@ -313,6 +319,28 @@ class HVA:
     def _build_step(self):
         obs = self.problem.observables
         gs_reim = self._gs_reim
+
+        if self.mesh_devices > 1:
+            from ..parallel import amplitude_mesh
+            from ..parallel.sharded_hva_shmap import build_sharded_hva_train_step
+
+            mesh = amplitude_mesh(self.mesh_devices)
+            step, params0, _ = build_sharded_hva_train_step(
+                self.problem,
+                self.reps,
+                mesh,
+                dtype=self.dtype,
+                lr=self.lr,
+                gs_reim=[jnp.asarray(g) for g in gs_reim],
+            )
+            # re-place the driver's params on the mesh so every step call
+            # hits one compiled executable
+            import jax as _jax
+
+            from ..parallel.mesh import replicated
+
+            self.params = _jax.device_put(self.params, replicated(mesh))
+            return step
 
         if self.circuit_mode == "split":
             return self._build_step_split()

@@ -88,6 +88,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--threshold", type=float, default=1e-2)
     p.add_argument("--early-stop", action="store_true")
+    p.add_argument(
+        "--mesh-devices", type=int, default=1,
+        help="amplitude-shard the statevector over this many devices",
+    )
 
     p = sub.add_parser("adapt", help="ADAPT-VQE with pool screening")
     _add_lattice_args(p)
@@ -135,6 +139,7 @@ def main(argv=None):
             degenerate_subspace=args.degenerate_subspace,
             results_root=args.results_root,
             plot=not args.no_plot,
+            mesh_devices=args.mesh_devices,
             **_lattice_kwargs(args),
         )
         vqe.run()

@@ -114,3 +114,126 @@ def build_sharded_hva_step_shmap(
         return params, opt_state, energy, gnorm
 
     return step, params0, opt_state0
+
+
+def build_sharded_hva_train_step(
+    problem: HubbardProblem,
+    reps: int,
+    mesh,
+    dtype=jnp.complex64,
+    lr: float = 1e-2,
+    gs_reim=(),
+    metrics: bool = True,
+):
+    """Driver-grade sharded HVA step: full metric surface.
+
+    Returns (step, params0_dict, opt_state0) with
+    ``step(params_dict, opt) -> (params_dict, opt, e, sz, s2, fid, gnorm)``
+    -- the same 7-tuple as the single-chip ``HVA._build_step`` so the driver
+    loop is lowering-agnostic.  ``gs_reim``: list of stacked-real (2, 2^n)
+    exact ground states for the fidelity probe (sharded over the mesh;
+    subspace projection when more than one, matching hva_for_3x3.py:305-312).
+    """
+    p = problem
+    engine = ShardedPauliEngine(p.n_qubits, mesh)
+    occupied = tuple(p.spin_up_indices + p.spin_down_indices)
+    rdt = jnp.zeros((), dtype).real.dtype
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharded_compiled import (
+        ShardedGivensNetwork,
+        apply_generator_scan,
+        generator_rotation_scan,
+        generator_rotation_scan_inverse,
+        pack_generator,
+    )
+
+    h_gen, v_gen = p.hva_generators()
+    u_rot = jordan_wigner(p.interacting_term).rotation_terms()
+    packed_u = pack_generator(engine, u_rot)
+    packed_v = [pack_generator(engine, g.rotation_terms()) for g in v_gen]
+    packed_h = [pack_generator(engine, g.rotation_terms()) for g in h_gen]
+    Nv, Nh = len(packed_v), len(packed_h)
+    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+    obs = p.observables
+
+    slots = []
+    for rep in range(reps):
+        slots.append((packed_u, rep))
+        for i in range(Nv):
+            slots.append((packed_v[i], (reps + 1) + rep * Nv + i))
+        for i in range(Nh):
+            slots.append((packed_h[i], (reps + 1) + reps * Nv + rep * Nh + i))
+    slots.append((packed_u, reps))
+
+    gs_sharding = NamedSharding(mesh, P(None, AMP_AXIS))
+    gs_args = tuple(jax.device_put(jnp.asarray(g), gs_sharding) for g in gs_reim)
+
+    def local_fn(thetas, *gs_shards):
+        psi = engine.basis_state_local(occupied, dtype=dtype)
+        psi = network.apply(psi)
+        for packed, k in slots:
+            psi = generator_rotation_scan(engine, psi, packed, thetas[k])
+        hpsi = engine.apply_paulisum_local(psi, p.qubit_hamiltonian)
+        energy = jax.lax.psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
+        if metrics:
+            sz = engine.expectation_local(psi, obs["Sz"].op)
+            s2 = engine.expectation_local(psi, obs["S^2"].op)
+        else:
+            sz = jnp.zeros((), rdt)
+            s2 = jnp.zeros((), rdt)
+        fid = jnp.zeros((), rdt)
+        for g in gs_shards:
+            gloc = (g[0] + 1j * g[1]).astype(psi.dtype)
+            ov = jax.lax.psum(jnp.vdot(gloc, psi), AMP_AXIS)
+            fid = fid + (jnp.abs(ov) ** 2).astype(rdt)
+        lam = 2.0 * hpsi
+        grads = jnp.zeros(thetas.shape[0], dtype=rdt)
+        for packed, k in reversed(slots):
+            gpsi = apply_generator_scan(engine, psi, packed)
+            gval = jax.lax.psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
+            grads = grads.at[k].add(gval)
+            psi = generator_rotation_scan_inverse(engine, psi, packed, thetas[k])
+            lam = generator_rotation_scan_inverse(engine, lam, packed, thetas[k])
+        return energy, sz, s2, fid, grads
+
+    from jax import shard_map
+
+    sharded_fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),) + (P(None, AMP_AXIS),) * len(gs_args),
+        out_specs=(P(),) * 5,
+        check_vma=False,
+    )
+
+    optimizer = optax.adam(lr)
+    from .mesh import replicated
+
+    n_params = (reps + 1) + reps * (Nv + Nh)
+    params0 = {
+        "theta_U": jnp.zeros(reps + 1, dtype=rdt),
+        "theta_v": jnp.zeros(reps * Nv, dtype=rdt),
+        "theta_h": jnp.zeros(reps * Nh, dtype=rdt),
+    }
+    params0 = jax.device_put(params0, replicated(mesh))
+    opt_state0 = jax.device_put(optimizer.init(params0), replicated(mesh))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state):
+        flat = jnp.concatenate(
+            [params["theta_U"], params["theta_v"], params["theta_h"]]
+        )
+        energy, sz, s2, fid, gflat = sharded_fn(flat, *gs_args)
+        grads = {
+            "theta_U": gflat[: reps + 1],
+            "theta_v": gflat[reps + 1 : reps + 1 + reps * Nv],
+            "theta_h": gflat[reps + 1 + reps * Nv :],
+        }
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, energy, sz, s2, fid, gnorm
+
+    return step, params0, opt_state0

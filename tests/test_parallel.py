@@ -316,3 +316,34 @@ class TestShmapHVA:
             [np.asarray(gp["theta_U"]), np.asarray(gp["theta_v"]), np.asarray(gp["theta_h"])]
         )
         np.testing.assert_allclose(flat_g, np.asarray(sp), atol=1e-12)
+
+
+class TestMeshDriverHVA:
+    def test_driver_mesh_step_matches_single_chip(self, tmp_path, monkeypatch):
+        """HVA(mesh_devices=8) trains on the sharded step with the same
+        7-tuple metric surface; one step from a nudged (non-saddle) point
+        matches the single-chip step at f64."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from qsfh_tpu.algos.hva import HVA
+
+        monkeypatch.chdir(tmp_path)
+        outs = {}
+        for md in (1, 8):
+            vqe = HVA(
+                n_epoch=0, reps=2, lr=1e-2, x_dimension=2, y_dimension=2,
+                n_electrons=4, n_spin_up=2, n_spin_down=2, tunneling=1,
+                coulomb=6, plot=False, log_metrics=False, mesh_devices=md,
+            )
+            params = jax.tree.map(lambda a: a + 0.07, vqe.params)
+            opt_state = vqe.optimizer.init(params)
+            p2, _, e, sz, s2, fid, gn = vqe._step(params, opt_state)
+            outs[md] = (
+                np.concatenate([np.asarray(p2[k]) for k in ("theta_U", "theta_v", "theta_h")]),
+                float(e), float(sz), float(s2), float(fid), float(gn),
+            )
+        a, b = outs[1], outs[8]
+        for i, (x, y) in enumerate(zip(a[1:], b[1:])):
+            assert x == pytest.approx(y, abs=1e-9), f"metric {i}"
+        np.testing.assert_allclose(a[0], b[0], atol=1e-9)
