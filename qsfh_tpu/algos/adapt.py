@@ -78,6 +78,7 @@ class ADAPT:
         adjoint_threshold: Optional[int] = None,
         circuit_mode: str = "auto",
         program_salt: float = 0.0,
+        mesh_devices: int = 1,
     ):
         self.n_epoch = n_epoch
         self.threshold1 = threshold1
@@ -116,6 +117,10 @@ class ADAPT:
         # changes the program hash, which evicts cached-failure entries in
         # flaky remote compile services (used by bench retries)
         self.program_salt = float(program_salt)
+        # multi-chip training: amplitude-shard the statevector over a device
+        # mesh (steps AND pool screening run sharded; the capability the
+        # reference delegates to one CUDA GPU, adapt_vqe.py:299-304)
+        self.mesh_devices = int(mesh_devices)
 
         self.problem = HubbardProblem(
             x_dimension,
@@ -255,6 +260,19 @@ class ADAPT:
             return self._screen_cache[indices]
         p = self.problem
 
+        if self.mesh_devices > 1:
+            from ..parallel import amplitude_mesh
+            from ..parallel.sharded_adapt import build_sharded_screen_fn
+
+            mesh = amplitude_mesh(self.mesh_devices)
+            with mesh:
+                fn = build_sharded_screen_fn(
+                    p, self.pool_rot, list(indices), self.packed_pool, mesh,
+                    dtype=self.dtype,
+                )
+            self._screen_cache[indices] = fn
+            return fn
+
         if self.circuit_mode in ("compiled", "split"):
             from ..engine.compiled import CompiledCircuit, givens_network_static_ops
 
@@ -323,7 +341,11 @@ class ADAPT:
         grads = np.abs(np.asarray(fn(self.params_t)))
         max_grad = grads.max() if grads.size else 0.0
         n_selected = int(np.sum((grads >= max_grad * self.ratio) & (grads >= self.threshold1)))
-        order = np.argsort(grads)[::-1][:n_selected]
+        # stable order: descending rounded |g|, ties broken by pool index --
+        # symmetric lattices produce EXACTLY degenerate pool gradients, and
+        # raw argsort would order them by 1e-15 float noise (different
+        # lowering/device -> different ansatz order)
+        order = np.lexsort((np.arange(grads.size), -np.round(grads, 10)))[:n_selected]
         return [int(i) for i in order], [float(grads[i]) for i in order]
 
     # -- training ------------------------------------------------------------------
@@ -430,6 +452,24 @@ class ADAPT:
         obs = self.problem.observables
         gs_reim = self._gs_reim
         p = self.problem
+
+        if self.mesh_devices > 1:
+            from ..parallel import amplitude_mesh
+            from ..parallel.mesh import replicated
+            from ..parallel.sharded_adapt import build_sharded_adapt_train_step
+
+            mesh = amplitude_mesh(self.mesh_devices)
+            step, _, _ = build_sharded_adapt_train_step(
+                p,
+                self.pool_rot,
+                list(indices),
+                mesh,
+                dtype=self.dtype,
+                gs_reim=[jnp.asarray(g) for g in gs_reim],
+                optimizer=optimizer,  # the driver's dynamic-lr Adam
+            )
+            self.params_t = jax.device_put(self.params_t, replicated(mesh))
+            return step
 
         if self.circuit_mode == "split":
             return self._build_step_split(indices, optimizer)

@@ -97,6 +97,10 @@ def main(argv=None):
     _add_lattice_args(p)
     _add_run_args(p)
     p.add_argument("--n-epoch", type=int, default=100)
+    p.add_argument(
+        "--mesh-devices", type=int, default=1,
+        help="amplitude-shard the statevector over this many devices",
+    )
     p.add_argument("--threshold1", type=float, default=1e-2)
     p.add_argument("--threshold2", type=float, default=1e-2)
 
@@ -148,6 +152,7 @@ def main(argv=None):
 
         vqe = ADAPT(
             n_epoch=args.n_epoch,
+            mesh_devices=args.mesh_devices,
             threshold1=args.threshold1,
             threshold2=args.threshold2,
             load_model=args.load_model,

@@ -15,6 +15,7 @@ from functools import partial
 from typing import Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -162,3 +163,206 @@ def build_sharded_adapt_step(
         return thetas, opt_state, energy, gnorm
 
     return step, thetas0, opt_state0
+
+
+def build_sharded_adapt_train_step(
+    problem: HubbardProblem,
+    pool_rot: Sequence,
+    selected: Sequence[int],
+    mesh,
+    dtype=jnp.complex64,
+    lr: float = 1e-2,
+    gs_reim=(),
+    metrics: bool = True,
+    optimizer=None,
+):
+    """Driver-grade sharded ADAPT step: full metric surface.
+
+    ``optimizer``: any optax optimizer; defaults to ``adam(lr)`` (the ADAPT
+    driver passes its dynamic-lr Adam per epoch, adapt_vqe.py:392).
+
+    ``step(thetas, opt) -> (thetas, opt, e, sz, s2, fid, gnorm)`` -- the
+    same 7-tuple as the single-chip ``ADAPT._build_step`` so the driver
+    loop is lowering-agnostic (scan lowering + adjoint gradient throughout).
+    """
+    p = problem
+    engine = ShardedPauliEngine(p.n_qubits, mesh)
+    occupied = tuple(p.spin_up_indices + p.spin_down_indices)
+    rots = [tuple(pool_rot[i]) for i in selected]
+    rdt = jnp.zeros((), dtype).real.dtype
+    obs = p.observables
+
+    from jax import shard_map
+    from jax.lax import psum
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .shmap_engine import AMP_AXIS
+    from .sharded_compiled import (
+        ShardedGivensNetwork,
+        apply_generator_scan,
+        generator_rotation_scan,
+        generator_rotation_scan_inverse,
+        pack_generator,
+    )
+
+    packed = [pack_generator(engine, rot) for rot in rots]
+    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+
+    gs_sharding = NamedSharding(mesh, P(None, AMP_AXIS))
+    gs_args = tuple(jax.device_put(jnp.asarray(g), gs_sharding) for g in gs_reim)
+
+    def local_fn(thetas, *gs_shards):
+        psi = engine.basis_state_local(occupied, dtype=dtype)
+        for slot in range(len(rots)):
+            psi = generator_rotation_scan(engine, psi, packed[slot], thetas[slot])
+        psi = network.apply(psi)
+        hpsi = engine.apply_paulisum_local(psi, p.qubit_hamiltonian)
+        energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
+        if metrics:
+            sz = engine.expectation_local(psi, obs["Sz"].op)
+            s2 = engine.expectation_local(psi, obs["S^2"].op)
+        else:
+            sz = jnp.zeros((), rdt)
+            s2 = jnp.zeros((), rdt)
+        fid = jnp.zeros((), rdt)
+        for g in gs_shards:
+            gloc = (g[0] + 1j * g[1]).astype(psi.dtype)
+            ov = psum(jnp.vdot(gloc, psi), AMP_AXIS)
+            fid = fid + (jnp.abs(ov) ** 2).astype(rdt)
+        lam = 2.0 * hpsi
+        psi = network.apply(psi, inverse=True)
+        lam = network.apply(lam, inverse=True)
+        grads = jnp.zeros(len(rots), dtype=rdt)
+        for slot in range(len(rots) - 1, -1, -1):
+            gpsi = apply_generator_scan(engine, psi, packed[slot])
+            g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
+            grads = grads.at[slot].set(g)
+            psi = generator_rotation_scan_inverse(engine, psi, packed[slot], thetas[slot])
+            lam = generator_rotation_scan_inverse(engine, lam, packed[slot], thetas[slot])
+        return energy, sz, s2, fid, grads
+
+    sharded_fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),) + (P(None, AMP_AXIS),) * len(gs_args),
+        out_specs=(P(),) * 5,
+        check_vma=False,
+    )
+
+    optimizer = optimizer if optimizer is not None else optax.adam(lr)
+    from .mesh import replicated
+
+    thetas0 = jax.device_put(jnp.zeros(len(rots), dtype=rdt), replicated(mesh))
+    opt_state0 = jax.device_put(optimizer.init(thetas0), replicated(mesh))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(thetas, opt_state):
+        energy, sz, s2, fid, grads = sharded_fn(thetas, *gs_args)
+        gnorm = jnp.linalg.norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        thetas = optax.apply_updates(thetas, updates)
+        return thetas, opt_state, energy, sz, s2, fid, gnorm
+
+    return step, thetas0, opt_state0
+
+
+def build_sharded_screen_fn(
+    problem: HubbardProblem,
+    pool_rot: Sequence,
+    selected: Sequence[int],
+    packed_pool,
+    mesh,
+    dtype=jnp.complex64,
+):
+    """Amplitude-sharded ADAPT pool screening: fn(thetas) -> |pool| grads.
+
+    grads_k = 2 Im <w | G_k psi_k> with psi_k the k-space ansatz state and
+    w = U_net^dag H U_net psi_k (the commutator form of the reference's
+    whole-pool-append autodiff, adapt_vqe.py:306-314), all on the sharded
+    state.  Pool terms are grouped by the device part of their flip mask:
+    ONE static collective permute per group, then a scan over that group's
+    terms with traced local flips -- program size O(2^k_shard_bits), runtime
+    one full-state pass per term, once per epoch.
+    """
+    p = problem
+    engine = ShardedPauliEngine(p.n_qubits, mesh)
+    occupied = tuple(p.spin_up_indices + p.spin_down_indices)
+    rots = [tuple(pool_rot[i]) for i in selected]
+    rdt = jnp.zeros((), dtype).real.dtype
+
+    from jax import shard_map
+    from jax.lax import psum
+    from jax.sharding import PartitionSpec as P
+
+    from ..engine.compiled import xor_flip_traced
+    from .shmap_engine import AMP_AXIS, _split_mask_flat, _xor_ppermute
+    from .sharded_compiled import (
+        ShardedGivensNetwork,
+        _z_signs,
+        generator_rotation_scan,
+        pack_generator,
+    )
+
+    packed = [pack_generator(engine, rot) for rot in rots]
+    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+
+    # flatten every pool term, regroup by the DEVICE part of the flip mask
+    groups = {}
+    for k, g in enumerate(packed_pool.generators):
+        for x, z, c in zip(g.x, g.z, g.c):
+            x, z = int(x), int(z)
+            xb = engine._flat(x)
+            zb = engine._flat(z)
+            x_hi, x_lo = _split_mask_flat(xb, engine.n, engine.k)
+            # the scan body reconstructs flips*signs = (-1)^{|x&z|} X^x Z^z,
+            # so the packed coefficient carries the REAL sign correction
+            # (not the Hermitian-string (-i)^{|x&z|})
+            cs = complex(c) * ((-1.0) ** (bin(x & z).count("1") & 1))
+            groups.setdefault(x_hi, []).append((x_lo, zb, cs.real, cs.imag, k))
+    host_groups = []
+    for x_hi, terms in sorted(groups.items()):
+        arr = np.asarray
+        host_groups.append(
+            (
+                x_hi,
+                arr([t[0] for t in terms], np.uint32),
+                arr([t[1] for t in terms], np.uint32),
+                arr([t[2] for t in terms], np.float64),
+                arr([t[3] for t in terms], np.float64),
+                arr([t[4] for t in terms], np.int32),
+            )
+        )
+
+    def local_screen(thetas):
+        psi = engine.basis_state_local(occupied, dtype=dtype)
+        for slot in range(len(rots)):
+            psi = generator_rotation_scan(engine, psi, packed[slot], thetas[slot])
+        w = network.apply(psi)
+        w = engine.apply_paulisum_local(w, p.qubit_hamiltonian)
+        w = network.apply(w, inverse=True)
+        wc = jnp.conj(w)
+        grads = jnp.zeros(packed_pool.size, dtype=rdt)
+        for (x_hi, x_lo, zb, cre, cim, ks) in host_groups:
+            psi_p = _xor_ppermute(psi, x_hi, engine.n_devices)
+
+            def body(acc, term, _pp=psi_p):
+                xl, z, cr, ci, k = term
+                t = xor_flip_traced(_pp, engine.n_local, xl)
+                s = _z_signs(engine, z, rdt)
+                ov = jnp.sum(wc * (cr + 1j * ci).astype(t.dtype) * s.astype(t.dtype) * t)
+                return acc.at[k].add(2.0 * jnp.imag(ov).astype(rdt)), None
+
+            xs = (
+                jnp.asarray(x_lo),
+                jnp.asarray(zb),
+                jnp.asarray(cre, rdt),
+                jnp.asarray(cim, rdt),
+                jnp.asarray(ks),
+            )
+            grads, _ = jax.lax.scan(body, grads, xs)
+        return psum(grads, AMP_AXIS)
+
+    fn = shard_map(
+        local_screen, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+    )
+    return jax.jit(fn)

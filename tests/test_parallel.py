@@ -347,3 +347,29 @@ class TestMeshDriverHVA:
         for i, (x, y) in enumerate(zip(a[1:], b[1:])):
             assert x == pytest.approx(y, abs=1e-9), f"metric {i}"
         np.testing.assert_allclose(a[0], b[0], atol=1e-9)
+
+
+class TestMeshDriverADAPT:
+    def test_driver_mesh_run_matches_single_chip(self, tmp_path, monkeypatch):
+        """ADAPT(mesh_devices=8): screening, selection, and training all run
+        sharded and reproduce the single-chip run to f64 precision
+        (selection order made deterministic under exact pool-gradient
+        degeneracies by the stable tie-break)."""
+        from qsfh_tpu.algos.adapt import ADAPT
+
+        monkeypatch.chdir(tmp_path)
+        runs = {}
+        for md in (1, 8):
+            vqe = ADAPT(
+                n_epoch=1, threshold1=1e-2, threshold2=1e-1,
+                x_dimension=2, y_dimension=2, n_electrons=4, n_spin_up=2,
+                n_spin_down=2, tunneling=1.0, coulomb=6.0,
+                max_inner_iterations=10, plot=False, log_metrics=False,
+                mesh_devices=md,
+            )
+            vqe.run()
+            runs[md] = vqe.results
+        assert runs[1]["selected operators"] == runs[8]["selected operators"]
+        a = np.array(runs[1]["epoch loss"], dtype=float)
+        b = np.array(runs[8]["epoch loss"], dtype=float)
+        np.testing.assert_allclose(a, b, atol=1e-12)
