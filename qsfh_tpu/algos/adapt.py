@@ -340,12 +340,15 @@ class ADAPT:
         fn = self._screen_for(tuple(self.selected_indices))
         grads = np.abs(np.asarray(fn(self.params_t)))
         max_grad = grads.max() if grads.size else 0.0
-        n_selected = int(np.sum((grads >= max_grad * self.ratio) & (grads >= self.threshold1)))
-        # stable order: descending rounded |g|, ties broken by pool index --
-        # symmetric lattices produce EXACTLY degenerate pool gradients, and
-        # raw argsort would order them by 1e-15 float noise (different
-        # lowering/device -> different ansatz order)
-        order = np.lexsort((np.arange(grads.size), -np.round(grads, 10)))[:n_selected]
+        # membership by the RAW values (reference rule, adapt_vqe.py:312-317)
+        mask = (grads >= max_grad * self.ratio) & (grads >= self.threshold1)
+        chosen = np.flatnonzero(mask)
+        # stable order WITHIN the selected set: descending rounded |g|, ties
+        # broken by pool index -- symmetric lattices produce EXACTLY
+        # degenerate pool gradients, and raw argsort would order them by
+        # 1e-15 float noise (different lowering/device -> different ansatz
+        # order)
+        order = chosen[np.lexsort((chosen, -np.round(grads[chosen], 10)))]
         return [int(i) for i in order], [float(grads[i]) for i in order]
 
     # -- training ------------------------------------------------------------------

@@ -332,6 +332,7 @@ class HVA:
                 dtype=self.dtype,
                 lr=self.lr,
                 gs_reim=[jnp.asarray(g) for g in gs_reim],
+                optimizer=self.optimizer,
             )
             # re-place the driver's params on the mesh so every step call
             # hits one compiled executable

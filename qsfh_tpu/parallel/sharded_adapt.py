@@ -65,23 +65,29 @@ def build_sharded_adapt_step(
     if lowering == "scan":
         from .sharded_compiled import (
             ShardedGivensNetwork,
-            apply_generator_scan,
+            adjoint_energy_grads,
             generator_rotation_scan,
-            generator_rotation_scan_inverse,
             pack_generator,
         )
 
         packed = [pack_generator(engine, rot) for rot in rots]
         network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
-        fwd_rot = lambda psi, slot, th: generator_rotation_scan(
-            engine, psi, packed[slot], th
-        )
-        inv_rot = lambda psi, slot, th: generator_rotation_scan_inverse(
-            engine, psi, packed[slot], th
-        )
-        gen_apply = lambda psi, slot: apply_generator_scan(engine, psi, packed[slot])
-        net_fwd = lambda psi: network.apply(psi)
-        net_inv = lambda psi: network.apply(psi, inverse=True)
+        slots = [(packed[slot], slot) for slot in range(len(rots))]
+
+        def local_loss(thetas):
+            psi = engine.basis_state_local(occupied, dtype=dtype)
+            for packed_g, k in slots:
+                psi = generator_rotation_scan(engine, psi, packed_g, thetas[k])
+            psi = network.apply(psi)
+            return engine.expectation_local(psi, obs_op)
+
+        def local_value_and_grad(thetas):
+            energy, grads, _ = adjoint_energy_grads(
+                engine, slots, thetas, occupied, network, "post", obs_op,
+                len(rots), dtype,
+            )
+            return energy, grads
+
     elif lowering == "unrolled":
         fwd_rot = lambda psi, slot, th: engine.generator_rotation_local(
             psi, rots[slot], th
@@ -96,37 +102,37 @@ def build_sharded_adapt_step(
         net_inv = lambda psi: engine.givens_network_inverse_local(
             psi, p.diagonal, p.decomposition
         )
+        def local_loss(thetas):
+            psi = engine.basis_state_local(occupied, dtype=dtype)
+            for slot in range(len(rots)):
+                psi = fwd_rot(psi, slot, thetas[slot])
+            psi = net_fwd(psi)
+            return engine.expectation_local(psi, obs_op)
+
+        def local_value_and_grad(thetas):
+            # forward
+            psi = engine.basis_state_local(occupied, dtype=dtype)
+            for slot in range(len(rots)):
+                psi = fwd_rot(psi, slot, thetas[slot])
+            psi = net_fwd(psi)
+            # energy + analytic cotangent w = 2 H|psi> in one H application
+            hpsi = engine.apply_paulisum_local(psi, obs_op)
+            energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
+            lam = 2.0 * hpsi
+            # reverse replay: peel the constant FT network off both vectors
+            psi = net_inv(psi)
+            lam = net_inv(lam)
+            grads = jnp.zeros(len(rots), dtype=rdt)
+            for slot in range(len(rots) - 1, -1, -1):
+                gpsi = gen_apply(psi, slot)
+                g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
+                grads = grads.at[slot].set(g)
+                psi = inv_rot(psi, slot, thetas[slot])
+                lam = inv_rot(lam, slot, thetas[slot])
+            return energy, grads
+
     else:
         raise ValueError(f"unknown lowering: {lowering!r}")
-
-    def local_loss(thetas):
-        psi = engine.basis_state_local(occupied, dtype=dtype)
-        for slot in range(len(rots)):
-            psi = fwd_rot(psi, slot, thetas[slot])
-        psi = net_fwd(psi)
-        return engine.expectation_local(psi, obs_op)
-
-    def local_value_and_grad(thetas):
-        # forward
-        psi = engine.basis_state_local(occupied, dtype=dtype)
-        for slot in range(len(rots)):
-            psi = fwd_rot(psi, slot, thetas[slot])
-        psi = net_fwd(psi)
-        # energy + analytic cotangent w = 2 H|psi> in one H application
-        hpsi = engine.apply_paulisum_local(psi, obs_op)
-        energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
-        lam = 2.0 * hpsi
-        # reverse replay: peel the constant FT network off both vectors
-        psi = net_inv(psi)
-        lam = net_inv(lam)
-        grads = jnp.zeros(len(rots), dtype=rdt)
-        for slot in range(len(rots) - 1, -1, -1):
-            gpsi = gen_apply(psi, slot)
-            g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-            grads = grads.at[slot].set(g)
-            psi = inv_rot(psi, slot, thetas[slot])
-            lam = inv_rot(lam, slot, thetas[slot])
-        return energy, grads
 
     optimizer = optax.adam(lr)
     thetas0 = jnp.zeros(len(rots), dtype=rdt)
@@ -199,46 +205,27 @@ def build_sharded_adapt_train_step(
     from .shmap_engine import AMP_AXIS
     from .sharded_compiled import (
         ShardedGivensNetwork,
-        apply_generator_scan,
-        generator_rotation_scan,
-        generator_rotation_scan_inverse,
+        adjoint_energy_grads,
         pack_generator,
+        sharded_metrics_fn,
     )
 
     packed = [pack_generator(engine, rot) for rot in rots]
     network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+    slots = [(packed[slot], slot) for slot in range(len(rots))]
 
     gs_sharding = NamedSharding(mesh, P(None, AMP_AXIS))
     gs_args = tuple(jax.device_put(jnp.asarray(g), gs_sharding) for g in gs_reim)
+    metrics_of = sharded_metrics_fn(
+        engine, obs["Sz"].op, obs["S^2"].op, rdt, metrics
+    )
 
     def local_fn(thetas, *gs_shards):
-        psi = engine.basis_state_local(occupied, dtype=dtype)
-        for slot in range(len(rots)):
-            psi = generator_rotation_scan(engine, psi, packed[slot], thetas[slot])
-        psi = network.apply(psi)
-        hpsi = engine.apply_paulisum_local(psi, p.qubit_hamiltonian)
-        energy = psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
-        if metrics:
-            sz = engine.expectation_local(psi, obs["Sz"].op)
-            s2 = engine.expectation_local(psi, obs["S^2"].op)
-        else:
-            sz = jnp.zeros((), rdt)
-            s2 = jnp.zeros((), rdt)
-        fid = jnp.zeros((), rdt)
-        for g in gs_shards:
-            gloc = (g[0] + 1j * g[1]).astype(psi.dtype)
-            ov = psum(jnp.vdot(gloc, psi), AMP_AXIS)
-            fid = fid + (jnp.abs(ov) ** 2).astype(rdt)
-        lam = 2.0 * hpsi
-        psi = network.apply(psi, inverse=True)
-        lam = network.apply(lam, inverse=True)
-        grads = jnp.zeros(len(rots), dtype=rdt)
-        for slot in range(len(rots) - 1, -1, -1):
-            gpsi = apply_generator_scan(engine, psi, packed[slot])
-            g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-            grads = grads.at[slot].set(g)
-            psi = generator_rotation_scan_inverse(engine, psi, packed[slot], thetas[slot])
-            lam = generator_rotation_scan_inverse(engine, lam, packed[slot], thetas[slot])
+        energy, grads, (sz, s2, fid) = adjoint_energy_grads(
+            engine, slots, thetas, occupied, network, "post",
+            p.qubit_hamiltonian, len(rots), dtype,
+            extras_fn=lambda psi: metrics_of(psi, gs_shards),
+        )
         return energy, sz, s2, fid, grads
 
     sharded_fn = shard_map(

@@ -42,16 +42,27 @@ from .shmap_engine import AMP_AXIS, ShardedPauliEngine, _split_mask_flat, _xor_p
 
 
 def pack_generator(engine: ShardedPauliEngine, rot_terms) -> List[tuple]:
-    """Group a generator's (x, z, scale) terms by their (shared) x-mask.
+    """Pack a generator's (x, z, scale) terms into CONTIGUOUS same-x runs.
 
-    Returns [(x_qmask, zb_flat[], scale[], phre[], phim[])]; almost always a
-    single group (see module docstring).
+    Returns [(x_qmask, zb_flat[], scale[], phre[], phim[])] in original term
+    order -- rotations of non-commuting strings are order-sensitive, so
+    terms are never reordered across runs; for the pool/hopping generators
+    (every JW string flips the same modes) this is a single run.
     """
-    groups = {}
+    runs: List[tuple] = []
+    cur_x = None
+    cur: List[tuple] = []
     for (x, z, scale) in rot_terms:
-        groups.setdefault(int(x), []).append((int(z), float(scale)))
+        x = int(x)
+        if cur and x != cur_x:
+            runs.append((cur_x, cur))
+            cur = []
+        cur_x = x
+        cur.append((int(z), float(scale)))
+    if cur:
+        runs.append((cur_x, cur))
     out = []
-    for x, terms in groups.items():
+    for x, terms in runs:
         zbs, scales, phre, phim = [], [], [], []
         for (z, scale) in terms:
             zbs.append(engine._flat(z))
@@ -154,6 +165,141 @@ def apply_generator_scan(engine, psi_l, packed):
         )
         out, _ = jax.lax.scan(body, out, xs)
     return out
+
+
+# -- observables ------------------------------------------------------------------
+
+
+def pack_observable(engine: ShardedPauliEngine, op) -> List[tuple]:
+    """Pack a PauliSum for scan-lowered sharded expectation.
+
+    Terms group by the DEVICE part of their flip mask (expectation is a sum,
+    so reordering is safe): one static collective permute per group, traced
+    local flips inside a scan.  Coefficients carry the (-1)^{|x&z|} sign the
+    flips+signs body reconstruction requires (see build_sharded_screen_fn).
+    """
+    groups = {}
+    for x, z, c in zip(op.x, op.z, op.c):
+        x, z = int(x), int(z)
+        xb = engine._flat(x)
+        zb = engine._flat(z)
+        x_hi, x_lo = _split_mask_flat(xb, engine.n, engine.k)
+        cs = complex(c) * ((-1.0) ** (bin(x & z).count("1") & 1))
+        groups.setdefault(x_hi, []).append((x_lo, zb, cs.real, cs.imag))
+    out = []
+    for x_hi, terms in sorted(groups.items()):
+        out.append(
+            (
+                x_hi,
+                np.asarray([t[0] for t in terms], np.uint32),
+                np.asarray([t[1] for t in terms], np.uint32),
+                np.asarray([t[2] for t in terms], np.float64),
+                np.asarray([t[3] for t in terms], np.float64),
+            )
+        )
+    return out
+
+
+def expectation_scan_local(engine: ShardedPauliEngine, psi_l, packed_obs):
+    """Local partial of Re<psi|op|psi> over a packed observable; caller or
+    this function psums -- returns the ALREADY-psummed replicated scalar."""
+    rdt = real_dtype(psi_l.dtype)
+    wc = jnp.conj(psi_l)
+    total = jnp.zeros((), dtype=rdt)
+    for (x_hi, x_lo, zb, cre, cim) in packed_obs:
+        psi_p = _xor_ppermute(psi_l, x_hi, engine.n_devices)
+
+        def body(acc, term, _pp=psi_p):
+            xl, z, cr, ci = term
+            t = xor_flip_traced(_pp, engine.n_local, xl)
+            s = _z_signs(engine, z, rdt)
+            ov = jnp.sum(wc * (cr + 1j * ci).astype(t.dtype) * s.astype(t.dtype) * t)
+            return acc + jnp.real(ov).astype(rdt), None
+
+        xs = (
+            jnp.asarray(x_lo),
+            jnp.asarray(zb),
+            jnp.asarray(cre, rdt),
+            jnp.asarray(cim, rdt),
+        )
+        total, _ = jax.lax.scan(body, total, xs)
+    return jax.lax.psum(total, AMP_AXIS)
+
+
+def sharded_metrics_fn(engine: ShardedPauliEngine, sz_op, s2_op, rdt, metrics: bool):
+    """Build the (Sz, S^2, fidelity) extras callback shared by the driver
+    train steps.  Observables are scan-lowered (pack_observable), so the
+    metric block stays O(#cross-shard groups) in program size; fidelity is
+    the subspace-projection overlap with the sharded exact states."""
+    packed_sz = pack_observable(engine, sz_op) if metrics else None
+    packed_s2 = pack_observable(engine, s2_op) if metrics else None
+
+    def extras(psi_l, gs_shards):
+        if metrics:
+            sz = expectation_scan_local(engine, psi_l, packed_sz)
+            s2 = expectation_scan_local(engine, psi_l, packed_s2)
+        else:
+            sz = jnp.zeros((), rdt)
+            s2 = jnp.zeros((), rdt)
+        fid = jnp.zeros((), rdt)
+        for g in gs_shards:
+            gloc = (g[0] + 1j * g[1]).astype(psi_l.dtype)
+            ov = jax.lax.psum(jnp.vdot(gloc, psi_l), AMP_AXIS)
+            fid = fid + (jnp.abs(ov) ** 2).astype(rdt)
+        return sz, s2, fid
+
+    return extras
+
+
+# -- shared adjoint core -----------------------------------------------------------
+
+
+def adjoint_energy_grads(
+    engine: ShardedPauliEngine,
+    slots,
+    thetas,
+    occupied,
+    network,
+    net_position: str,
+    obs_op,
+    n_params: int,
+    dtype,
+    extras_fn=None,
+):
+    """Energy + adjoint-replay gradients for a slotted rotation program.
+
+    The ONE implementation of the forward / analytic-cotangent / reverse-
+    replay loop shared by every sharded builder (ADAPT applies the Givens
+    network AFTER the ansatz, ``net_position='post'``; HVA prepares the
+    Slater state with it FIRST, ``'pre'``).  ``slots``: [(packed_generator,
+    param_index)] in application order (param indices may repeat across
+    slots -- gradients accumulate).  ``extras_fn(psi_local)``: optional
+    callback evaluated on the final state (metrics/fidelity); its result is
+    returned unchanged as the third element.
+    """
+    rdt = real_dtype(dtype)
+    psi = engine.basis_state_local(occupied, dtype=dtype)
+    if net_position == "pre":
+        psi = network.apply(psi)
+    for packed, k in slots:
+        psi = generator_rotation_scan(engine, psi, packed, thetas[k])
+    if net_position == "post":
+        psi = network.apply(psi)
+    hpsi = engine.apply_paulisum_local(psi, obs_op)
+    energy = jax.lax.psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
+    extras = extras_fn(psi) if extras_fn is not None else ()
+    lam = 2.0 * hpsi
+    if net_position == "post":
+        psi = network.apply(psi, inverse=True)
+        lam = network.apply(lam, inverse=True)
+    grads = jnp.zeros(n_params, dtype=rdt)
+    for packed, k in reversed(slots):
+        gpsi = apply_generator_scan(engine, psi, packed)
+        g = jax.lax.psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
+        grads = grads.at[k].add(g)
+        psi = generator_rotation_scan_inverse(engine, psi, packed, thetas[k])
+        lam = generator_rotation_scan_inverse(engine, lam, packed, thetas[k])
+    return energy, grads, extras
 
 
 # -- Givens network ---------------------------------------------------------------

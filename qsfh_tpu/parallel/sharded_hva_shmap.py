@@ -28,6 +28,36 @@ from ..ops.jw import jordan_wigner
 from .shmap_engine import AMP_AXIS, ShardedPauliEngine
 
 
+def _hva_slots(engine, problem, reps):
+    """(slots, n_params, network): the HVA rotation program.
+
+    Program order matches the reference circuit (hva.py:276-298): the
+    Givens network prepares the Slater state FIRST ('pre'), then reps x
+    (U, vertical..., horizontal...) layers, then a final U layer.  Slot
+    param layout matches ``qsfh_tpu.algos.hva.flatten_hva_params``.
+    """
+    from .sharded_compiled import ShardedGivensNetwork, pack_generator
+
+    p = problem
+    h_gen, v_gen = p.hva_generators()
+    u_rot = jordan_wigner(p.interacting_term).rotation_terms()
+    packed_u = pack_generator(engine, u_rot)
+    packed_v = [pack_generator(engine, g.rotation_terms()) for g in v_gen]
+    packed_h = [pack_generator(engine, g.rotation_terms()) for g in h_gen]
+    Nv, Nh = len(packed_v), len(packed_h)
+    slots = []
+    for rep in range(reps):
+        slots.append((packed_u, rep))
+        for i in range(Nv):
+            slots.append((packed_v[i], (reps + 1) + rep * Nv + i))
+        for i in range(Nh):
+            slots.append((packed_h[i], (reps + 1) + reps * Nv + rep * Nh + i))
+    slots.append((packed_u, reps))
+    n_params = (reps + 1) + reps * (Nv + Nh)
+    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+    return slots, n_params, network, Nv, Nh
+
+
 def build_sharded_hva_step_shmap(
     problem: HubbardProblem,
     reps: int,
@@ -41,51 +71,16 @@ def build_sharded_hva_step_shmap(
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
     rdt = jnp.zeros((), dtype).real.dtype
 
-    from .sharded_compiled import (
-        ShardedGivensNetwork,
-        generator_rotation_scan,
-        generator_rotation_scan_inverse,
-        apply_generator_scan,
-        pack_generator,
-    )
+    from .sharded_compiled import ShardedGivensNetwork, adjoint_energy_grads
 
-    h_gen, v_gen = p.hva_generators()
-    u_rot = jordan_wigner(p.interacting_term).rotation_terms()
-    packed_u = pack_generator(engine, u_rot)
-    packed_v = [pack_generator(engine, g.rotation_terms()) for g in v_gen]
-    packed_h = [pack_generator(engine, g.rotation_terms()) for g in h_gen]
-    Nv, Nh = len(packed_v), len(packed_h)
-    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
+    slots, n_params, network, _, _ = _hva_slots(engine, p, reps)
     obs_op = p.qubit_hamiltonian
 
-    # program: prep(net) FIRST, then reps x (U, v..., h...) layers, then U
-    # -- matching the reference circuit order (hva.py:276-298): prep is the
-    # Slater state, ansatz acts in real space after it.
-    slots = []  # (packed, param_index) in application order
-    for rep in range(reps):
-        slots.append((packed_u, rep))
-        for i in range(Nv):
-            slots.append((packed_v[i], (reps + 1) + rep * Nv + i))
-        for i in range(Nh):
-            slots.append((packed_h[i], (reps + 1) + reps * Nv + rep * Nh + i))
-    slots.append((packed_u, reps))
-    n_params = (reps + 1) + reps * (Nv + Nh)
-
     def local_value_and_grad(thetas):
-        psi = engine.basis_state_local(occupied, dtype=dtype)
-        psi = network.apply(psi)  # Slater prep (constant)
-        for packed, k in slots:
-            psi = generator_rotation_scan(engine, psi, packed, thetas[k])
-        hpsi = engine.apply_paulisum_local(psi, obs_op)
-        energy = jax.lax.psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
-        lam = 2.0 * hpsi
-        grads = jnp.zeros(n_params, dtype=rdt)
-        for packed, k in reversed(slots):
-            gpsi = apply_generator_scan(engine, psi, packed)
-            g = jax.lax.psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-            grads = grads.at[k].add(g)
-            psi = generator_rotation_scan_inverse(engine, psi, packed, thetas[k])
-            lam = generator_rotation_scan_inverse(engine, lam, packed, thetas[k])
+        energy, grads, _ = adjoint_energy_grads(
+            engine, slots, thetas, occupied, network, "pre", obs_op,
+            n_params, dtype,
+        )
         return energy, grads
 
     from jax import shard_map
@@ -124,8 +119,13 @@ def build_sharded_hva_train_step(
     lr: float = 1e-2,
     gs_reim=(),
     metrics: bool = True,
+    optimizer=None,
 ):
     """Driver-grade sharded HVA step: full metric surface.
+
+    ``optimizer``: any optax optimizer; defaults to ``adam(lr)``.  The HVA
+    driver passes its own so the step and the driver's opt_state always
+    come from the same transformation.
 
     Returns (step, params0_dict, opt_state0) with
     ``step(params_dict, opt) -> (params_dict, opt, e, sz, s2, fid, gnorm)``
@@ -141,61 +141,23 @@ def build_sharded_hva_train_step(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .sharded_compiled import (
-        ShardedGivensNetwork,
-        apply_generator_scan,
-        generator_rotation_scan,
-        generator_rotation_scan_inverse,
-        pack_generator,
-    )
+    from .sharded_compiled import adjoint_energy_grads, sharded_metrics_fn
 
-    h_gen, v_gen = p.hva_generators()
-    u_rot = jordan_wigner(p.interacting_term).rotation_terms()
-    packed_u = pack_generator(engine, u_rot)
-    packed_v = [pack_generator(engine, g.rotation_terms()) for g in v_gen]
-    packed_h = [pack_generator(engine, g.rotation_terms()) for g in h_gen]
-    Nv, Nh = len(packed_v), len(packed_h)
-    network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
     obs = p.observables
-
-    slots = []
-    for rep in range(reps):
-        slots.append((packed_u, rep))
-        for i in range(Nv):
-            slots.append((packed_v[i], (reps + 1) + rep * Nv + i))
-        for i in range(Nh):
-            slots.append((packed_h[i], (reps + 1) + reps * Nv + rep * Nh + i))
-    slots.append((packed_u, reps))
+    slots, n_params, network, Nv, Nh = _hva_slots(engine, p, reps)
 
     gs_sharding = NamedSharding(mesh, P(None, AMP_AXIS))
     gs_args = tuple(jax.device_put(jnp.asarray(g), gs_sharding) for g in gs_reim)
+    metrics_of = sharded_metrics_fn(
+        engine, obs["Sz"].op, obs["S^2"].op, rdt, metrics
+    )
 
     def local_fn(thetas, *gs_shards):
-        psi = engine.basis_state_local(occupied, dtype=dtype)
-        psi = network.apply(psi)
-        for packed, k in slots:
-            psi = generator_rotation_scan(engine, psi, packed, thetas[k])
-        hpsi = engine.apply_paulisum_local(psi, p.qubit_hamiltonian)
-        energy = jax.lax.psum(jnp.real(jnp.vdot(psi, hpsi)).astype(rdt), AMP_AXIS)
-        if metrics:
-            sz = engine.expectation_local(psi, obs["Sz"].op)
-            s2 = engine.expectation_local(psi, obs["S^2"].op)
-        else:
-            sz = jnp.zeros((), rdt)
-            s2 = jnp.zeros((), rdt)
-        fid = jnp.zeros((), rdt)
-        for g in gs_shards:
-            gloc = (g[0] + 1j * g[1]).astype(psi.dtype)
-            ov = jax.lax.psum(jnp.vdot(gloc, psi), AMP_AXIS)
-            fid = fid + (jnp.abs(ov) ** 2).astype(rdt)
-        lam = 2.0 * hpsi
-        grads = jnp.zeros(thetas.shape[0], dtype=rdt)
-        for packed, k in reversed(slots):
-            gpsi = apply_generator_scan(engine, psi, packed)
-            gval = jax.lax.psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-            grads = grads.at[k].add(gval)
-            psi = generator_rotation_scan_inverse(engine, psi, packed, thetas[k])
-            lam = generator_rotation_scan_inverse(engine, lam, packed, thetas[k])
+        energy, grads, (sz, s2, fid) = adjoint_energy_grads(
+            engine, slots, thetas, occupied, network, "pre",
+            p.qubit_hamiltonian, n_params, dtype,
+            extras_fn=lambda psi: metrics_of(psi, gs_shards),
+        )
         return energy, sz, s2, fid, grads
 
     from jax import shard_map
@@ -208,7 +170,7 @@ def build_sharded_hva_train_step(
         check_vma=False,
     )
 
-    optimizer = optax.adam(lr)
+    optimizer = optimizer if optimizer is not None else optax.adam(lr)
     from .mesh import replicated
 
     n_params = (reps + 1) + reps * (Nv + Nh)
