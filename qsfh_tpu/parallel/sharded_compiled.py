@@ -26,7 +26,7 @@ angles / conjugate-transposed gates) for the O(1)-memory adjoint gradient.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ import numpy as np
 
 from ..engine.compiled import _u4_body, xor_flip_traced
 from ..engine.gates import givens_plan_matrix
-from ..engine.state import const_complex, real_dtype
+from ..engine.state import real_dtype
 from .shmap_engine import AMP_AXIS, ShardedPauliEngine, _split_mask_flat, _xor_ppermute
 
 

@@ -71,7 +71,7 @@ def build_sharded_hva_step_shmap(
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
     rdt = jnp.zeros((), dtype).real.dtype
 
-    from .sharded_compiled import ShardedGivensNetwork, adjoint_energy_grads
+    from .sharded_compiled import adjoint_energy_grads
 
     slots, n_params, network, _, _ = _hva_slots(engine, p, reps)
     obs_op = p.qubit_hamiltonian
