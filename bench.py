@@ -193,8 +193,10 @@ def warm_stages():
     optimizer = optax.adam(1e-2)
     step = vqe._build_step(indices, optimizer)
     raw = step.raw_stages
-    th = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
-    values = {"th": th}
+    values = {}
+    # th rebuilt per attempt: a failed dispatch can invalidate buffers it
+    # consumed, and retries must not feed dead arrays
+    values["th"] = None
     order = [
         ("fwd", lambda: (values["th"],), "psi"),
         ("energy", lambda: (values["psi"],), "e"),
@@ -207,9 +209,16 @@ def warm_stages():
         done = False
         for attempt in range(6):
             try:
+                values["th"] = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
                 fn = jax.jit(raw[name])  # fresh jit each retry
                 v = fn(*argfn())
-                jax.block_until_ready(v)
+                # block_until_ready does NOT synchronize on the tunneled
+                # backend (see measure()); only a host fetch proves the
+                # stage actually executed
+                import numpy as _np
+
+                for leaf in jax.tree_util.tree_leaves(v):
+                    _np.asarray(leaf).ravel()[:1]
                 values[out] = v
                 _log(f"stage {name}: warm (attempt {attempt})")
                 done = True
