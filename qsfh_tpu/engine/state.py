@@ -47,12 +47,26 @@ def zero_state(n_qubits: int, dtype=jnp.complex128) -> jnp.ndarray:
 
 
 def basis_state(n_qubits: int, occupied_qubits, dtype=jnp.complex128) -> jnp.ndarray:
-    """Computational basis state with the given qubits set to |1>."""
+    """Computational basis state with the given qubits set to |1>.
+
+    The one-hot is built as a (rows, 128) 2-D iota comparison (no scatter):
+    tunneled TPU backends have been observed to reject both 1-D 2^n
+    iota-compare outputs and scatter updates, while the lane-shaped 2-D
+    form lowers cleanly; on CPU the result is bit-identical.
+    """
     index = 0
     for q in occupied_qubits:
         index |= 1 << bitpos(q, n_qubits)
     rdt = real_dtype(dtype)
-    psi = jnp.zeros(1 << n_qubits, dtype=rdt).at[index].set(1.0)
+    size = 1 << n_qubits
+    if size >= 128:
+        rows = size // 128
+        ri = jax.lax.iota(jnp.uint32, rows).reshape(rows, 1)
+        ci = jax.lax.iota(jnp.uint32, 128).reshape(1, 128)
+        hot = (ri == jnp.uint32(index // 128)) & (ci == jnp.uint32(index % 128))
+        psi = hot.astype(rdt).reshape(size)
+    else:
+        psi = (jax.lax.iota(jnp.uint32, size) == jnp.uint32(index)).astype(rdt)
     return (psi * runtime_one(rdt)).astype(dtype)
 
 
