@@ -188,6 +188,7 @@ def warm_stages():
         n_spin_up=(n_e + 1) // 2, n_spin_down=n_e - (n_e + 1) // 2,
         tunneling=1.0, coulomb=6.0, ground_truth=False, plot=False,
         log_metrics=False, circuit_mode="split",
+        program_salt=float(os.environ.get("QSFH_BENCH_SALT", "0") or 0),
     )
     indices = tuple(range(N_ANSATZ))
     optimizer = optax.adam(1e-2)
@@ -224,7 +225,8 @@ def warm_stages():
                 done = True
                 break
             except Exception as exc:
-                _log(f"stage {name} attempt {attempt}: {type(exc).__name__}")
+                msg = " ".join(str(exc).split())[:300]
+                _log(f"stage {name} attempt {attempt}: {type(exc).__name__}: {msg}")
                 time.sleep(25)
         if not done:
             _log(f"stage {name}: NOT warmed; aborting")
