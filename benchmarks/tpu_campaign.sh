@@ -1,0 +1,60 @@
+#!/bin/bash
+# Long-running TPU campaign (round 2): in any healthy service window,
+# chain: warm split stages -> measure train step (tpu_result.json) ->
+# device profile (tpu_profile.json, if benchmarks/tpu_profile.py exists) ->
+# Pallas on-chip validation (tpu_pallas.json, if benchmarks/tpu_pallas.py
+# exists).  Cheap novel-program probe each cycle avoids burning 10 minutes
+# per sick cycle.  Exits when every artifact exists.
+cd /root/repo
+LOG=benchmarks/tpu_campaign.log
+for i in $(seq 1 400); do
+  echo "=== cycle $i $(date +%H:%M:%S) ===" >> $LOG
+  # health probe: tiny NOVEL program (salted const) + host fetch, 90 s cap
+  if ! timeout 90 python - "$i" >> $LOG 2>&1 <<'EOF'
+import sys, numpy as np, jax, jax.numpy as jnp
+salt = float(sys.argv[1]) * 1e-6
+f = jax.jit(lambda x: (x @ x).sum() + salt)
+v = float(f(jnp.ones((256, 256), jnp.float32)))
+assert np.isfinite(v)
+print("probe ok", v)
+EOF
+  then
+    echo "probe FAILED; sleeping" >> $LOG
+    sleep 150
+    continue
+  fi
+  if [ ! -f benchmarks/tpu_result.json ]; then
+    salt="$(python -c "print(7e-6*$i)")"
+    if QSFH_BENCH_SALT=$salt timeout 560 python bench.py --warm-stages >> $LOG 2>&1; then
+      echo "WARM OK salt=$salt" >> $LOG
+      echo "$salt" > benchmarks/tpu_salt.txt
+      out=$(QSFH_BENCH_SALT=$salt timeout 560 python bench.py --inner 2>>$LOG)
+      line=$(echo "$out" | grep '^{' | tail -1)
+      if [ -n "$line" ]; then
+        echo "$line" > benchmarks/tpu_result.json
+        echo "MEASURE OK: $line" >> $LOG
+      fi
+    else
+      echo "warm failed salt=$salt" >> $LOG
+      sleep 120
+      continue
+    fi
+  fi
+  if [ -f benchmarks/tpu_profile.py ] && [ ! -f benchmarks/tpu_profile.json ]; then
+    timeout 560 python benchmarks/tpu_profile.py >> $LOG 2>&1 \
+      && echo "PROFILE OK" >> $LOG
+  fi
+  if [ -f benchmarks/tpu_pallas.py ] && [ ! -f benchmarks/tpu_pallas.json ]; then
+    timeout 560 python benchmarks/tpu_pallas.py >> $LOG 2>&1 \
+      && echo "PALLAS OK" >> $LOG
+  fi
+  done_all=1
+  [ -f benchmarks/tpu_result.json ] || done_all=0
+  [ ! -f benchmarks/tpu_profile.py ] || [ -f benchmarks/tpu_profile.json ] || done_all=0
+  [ ! -f benchmarks/tpu_pallas.py ] || [ -f benchmarks/tpu_pallas.json ] || done_all=0
+  if [ "$done_all" = 1 ]; then
+    echo "CAMPAIGN COMPLETE $(date +%H:%M:%S)" >> $LOG
+    exit 0
+  fi
+  sleep 90
+done

@@ -435,9 +435,9 @@ class HVA:
         ckpt.save_results(self.result_filepath, self.results)
 
     def load_model(self):
-        if not os.path.exists(self.model_filepath):
+        if not os.path.exists(ckpt.resolve(self.model_filepath)):
             raise ValueError(f"Please check if the file {self.model_filepath} exists!")
-        if not os.path.exists(self.result_filepath):
+        if not os.path.exists(ckpt.resolve(self.result_filepath)):
             raise ValueError(f"Please check if the file {self.result_filepath} exists!")
         params, _ = ckpt.load_model(self.model_filepath)
         rdt = jnp.zeros((), self.dtype).real.dtype

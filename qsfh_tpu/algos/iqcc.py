@@ -302,7 +302,7 @@ class IQCC:
         ckpt.save_results(self.result_filepath, self.loss_history)
 
     def load_model(self):
-        if not os.path.exists(self.model_filepath):
+        if not os.path.exists(ckpt.resolve(self.model_filepath)):
             raise ValueError(f"Please check if the file {self.model_filepath} exists!")
         params, meta = ckpt.load_model(self.model_filepath)
         self.params = {

@@ -44,37 +44,74 @@ def pallas_enabled() -> bool:
     return HAVE_PALLAS and os.environ.get("QSFH_PALLAS", "0") == "1"
 
 
+def _xor_matrix(size: int, mask) -> jnp.ndarray:
+    """(size, size) XOR-permutation matrix P[i, j] = (i ^ j == mask).
+
+    Symmetric (i^j == j^i), built from 2-D iotas -- the only index machinery
+    Mosaic is guaranteed to lower.
+    """
+    i_ids = jax.lax.broadcasted_iota(jnp.uint32, (size, size), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.uint32, (size, size), 1)
+    return ((i_ids ^ j_ids) == mask).astype(jnp.float32)
+
+
+def _xor_permute(x, mask, rows: int):
+    """out[b] = x[b ^ mask] on an (rows, LANE) f32 plane.
+
+    Three XOR-permutation matmuls: lane bits (low 7), mid row bits, top row
+    bits.  The earlier row-bit reversal cascade used ``jnp.flip`` -- the
+    ``rev`` primitive, which Mosaic does NOT lower on TPU (discovered on the
+    real chip, round 2); iota-compare + MXU matmul + minor-dim transpose all
+    do.
+    """
+    lane_mask = (mask & np.uint32(LANE - 1)).astype(jnp.uint32)
+    row_mask = (mask >> np.uint32(LANE_BITS)).astype(jnp.uint32)
+    x = jnp.dot(x, _xor_matrix(LANE, lane_mask), preferred_element_type=jnp.float32)
+    m = min(LANE, rows)
+    s = rows // m
+    mid_mask = row_mask & np.uint32(m - 1)
+    x3 = x.reshape(s, m, LANE)
+    y = jnp.swapaxes(x3, 1, 2)  # (s, LANE, m) -- minor-dim transpose
+    y = jnp.dot(y, _xor_matrix(m, mid_mask), preferred_element_type=jnp.float32)
+    x3 = jnp.swapaxes(y, 1, 2)
+    if s > 1:
+        top_mask = (row_mask >> np.uint32(m.bit_length() - 1)).astype(jnp.uint32)
+        x2 = x3.reshape(s, m * LANE)
+        x2 = jax.lax.dot_general(
+            _xor_matrix(s, top_mask),
+            x2,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x3 = x2.reshape(s, m, LANE)
+    return x3.reshape(rows, LANE)
+
+
+def _parity_sign(zb, rows: int):
+    """s(b) = (-1)^{popcount(b & zb)} on the (rows, LANE) index grid.
+
+    Bit-loop XOR instead of ``lax.population_count`` (unproven in Mosaic);
+    the loop is static over n = log2(rows) + 7 bits of cheap VPU ops.
+    """
+    n = (rows.bit_length() - 1) + LANE_BITS
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 1)
+    b = (row_ids << np.uint32(LANE_BITS)) | lane_ids
+    masked = b & zb
+    par = jnp.zeros((rows, LANE), jnp.uint32)
+    for t in range(n):
+        par = par ^ ((masked >> np.uint32(t)) & np.uint32(1))
+    # uint32 -> float32 casts don't lower in Mosaic; select on a bool does
+    odd = par > np.uint32(0)
+    return jnp.where(odd, jnp.float32(-1.0), jnp.float32(1.0))
+
+
 def _xor_gather_kernel(mask_ref, re_ref, im_ref, ore_ref, oim_ref):
     """out[b] = in[b ^ mask] on (R, 128) f32 planes; mask is an SMEM scalar."""
     mask = mask_ref[0]
-    row_mask = (mask >> np.uint32(LANE_BITS)).astype(jnp.uint32)
-    lane_mask = (mask & np.uint32(LANE - 1)).astype(jnp.uint32)
-
-    re = re_ref[:]
-    im = im_ref[:]
-    rows = re.shape[0]
-    n_row_bits = max(rows.bit_length() - 1, 0)
-
-    # row-bit cascade: conditional reversal per row bit
-    # (reshape keeps the lane axis last: (a, 2, 2^p, LANE))
-    for p in range(n_row_bits):
-        a = rows >> (p + 1)  # blocks above this bit
-        re4 = re.reshape(a, 2, 1 << p, LANE)
-        im4 = im.reshape(a, 2, 1 << p, LANE)
-        bit = (row_mask >> np.uint32(p)) & np.uint32(1)
-        re = jnp.where(
-            bit.astype(bool), jnp.flip(re4, axis=1), re4
-        ).reshape(rows, LANE)
-        im = jnp.where(
-            bit.astype(bool), jnp.flip(im4, axis=1), im4
-        ).reshape(rows, LANE)
-
-    # lane-bit XOR permutation as one MXU matmul per plane
-    i_ids = jax.lax.broadcasted_iota(jnp.uint32, (LANE, LANE), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.uint32, (LANE, LANE), 1)
-    P = ((i_ids ^ j_ids) == lane_mask).astype(jnp.float32)
-    ore_ref[:] = jnp.dot(re, P, preferred_element_type=jnp.float32)
-    oim_ref[:] = jnp.dot(im, P, preferred_element_type=jnp.float32)
+    rows = re_ref.shape[0]
+    ore_ref[:] = _xor_permute(re_ref[:], mask, rows)
+    oim_ref[:] = _xor_permute(im_ref[:], mask, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -130,32 +167,10 @@ def _pauli_rot_kernel(scal_ref, re_ref, im_ref, ore_ref, oim_ref):
     re = re_ref[:]
     im = im_ref[:]
     rows = re.shape[0]
-    n_row_bits = max(rows.bit_length() - 1, 0)
 
-    row_mask = (xb >> np.uint32(LANE_BITS)).astype(jnp.uint32)
-    lane_mask = (xb & np.uint32(LANE - 1)).astype(jnp.uint32)
-
-    tre, tim = re, im
-    for p in range(n_row_bits):
-        a = rows >> (p + 1)
-        r4 = tre.reshape(a, 2, 1 << p, LANE)
-        i4 = tim.reshape(a, 2, 1 << p, LANE)
-        bit = ((row_mask >> np.uint32(p)) & np.uint32(1)).astype(bool)
-        tre = jnp.where(bit, jnp.flip(r4, axis=1), r4).reshape(rows, LANE)
-        tim = jnp.where(bit, jnp.flip(i4, axis=1), i4).reshape(rows, LANE)
-
-    i_ids = jax.lax.broadcasted_iota(jnp.uint32, (LANE, LANE), 0)
-    j_ids = jax.lax.broadcasted_iota(jnp.uint32, (LANE, LANE), 1)
-    P = ((i_ids ^ j_ids) == lane_mask).astype(jnp.float32)
-    tre = jnp.dot(tre, P, preferred_element_type=jnp.float32)
-    tim = jnp.dot(tim, P, preferred_element_type=jnp.float32)
-
-    # parity sign s(b) = (-1)^{popcount(b & zb)}
-    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 1)
-    b = (row_ids << np.uint32(LANE_BITS)) | lane_ids
-    par = jax.lax.population_count(b & zb) & np.uint32(1)
-    s = 1.0 - 2.0 * par.astype(jnp.float32)
+    tre = _xor_permute(re, xb, rows)
+    tim = _xor_permute(im, xb, rows)
+    s = _parity_sign(zb, rows)
 
     # ppsi = ph * s * t  (complex);  out = cos*psi - i*sin*ppsi
     pre = s * (phre * tre - phim * tim)

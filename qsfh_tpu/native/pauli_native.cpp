@@ -49,7 +49,9 @@ int64_t qsfh_merge_terms(const uint64_t* x, const uint64_t* z,
   for (int64_t i = 0; i < n; ++i) {
     terms[static_cast<size_t>(i)] = Term{x[i], z[i], c_re[i], c_im[i]};
   }
-  std::sort(terms.begin(), terms.end(), key_less);
+  // stable: duplicate (x,z) keys sum in input order, so output is
+  // bitwise-identical to np.lexsort-based numpy fallback (ADVICE r1)
+  std::stable_sort(terms.begin(), terms.end(), key_less);
 
   int64_t m = 0;
   size_t i = 0;

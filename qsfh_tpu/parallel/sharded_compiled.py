@@ -41,14 +41,46 @@ from .shmap_engine import AMP_AXIS, ShardedPauliEngine, _split_mask_flat, _xor_p
 # -- generator rotation scans -----------------------------------------------------
 
 
-def pack_generator(engine: ShardedPauliEngine, rot_terms) -> List[tuple]:
+def pack_generator(
+    engine: ShardedPauliEngine, rot_terms, allow_noncommuting: bool = False
+) -> List[tuple]:
     """Pack a generator's (x, z, scale) terms into CONTIGUOUS same-x runs.
 
     Returns [(x_qmask, zb_flat[], scale[], phre[], phim[])] in original term
     order -- rotations of non-commuting strings are order-sensitive, so
     terms are never reordered across runs; for the pool/hopping generators
     (every JW string flips the same modes) this is a single run.
+
+    By default REQUIRES the generator's strings to mutually commute:
+    ``adjoint_energy_grads`` evaluates each slot's gradient as
+    Im<lam|G|psi> at the post-slot state, which is exact only under that
+    condition (the single-chip ``run_rot_adjoint`` replays per term and has
+    no such requirement).  Every pool/HVA/Coulomb generator in the framework
+    commutes internally; pass ``allow_noncommuting=True`` only for
+    forward-only Trotter products that never feed the sharded adjoint.
     """
+    if engine.n > 32:
+        # the scan lowering packs FLAT (local+device-bit) masks as uint32
+        # host arrays; past 32 qubits np.asarray would overflow.  The
+        # unrolled shmap path (per-gate static masks) has no such cap.
+        raise ValueError(
+            f"scan lowering packs flat uint32 masks: {engine.n} qubits > 32. "
+            "Use lowering='unrolled' beyond 32 qubits."
+        )
+    terms_list = [(int(x), int(z)) for (x, z, _s) in rot_terms]
+    if not allow_noncommuting:
+        for i in range(len(terms_list)):
+            xa, za = terms_list[i]
+            for j in range(i + 1, len(terms_list)):
+                xb, zb = terms_list[j]
+                if (bin(xa & zb).count("1") + bin(xb & za).count("1")) % 2:
+                    raise ValueError(
+                        "pack_generator: strings "
+                        f"(x={xa:#x},z={za:#x}) and (x={xb:#x},z={zb:#x}) "
+                        "anticommute; the sharded adjoint gradient would be "
+                        "wrong for this generator. Pass "
+                        "allow_noncommuting=True only for forward-only use."
+                    )
     runs: List[tuple] = []
     cur_x = None
     cur: List[tuple] = []
