@@ -104,14 +104,22 @@ class ADAPT:
             adjoint_threshold = 0 if platform == "cpu" else 20
         self.adjoint_threshold = adjoint_threshold
         # circuit lowering: "split" (separately jitted single-scan stages +
-        # adjoint reverse scan) vs "unrolled" (straight-line HLO + backprop)
-        # vs "compiled" (one scan program).  "auto" picks split everywhere:
-        # measured on CPU it is faster at every size (0.6/8.6/1286 ms/iter at
-        # 8/12/18 qubits vs 1.8/31/2640 unrolled) and compiles 5-10x faster;
-        # on remote TPU backends its constant-size programs are the only form
-        # the ~100 s compile-service ceiling digests.
+        # adjoint reverse scan) is THE path -- fastest measured at every
+        # size (0.6/8.6/1286 ms/iter at 8/12/18 qubits vs 1.8/31/2640
+        # unrolled), compiles 5-10x faster, and its constant-size programs
+        # are the only form remote TPU compile services digest.  "unrolled"
+        # (straight-line HLO, backprop/adjoint by n) is kept ONLY as the
+        # independent cross-check lowering (tests/test_split_mode.py pits
+        # the two against each other); the former "compiled" one-scan mode
+        # was removed in round 2 (VERDICT #8) -- split supersedes it
+        # everywhere.
         if circuit_mode == "auto":
             circuit_mode = "split"
+        if circuit_mode not in ("split", "unrolled"):
+            raise ValueError(
+                f"circuit_mode={circuit_mode!r}: use 'split' (default) or "
+                "'unrolled' (cross-check lowering)"
+            )
         self.circuit_mode = circuit_mode
         # a tiny static Z-rotation appended to compiled programs; changing it
         # changes the program hash, which evicts cached-failure entries in
@@ -218,31 +226,13 @@ class ADAPT:
     def _build_screen(self):
         p = self.problem
 
-        if self.circuit_mode == "compiled":
-            from ..engine.compiled import CompiledCircuit
-            from ..grad.adjoint import givens_network_ops
-
-            net = CompiledCircuit(
-                givens_network_ops(self.n_qubits, p.diagonal, p.decomposition),
-                self.n_qubits,
+        def screen(psi_k):
+            psi_r = self._to_real(psi_k)
+            w_r = p.observables["H"].apply(psi_r)
+            w_k = apply_givens_network_adjoint(
+                w_r, self.n_qubits, p.diagonal, p.decomposition
             )
-            empty = jnp.zeros(0, dtype=self._rdt)
-
-            def screen(psi_k):
-                psi_r = net.apply(psi_k, empty)
-                w_r = p.observables["H"].apply(psi_r)
-                w_k = net.apply_inverse(w_r, empty)
-                return self.packed_pool.screen_scan(psi_k, w_k)
-
-        else:
-
-            def screen(psi_k):
-                psi_r = self._to_real(psi_k)
-                w_r = p.observables["H"].apply(psi_r)
-                w_k = apply_givens_network_adjoint(
-                    w_r, self.n_qubits, p.diagonal, p.decomposition
-                )
-                return self.packed_pool.screen(psi_k, w_k)
+            return self.packed_pool.screen(psi_k, w_k)
 
         return jax.jit(screen)
 
@@ -273,7 +263,7 @@ class ADAPT:
             self._screen_cache[indices] = fn
             return fn
 
-        if self.circuit_mode in ("compiled", "split"):
+        if self.circuit_mode == "split":
             from ..engine.compiled import CompiledCircuit, givens_network_static_ops
 
             ansatz = CompiledCircuit(
@@ -286,34 +276,25 @@ class ADAPT:
             net = CompiledCircuit(net_ops, self.n_qubits, global_phase=gphase)
             empty = jnp.zeros(0, dtype=self._rdt)
 
-            if self.circuit_mode == "split":
-                # each stage its own (small) compilation
-                j_ans = jax.jit(
-                    lambda th: ansatz.apply(
-                        basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype),
-                        th,
-                    )
+            # each stage its own (small) compilation
+            j_ans = jax.jit(
+                lambda th: ansatz.apply(
+                    basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype),
+                    th,
                 )
-                j_net = jax.jit(lambda psi: net.apply(psi, empty))
-                j_h = jax.jit(p.observables["H"].apply_scan)
-                j_netinv = jax.jit(lambda w: net.apply_inverse(w, empty))
-                j_screen = jax.jit(self.packed_pool.screen_scan)
-
-                def fn(thetas):
-                    psi_k = j_ans(thetas)
-                    w_k = j_netinv(j_h(j_net(psi_k)))
-                    return j_screen(psi_k, w_k)
-
-                self._screen_cache[indices] = fn
-                return fn
+            )
+            j_net = jax.jit(lambda psi: net.apply(psi, empty))
+            j_h = jax.jit(p.observables["H"].apply_scan)
+            j_netinv = jax.jit(lambda w: net.apply_inverse(w, empty))
+            j_screen = jax.jit(self.packed_pool.screen_scan)
 
             def fn(thetas):
-                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
-                psi_k = ansatz.apply(psi0, thetas)
-                psi_r = net.apply(psi_k, empty)
-                w_r = p.observables["H"].apply_scan(psi_r)
-                w_k = net.apply_inverse(w_r, empty)
-                return self.packed_pool.screen_scan(psi_k, w_k)
+                psi_k = j_ans(thetas)
+                w_k = j_netinv(j_h(j_net(psi_k)))
+                return j_screen(psi_k, w_k)
+
+            self._screen_cache[indices] = fn
+            return fn
 
         else:
 
@@ -477,21 +458,8 @@ class ADAPT:
         if self.circuit_mode == "split":
             return self._build_step_split(indices, optimizer)
 
-        if self.circuit_mode == "compiled":
-            from ..engine.compiled import CompiledCircuit, givens_network_static_ops
-
-            ops = [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
-            net_ops, gphase = givens_network_static_ops(
-                self.n_qubits, p.diagonal, p.decomposition
-            )
-            cc = CompiledCircuit(ops + net_ops, self.n_qubits, global_phase=gphase)
-
-            def loss_fn(thetas):
-                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=self.dtype)
-                psi = cc.apply(psi0, thetas)
-                return obs["H"].expectation_scan(psi), psi
-
-        elif self.n_qubits >= self.adjoint_threshold:
+        # "unrolled" cross-check lowering below (straight-line HLO)
+        if self.n_qubits >= self.adjoint_threshold:
             ops = tuple(
                 [("rot", tuple(self.pool_rot[i]), slot) for slot, i in enumerate(indices)]
                 + givens_network_ops(self.n_qubits, p.diagonal, p.decomposition)

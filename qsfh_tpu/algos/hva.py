@@ -136,6 +136,11 @@ class HVA:
             # remote TPU backends its constant-size programs are the only
             # form the compile-service ceiling digests.
             circuit_mode = "split"
+        if circuit_mode not in ("split", "unrolled"):
+            raise ValueError(
+                f"circuit_mode={circuit_mode!r}: use 'split' (default) or "
+                "'unrolled' (cross-check lowering)"
+            )
         self.circuit_mode = circuit_mode
 
         self.problem = HubbardProblem(
@@ -346,21 +351,7 @@ class HVA:
         if self.circuit_mode == "split":
             return self._build_step_split()
 
-        if self.circuit_mode == "compiled":
-            from ..engine.compiled import CompiledCircuit
-
-            ops = hva_program(
-                self.reps, self._v_rot, self._h_rot, np.asarray(self._coulomb_diag)
-            )
-            cc = CompiledCircuit(ops, self.n_qubits)
-            psi0_reim = self._psi0_reim
-
-            def loss_fn(params):
-                psi0 = from_reim(psi0_reim, self.dtype)
-                psi = cc.apply(psi0, flatten_hva_params(params))
-                return obs["H"].expectation(psi), psi
-
-        else:
+        else:  # "unrolled" cross-check lowering
 
             def loss_fn(params):
                 psi = self.circuit(params)

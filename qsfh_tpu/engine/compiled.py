@@ -261,7 +261,9 @@ def _rot_body(n, rdt):
     # instead of n conditional flips (engine.pallas_kernels)
     from .pallas_kernels import LANE_BITS, pallas_enabled
 
-    if pallas_enabled() and n >= LANE_BITS and rdt == jnp.float32:
+    # n >= 10 keeps every kernel view at the (8, 128) sublane/lane tile
+    # (rows = 2^(n-7) >= 8); smaller states stay on the XLA path
+    if pallas_enabled() and n >= 10 and rdt == jnp.float32:
         from .pallas_kernels import pauli_rotation_pallas
 
         def body(psi, term):
