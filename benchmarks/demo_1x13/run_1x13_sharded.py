@@ -21,7 +21,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # 8 virtual devices timeshare ONE physical core: a 2^23-amplitude shard
+    # takes minutes to reach each collective, far past the default 40 s
+    # rendezvous termination
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    + " --xla_cpu_collective_timeout_seconds=7200"
 )
 
 import jax

@@ -25,17 +25,20 @@ EOF
   fi
   if [ ! -f benchmarks/tpu_result.json ]; then
     salt="$(python -c "print(7e-6*$i)")"
-    if QSFH_BENCH_SALT=$salt timeout 560 python bench.py --warm-stages >> $LOG 2>&1; then
-      echo "WARM OK salt=$salt" >> $LOG
-      echo "$salt" > benchmarks/tpu_salt.txt
-      out=$(QSFH_BENCH_SALT=$salt timeout 560 python bench.py --inner 2>>$LOG)
+    ts=$((i % 2))   # alternate merged / two-scan fwd program shapes
+    if QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
+        timeout 560 python bench.py --warm-stages >> $LOG 2>&1; then
+      echo "WARM OK salt=$salt two_scan=$ts" >> $LOG
+      echo "$salt $ts" > benchmarks/tpu_salt.txt
+      out=$(QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
+        timeout 560 python bench.py --inner 2>>$LOG)
       line=$(echo "$out" | grep '^{' | tail -1)
       if [ -n "$line" ]; then
         echo "$line" > benchmarks/tpu_result.json
         echo "MEASURE OK: $line" >> $LOG
       fi
     else
-      echo "warm failed salt=$salt" >> $LOG
+      echo "warm failed salt=$salt two_scan=$ts" >> $LOG
       sleep 120
       continue
     fi

@@ -100,7 +100,10 @@ def main() -> int:
     # --- train step: marginal chained-iteration time, if stages warm ---
     salt_file = os.path.join(HERE, "tpu_salt.txt")
     if os.path.exists(salt_file):
-        salt = float(open(salt_file).read().strip() or 0)
+        fields = open(salt_file).read().split()
+        salt = float(fields[0]) if fields else 0.0
+        if len(fields) > 1:
+            os.environ["QSFH_SPLIT_TWO_SCAN"] = fields[1]
         import optax
 
         from qsfh_tpu.algos.adapt import ADAPT

@@ -358,9 +358,6 @@ class ADAPT:
         )
         if self.program_salt:
             net_ops = net_ops + [("rot", ((0, 1, self.program_salt),), -1)]
-        cc = CompiledCircuit(ops + net_ops, self.n_qubits, global_phase=gphase)
-        assert len(cc.segments) == 1 and cc.segments[0].kind == "rot"
-        seg = cc.segments[0]
 
         # ALL stage boundaries exchange stacked (2, 2^n) REAL arrays: the
         # axon backend cannot consume another program's complex output
@@ -369,20 +366,49 @@ class ADAPT:
 
         dt = self.dtype
 
-        def fwd_raw(th):
-            psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
-            return to_reim(cc.apply(psi0, th))
+        # QSFH_SPLIT_TWO_SCAN=1 keeps the ansatz and the Givens network as
+        # TWO scans inside each stage instead of one merged scan -- same
+        # math, a program shape observed to compile on remote TPU services
+        # that reject the longer merged scan
+        two_scan = os.environ.get("QSFH_SPLIT_TWO_SCAN", "0") == "1" and ops
+        if two_scan:
+            ans_cc = CompiledCircuit(ops, self.n_qubits)
+            net_cc = CompiledCircuit(net_ops, self.n_qubits, global_phase=gphase)
+            assert len(ans_cc.segments) == 1 and len(net_cc.segments) == 1
+            ans_seg = ans_cc.segments[0]
+            net_seg = net_cc.segments[0]
+
+            def fwd_raw(th):
+                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
+                return to_reim(net_cc.apply(ans_cc.apply(psi0, th), th))
+
+            def adjoint_raw(psi_r, lam_r, th):
+                psi_m, lam_m, _ = run_rot_adjoint(
+                    net_seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th,
+                    self.n_qubits,
+                )
+                return run_rot_adjoint(ans_seg, psi_m, lam_m, th, self.n_qubits)[2]
+
+        else:
+            cc = CompiledCircuit(ops + net_ops, self.n_qubits, global_phase=gphase)
+            assert len(cc.segments) == 1 and cc.segments[0].kind == "rot"
+            seg = cc.segments[0]
+
+            def fwd_raw(th):
+                psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
+                return to_reim(cc.apply(psi0, th))
+
+            def adjoint_raw(psi_r, lam_r, th):
+                return run_rot_adjoint(
+                    seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th,
+                    self.n_qubits,
+                )[2]
 
         def energy_raw(psi_r):
             return obs["H"].expectation_scan(from_reim(psi_r, dt))
 
         def cotangent_raw(psi_r):
             return to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
-
-        def adjoint_raw(psi_r, lam_r, th):
-            return run_rot_adjoint(
-                seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th, self.n_qubits
-            )[2]
 
         def metrics_fn(psi_r):
             # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the

@@ -77,3 +77,22 @@ class TestSplitMode:
             )[2]
         )
         np.testing.assert_allclose(e0, e1, atol=1e-9)
+
+
+class TestTwoScanFwd:
+    def test_two_scan_matches_merged_bitwise(self, tmp_path, monkeypatch):
+        """QSFH_SPLIT_TWO_SCAN=1 (ansatz + network as two scans per stage,
+        the fallback program shape for remote TPU compile services) is the
+        same computation as the merged single-scan split step."""
+        monkeypatch.delenv("QSFH_SPLIT_TWO_SCAN", raising=False)
+        a = ADAPT(**KW, results_root=str(tmp_path / "m"), circuit_mode="split")
+        idx = (0, 5, 11)
+        opt = optax.adam(1e-2)
+        th = jnp.asarray([0.2, -0.3, 0.1])
+        out_m = a._build_step(idx, opt)(th, opt.init(th))
+        monkeypatch.setenv("QSFH_SPLIT_TWO_SCAN", "1")
+        b = ADAPT(**KW, results_root=str(tmp_path / "t"), circuit_mode="split")
+        out_t = b._build_step(idx, opt)(th, opt.init(th))
+        for i in (2, 3, 4, 5, 6):  # energy, Sz, S^2, fidelity, grad norm
+            np.testing.assert_allclose(float(out_m[i]), float(out_t[i]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out_m[0]), np.asarray(out_t[0]), atol=1e-12)
