@@ -97,8 +97,13 @@ def main() -> int:
     ok = out["rot_rel_err"] < 1e-5 and out["gather_rel_err"] < 1e-5
     out["correct"] = bool(ok)
 
-    # --- timing: K dependent rotations per program ---
-    thetas = jnp.linspace(0.01, 0.5, K, dtype=jnp.float32)
+    # --- timing: MARGINAL us/rotation between two chain lengths.
+    # A single fetch-synced call is tunnel-RTT dominated (tens of ms, window
+    # dependent); (t(K2) - t(K1)) / (K2 - K1) cancels the RTT constant. ---
+    K1, K2 = K, 3 * K
+
+    def theta_vec(k):
+        return jnp.linspace(0.01, 0.5, k, dtype=jnp.float32)
 
     def chain(rotfn):
         @jax.jit
@@ -113,20 +118,68 @@ def main() -> int:
 
         return prog
 
+    def time_prog(prog):
+        ts = {}
+        for k in (K1, K2):
+            ths = theta_vec(k)
+            float(prog(psi_reim, ths))  # compile + warm
+            samples = []
+            for _ in range(5):
+                t0 = time.time()
+                float(prog(psi_reim, ths))
+                samples.append(time.time() - t0)
+            ts[k] = float(np.median(samples))
+        return 1e6 * (ts[K2] - ts[K1]) / (K2 - K1), ts
+
     for name, fn in (("xla", xla_rot), ("pallas", pallas_rot)):
-        prog = chain(fn)
-        float(prog(psi_reim, thetas))  # compile + warm
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            float(prog(psi_reim, thetas))
-            ts.append(time.time() - t0)
-        out[f"{name}_us_per_rot"] = round(1e6 * float(np.median(ts)) / K, 1)
+        per_op, raw = time_prog(chain(fn))
+        out[f"{name}_us_per_rot"] = round(per_op, 1)
+        out[f"{name}_total_ms"] = {str(k): round(1e3 * v, 1) for k, v in raw.items()}
+
+    # --- VMEM-resident chain kernel: the whole K-rotation product in one
+    # pallas call (2 HBM plane transfers total instead of per rotation) ---
+    from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+
+    def arrs(k):
+        return (
+            jnp.full(k, xb, jnp.uint32),
+            jnp.full(k, zb, jnp.uint32),
+            jnp.full(k, phre, jnp.float32),
+            jnp.full(k, phim, jnp.float32),
+        )
+
+    @jax.jit
+    def chain_prog(pr, ths):
+        psi = from_reim(pr, jnp.complex64)
+        xs_a, zs_a, pr_a, pi_a = arrs(ths.shape[0])
+        psi = pauli_chain_pallas(psi, N, xs_a, zs_a, ths, pr_a, pi_a)
+        return jnp.vdot(psi, psi).real
+
+    @jax.jit
+    def chain_err(pr, ths):
+        psi = from_reim(pr, jnp.complex64)
+        xs_a, zs_a, pr_a, pi_a = arrs(ths.shape[0])
+        a = pauli_chain_pallas(psi, N, xs_a, zs_a, ths, pr_a, pi_a)
+        b = psi
+        for k in range(16):  # short unrolled reference: heavy straight-line
+            b = xla_rot(b, ths[k])  # programs stall the compile service
+        def body(p, th):
+            return xla_rot(p, th), None
+        b, _ = lax.scan(body, b, ths[16:])
+        return jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
+
+    out["chain_rel_err"] = float(chain_err(psi_reim, theta_vec(K)))
+    per_op, raw = time_prog(chain_prog)
+    out["chain_us_per_rot"] = round(per_op, 1)
+    out["chain_total_ms"] = {str(k): round(1e3 * v, 1) for k, v in raw.items()}
+    ok = ok and out["chain_rel_err"] < 1e-4
 
     if ok:
-        out["recommend"] = (
-            "pallas" if out["pallas_us_per_rot"] < out["xla_us_per_rot"] else "xla"
-        )
+        timings = {
+            k: out[f"{k}_us_per_rot"] for k in ("xla", "pallas", "chain")
+            if f"{k}_us_per_rot" in out
+        }
+        out["recommend"] = min(timings, key=timings.get)
     else:
         out["recommend"] = "xla (pallas INCORRECT on chip)"
 

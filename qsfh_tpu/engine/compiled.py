@@ -345,7 +345,19 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
             )
             if direction == -1:
                 xs = tuple(x[::-1] for x in xs)
-            psi, _ = jax.lax.scan(_rot_body(n, rdt), psi, xs)
+            from .pallas_kernels import pallas_enabled
+
+            if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+                # whole-segment chain kernel: state stays VMEM-resident
+                # across all terms (2 HBM plane transfers per 256-term
+                # chunk instead of per rotation)
+                from .pallas_kernels import pauli_chain_pallas
+
+                psi = pauli_chain_pallas(
+                    psi, n, xs[0], xs[1], xs[6] * xs[2], xs[4], xs[5]
+                )
+            else:
+                psi, _ = jax.lax.scan(_rot_body(n, rdt), psi, xs)
         elif seg.kind == "u4":
             d = seg.data
             U = jnp.asarray(d["U"], rdt)
