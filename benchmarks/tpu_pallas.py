@@ -174,6 +174,53 @@ def main() -> int:
     out["chain_total_ms"] = {str(k): round(1e3 * v, 1) for k, v in raw.items()}
     ok = ok and out["chain_rel_err"] < 1e-4
 
+    # --- observable chain kernels on the real 3x3 Hamiltonian ---
+    from qsfh_tpu.algos.base import HubbardProblem
+    from qsfh_tpu.engine.expectation import Observable
+
+    p3 = HubbardProblem(3, 3, 1.0, 6.0, 9, 5, 4)
+    obs = Observable(p3.qubit_hamiltonian, p3.n_qubits)
+    out["h_terms"] = len(obs)
+
+    def eval_prog():
+        # traces obs.expectation_scan under the CURRENT QSFH_PALLAS env
+        @jax.jit
+        def prog(pr, scales):
+            psi = from_reim(pr, jnp.complex64)
+
+            def body(tot, a):
+                return tot + obs.expectation_scan(psi * a), None
+
+            tot, _ = lax.scan(body, jnp.float32(0.0), scales)
+            return tot
+
+        return prog
+
+    def time_eval(prog):
+        ts = {}
+        for k in (8, 24):
+            scales = jnp.linspace(1.0, 1.0001, k, dtype=jnp.float32)
+            float(prog(psi_reim, scales))
+            samples = []
+            for _ in range(5):
+                t0 = time.time()
+                float(prog(psi_reim, scales))
+                samples.append(time.time() - t0)
+            ts[k] = float(np.median(samples))
+        return 1e3 * (ts[24] - ts[8]) / 16
+
+    os.environ["QSFH_PALLAS"] = "0"
+    prog = eval_prog()
+    e_xla_v = float(prog(psi_reim, jnp.ones(8, jnp.float32))) / 8
+    out["energy_eval_xla_ms"] = round(time_eval(prog), 3)
+    os.environ["QSFH_PALLAS"] = "1"
+    prog = eval_prog()
+    e_pl_v = float(prog(psi_reim, jnp.ones(8, jnp.float32))) / 8
+    out["energy_eval_chain_ms"] = round(time_eval(prog), 3)
+    out["energy_eval_rel_err"] = abs(e_pl_v - e_xla_v) / max(abs(e_xla_v), 1e-9)
+    ok = ok and out["energy_eval_rel_err"] < 1e-4
+    del os.environ["QSFH_PALLAS"]
+
     if ok:
         timings = {
             k: out[f"{k}_us_per_rot"] for k in ("xla", "pallas", "chain")

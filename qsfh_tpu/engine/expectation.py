@@ -195,8 +195,18 @@ class Observable:
 
         n = self.n
         rdt = real_dtype(psi.dtype)
-        idx = index_bits(n)
         xs, zs, cre, cim = self._scan_terms()
+
+        from .pallas_kernels import pallas_enabled
+
+        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+            from .pallas_kernels import expectation_chain_pallas
+
+            return expectation_chain_pallas(
+                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+            )
+
+        idx = index_bits(n)
         conj = jnp.conj(psi)
 
         def body(total, term):
@@ -225,8 +235,18 @@ class Observable:
 
         n = self.n
         rdt = real_dtype(psi.dtype)
-        idx = index_bits(n)
         xs, zs, cre, cim = self._scan_terms()
+
+        from .pallas_kernels import pallas_enabled
+
+        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+            from .pallas_kernels import apply_chain_pallas
+
+            return apply_chain_pallas(
+                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+            )
+
+        idx = index_bits(n)
 
         def body(out, term):
             xb, zb, re, im = term

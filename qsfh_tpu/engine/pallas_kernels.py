@@ -338,3 +338,148 @@ def pauli_rotation_pallas(psi, n: int, xb, zb, theta, phre, phim):
         interpret=jax.devices()[0].platform == "cpu",
     )(masks, angs, re, im)
     return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
+
+
+def _expectation_chain_kernel(
+    xs_ref, zs_ref, cre_ref, cim_ref, re_ref, im_ref, out_ref
+):
+    """acc += Re[c_t <psi| s_z P_t |psi>] over T terms, state VMEM-resident.
+
+    Per term: val = sum_b conj(psi)[b] * s(b) * psi[b ^ xb];  in planes
+    val_re = sum s*(re*tre + im*tim), val_im = sum s*(re*tim - im*tre);
+    contribution cre*val_re - cim*val_im.  Zero-coefficient padding terms
+    contribute exactly 0.
+    """
+    rows = re_ref.shape[0]
+    T = xs_ref.shape[0]
+    re = re_ref[:]
+    im = im_ref[:]
+
+    def body(i, acc):
+        tre = _xor_permute(re, xs_ref[i], rows)
+        tim = _xor_permute(im, xs_ref[i], rows)
+        s = _parity_sign(zs_ref[i], rows)
+        vr = jnp.sum(s * (re * tre + im * tim))
+        vi = jnp.sum(s * (re * tim - im * tre))
+        return acc + cre_ref[i] * vr - cim_ref[i] * vi
+
+    out_ref[0, 0] = jax.lax.fori_loop(0, T, body, jnp.float32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def expectation_chain_pallas(psi, n: int, xs, zs, cre, cim):
+    """Re <psi| sum_t c_t s_z P_t |psi> with the state VMEM-resident."""
+    if n < 10:
+        raise ValueError("expectation_chain_pallas needs at least 10 qubits")
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+
+    T = xs.shape[0]
+    chunk = CHAIN_CHUNK if T > CHAIN_CHUNK else max(T, 1)
+    pad = (-T) % chunk
+    xs = jnp.pad(jnp.asarray(xs, jnp.uint32), (0, pad))
+    zs = jnp.pad(jnp.asarray(zs, jnp.uint32), (0, pad))
+    cre = jnp.pad(jnp.asarray(cre, jnp.float32), (0, pad))
+    cim = jnp.pad(jnp.asarray(cim, jnp.float32), (0, pad))
+    n_chunks = (T + pad) // chunk
+
+    call = pl.pallas_call(
+        _expectation_chain_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+
+    def chunk_body(acc, term):
+        cxs, czs, ccr, cci = term
+        return acc + call(cxs, czs, ccr, cci, re, im)[0, 0], None
+
+    chunks = (
+        xs.reshape(n_chunks, chunk),
+        zs.reshape(n_chunks, chunk),
+        cre.reshape(n_chunks, chunk),
+        cim.reshape(n_chunks, chunk),
+    )
+    total, _ = jax.lax.scan(chunk_body, jnp.float32(0.0), chunks)
+    return total
+
+
+def _apply_chain_kernel(
+    xs_ref, zs_ref, cre_ref, cim_ref, re_ref, im_ref, are_ref, aim_ref,
+    ore_ref, oim_ref,
+):
+    """acc += sum_t c_t s_z P_t |psi>, state and accumulator VMEM-resident."""
+    rows = re_ref.shape[0]
+    T = xs_ref.shape[0]
+    re = re_ref[:]
+    im = im_ref[:]
+
+    def body(i, carry):
+        ar, ai = carry
+        tre = _xor_permute(re, xs_ref[i], rows)
+        tim = _xor_permute(im, xs_ref[i], rows)
+        s = _parity_sign(zs_ref[i], rows)
+        cr = cre_ref[i]
+        ci = cim_ref[i]
+        ar = ar + s * (cr * tre - ci * tim)
+        ai = ai + s * (cr * tim + ci * tre)
+        return (ar, ai)
+
+    ar, ai = jax.lax.fori_loop(0, T, body, (are_ref[:], aim_ref[:]))
+    ore_ref[:] = ar
+    oim_ref[:] = ai
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def apply_chain_pallas(psi, n: int, xs, zs, cre, cim):
+    """(sum_t c_t s_z P_t)|psi> with state + accumulator VMEM-resident."""
+    if n < 10:
+        raise ValueError("apply_chain_pallas needs at least 10 qubits")
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+
+    T = xs.shape[0]
+    chunk = CHAIN_CHUNK if T > CHAIN_CHUNK else max(T, 1)
+    pad = (-T) % chunk
+    xs = jnp.pad(jnp.asarray(xs, jnp.uint32), (0, pad))
+    zs = jnp.pad(jnp.asarray(zs, jnp.uint32), (0, pad))
+    cre = jnp.pad(jnp.asarray(cre, jnp.float32), (0, pad))
+    cim = jnp.pad(jnp.asarray(cim, jnp.float32), (0, pad))
+    n_chunks = (T + pad) // chunk
+
+    call = pl.pallas_call(
+        _apply_chain_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+
+    def chunk_body(carry, term):
+        ar, ai = carry
+        cxs, czs, ccr, cci = term
+        return call(cxs, czs, ccr, cci, re, im, ar, ai), None
+
+    chunks = (
+        xs.reshape(n_chunks, chunk),
+        zs.reshape(n_chunks, chunk),
+        cre.reshape(n_chunks, chunk),
+        cim.reshape(n_chunks, chunk),
+    )
+    zero = jnp.zeros((rows, LANE), jnp.float32)
+    (ar, ai), _ = jax.lax.scan(chunk_body, (zero, zero), chunks)
+    return (ar + 1j * ai).astype(psi.dtype).reshape(psi.shape)

@@ -86,3 +86,24 @@ class TestPallasScanIntegration:
         cc2 = CompiledCircuit(ops, N)
         got = np.asarray(jax.jit(cc2.apply)(psi32, th))
         np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestObservableChainKernels:
+    def test_expectation_and_apply_chain_match_xla(self, psi, monkeypatch):
+        """QSFH_PALLAS=1 routes Observable.expectation_scan/apply_scan
+        through the VMEM-resident chain kernels; results must match the
+        pure-XLA scan lowering."""
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.engine.expectation import Observable
+
+        p = HubbardProblem(1, 5, 1.0, 6.0, 5, 3, 2)  # 10 qubits
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        obs = Observable(p.qubit_hamiltonian, p.n_qubits)
+        e_xla = float(obs.expectation_scan(psi))
+        w_xla = np.asarray(obs.apply_scan(psi))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        obs2 = Observable(p.qubit_hamiltonian, p.n_qubits)
+        e_pl = float(jax.jit(obs2.expectation_scan)(psi))
+        w_pl = np.asarray(jax.jit(obs2.apply_scan)(psi))
+        np.testing.assert_allclose(e_pl, e_xla, atol=2e-5)
+        np.testing.assert_allclose(w_pl, w_xla, atol=2e-5)
