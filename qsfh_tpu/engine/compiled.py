@@ -404,6 +404,31 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     thetas_ext = jnp.concatenate([thetas, jnp.ones(1, dtype=thetas.dtype)])
     pidx_host = np.where(d["pidx"] < 0, n_params, d["pidx"])
     th = thetas_ext[jnp.asarray(pidx_host)]
+
+    from .pallas_kernels import pallas_enabled
+
+    if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+        # VMEM-resident chained reverse sweep; per-term contributions are
+        # segment-summed by parameter index outside the kernel
+        from .pallas_kernels import adjoint_chain_pallas
+
+        angle = (th.astype(rdt) * jnp.asarray(d["scale"], rdt))[::-1]
+        psi0, lam0, contribs = adjoint_chain_pallas(
+            psi_final,
+            lam,
+            n,
+            jnp.asarray(d["xb"])[::-1],
+            jnp.asarray(d["zb"])[::-1],
+            angle,
+            jnp.asarray(d["scale"], rdt)[::-1],
+            jnp.asarray(d["phre"], rdt)[::-1],
+            jnp.asarray(d["phim"], rdt)[::-1],
+        )
+        grads = jax.ops.segment_sum(
+            contribs, jnp.asarray(pidx_host[::-1]), num_segments=n_params + 1
+        )
+        return psi0, lam0, grads[:n_params].astype(rdt)
+
     idx = index_bits(n)
 
     xs = (

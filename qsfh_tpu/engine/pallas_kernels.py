@@ -483,3 +483,133 @@ def apply_chain_pallas(psi, n: int, xs, zs, cre, cim):
     zero = jnp.zeros((rows, LANE), jnp.float32)
     (ar, ai), _ = jax.lax.scan(chunk_body, (zero, zero), chunks)
     return (ar + 1j * ai).astype(psi.dtype).reshape(psi.shape)
+
+
+def _adjoint_chain_kernel(
+    xs_ref, zs_ref, cos_ref, sin_ref, scale_ref, phre_ref, phim_ref,
+    re_ref, im_ref, lre_ref, lim_ref,
+    ore_ref, oim_ref, olre_ref, olim_ref, acc_ref,
+):
+    """Reverse adjoint sweep over T terms, four planes VMEM-resident.
+
+    Terms arrive already REVERSED.  Per term (matching
+    engine.compiled.run_rot_adjoint): contribution
+    scale * Im<lam| P psi> at the post-gate state, then BOTH carriers are
+    inverse-rotated exp(+i angle P).  Contributions land in a per-term
+    one-hot slot of an (8, LANE) accumulator (no dynamic stores); the
+    caller segment-sums them by parameter index.
+    """
+    rows = re_ref.shape[0]
+    T = xs_ref.shape[0]
+    # int32 iotas: the fori_loop index is int32 and int->uint casts are
+    # themselves a Mosaic lowering risk
+    slot_row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
+
+    def body(i, carry):
+        re, im, lre, lim, acc = carry
+        xb = xs_ref[i]
+        zb = zs_ref[i]
+        c = cos_ref[i]
+        sn = sin_ref[i]
+        pr = phre_ref[i]
+        pi = phim_ref[i]
+        s = _parity_sign(zb, rows)
+        tre = _xor_permute(re, xb, rows)
+        tim = _xor_permute(im, xb, rows)
+        pre = s * (pr * tre - pi * tim)
+        pim = s * (pr * tim + pi * tre)
+        contrib = scale_ref[i] * jnp.sum(lre * pim - lim * pre)
+        acc = acc + contrib * jnp.where(
+            slot_id == i, jnp.float32(1.0), jnp.float32(0.0)
+        )
+        re, im = c * re - sn * pim, c * im + sn * pre
+        tlre = _xor_permute(lre, xb, rows)
+        tlim = _xor_permute(lim, xb, rows)
+        plre = s * (pr * tlre - pi * tlim)
+        plim = s * (pr * tlim + pi * tlre)
+        lre, lim = c * lre - sn * plim, c * lim + sn * plre
+        return (re, im, lre, lim, acc)
+
+    acc0 = jnp.zeros((8, LANE), jnp.float32)
+    re, im, lre, lim, acc = jax.lax.fori_loop(
+        0, T, body, (re_ref[:], im_ref[:], lre_ref[:], lim_ref[:], acc0)
+    )
+    ore_ref[:] = re
+    oim_ref[:] = im
+    olre_ref[:] = lre
+    olim_ref[:] = lim
+    acc_ref[:] = acc
+
+
+# adjoint chunks are capped by the (8, LANE) one-hot contribution grid
+ADJOINT_CHUNK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def adjoint_chain_pallas(psi_final, lam, n: int, xs, zs, angles, scales, phre, phim):
+    """Chained reverse adjoint sweep; returns (psi0, lam0, contribs).
+
+    ``xs/zs/angles/scales/phre/phim`` must already be in REVERSED
+    application order (as run_rot_adjoint prepares them); ``contribs[i]``
+    is scale_i * Im<lam|P_i psi> for reversed term i -- the caller
+    segment-sums by parameter index.  Four planes stay VMEM-resident per
+    chunk; zero-scale padding terms contribute exactly 0 and rotate by
+    identity (angle 0).
+    """
+    if n < 10:
+        raise ValueError("adjoint_chain_pallas needs at least 10 qubits")
+    rows = (1 << n) // LANE
+    re = jnp.real(psi_final).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi_final).astype(jnp.float32).reshape(rows, LANE)
+    lre = jnp.real(lam).astype(jnp.float32).reshape(rows, LANE)
+    lim = jnp.imag(lam).astype(jnp.float32).reshape(rows, LANE)
+
+    T = xs.shape[0]
+    chunk = ADJOINT_CHUNK if T > ADJOINT_CHUNK else max(T, 1)
+    pad = (-T) % chunk
+    xs = jnp.pad(jnp.asarray(xs, jnp.uint32), (0, pad))
+    zs = jnp.pad(jnp.asarray(zs, jnp.uint32), (0, pad))
+    angles = jnp.pad(jnp.asarray(angles, jnp.float32), (0, pad))
+    scales = jnp.pad(jnp.asarray(scales, jnp.float32), (0, pad))
+    phre = jnp.pad(jnp.asarray(phre, jnp.float32), (0, pad), constant_values=1.0)
+    phim = jnp.pad(jnp.asarray(phim, jnp.float32), (0, pad))
+    n_chunks = (T + pad) // chunk
+
+    call = pl.pallas_call(
+        _adjoint_chain_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)),
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+
+    def chunk_body(carry, term):
+        cre, cim, clre, clim = carry
+        cxs, czs, cth, csc, cpr, cpi = term
+        nre, nim, nlre, nlim, acc = call(
+            cxs, czs, jnp.cos(cth), jnp.sin(cth), csc, cpr, cpi,
+            cre, cim, clre, clim,
+        )
+        return (nre, nim, nlre, nlim), acc.reshape(-1)[:chunk]
+
+    chunks = (
+        xs.reshape(n_chunks, chunk),
+        zs.reshape(n_chunks, chunk),
+        angles.reshape(n_chunks, chunk),
+        scales.reshape(n_chunks, chunk),
+        phre.reshape(n_chunks, chunk),
+        phim.reshape(n_chunks, chunk),
+    )
+    (re, im, lre, lim), accs = jax.lax.scan(chunk_body, (re, im, lre, lim), chunks)
+    psi0 = (re + 1j * im).astype(psi_final.dtype).reshape(psi_final.shape)
+    lam0 = (lre + 1j * lim).astype(lam.dtype).reshape(lam.shape)
+    return psi0, lam0, accs.reshape(-1)[:T]

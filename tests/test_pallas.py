@@ -107,3 +107,44 @@ class TestObservableChainKernels:
         w_pl = np.asarray(jax.jit(obs2.apply_scan)(psi))
         np.testing.assert_allclose(e_pl, e_xla, atol=2e-5)
         np.testing.assert_allclose(w_pl, w_xla, atol=2e-5)
+
+
+class TestAdjointChainKernel:
+    def test_adjoint_stage_matches_xla_on_same_inputs(self, monkeypatch, tmp_path):
+        """The adjoint chain kernel produces the same per-parameter
+        gradients as the XLA reverse scan, given identical (psi, lam)
+        stage inputs.  (Comparing Adam-updated thetas instead would
+        amplify roundoff on near-zero gradient components.)"""
+        import optax
+        from qsfh_tpu.algos.adapt import ADAPT
+
+        kw = dict(
+            n_epoch=0, threshold1=1e-2, threshold2=1e-2,
+            x_dimension=1, y_dimension=5, n_electrons=5, n_spin_up=3,
+            n_spin_down=2, tunneling=1.0, coulomb=6.0,
+            ground_truth=False, plot=False, log_metrics=False,
+            circuit_mode="split", dtype=jnp.complex64,
+        )
+        idx = (0, 1, 2)
+        th = jnp.asarray([0.2, -0.3, 0.1], jnp.float32)
+        opt = optax.adam(1e-2)
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        a = ADAPT(**kw, results_root=str(tmp_path / "x"))
+        raw_x = a._build_step(idx, opt).raw_stages
+        psi_r = jax.jit(raw_x["fwd"])(th)
+        lam_r = jax.jit(raw_x["cotangent"])(psi_r)
+        g_x = np.asarray(jax.jit(raw_x["adjoint"])(psi_r, lam_r, th))
+        e_x = float(jax.jit(raw_x["energy"])(psi_r))
+
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        b = ADAPT(**kw, results_root=str(tmp_path / "p"))
+        raw_p = b._build_step(idx, opt).raw_stages
+        psi_p = jax.jit(raw_p["fwd"])(th)
+        lam_p = jax.jit(raw_p["cotangent"])(psi_p)
+        e_p = float(jax.jit(raw_p["energy"])(psi_p))
+        # pallas adjoint on the XLA-produced inputs: isolates the kernel
+        g_p = np.asarray(jax.jit(raw_p["adjoint"])(psi_r, lam_r, th))
+
+        np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_r), atol=2e-6)
+        np.testing.assert_allclose(e_p, e_x, atol=2e-5)
+        np.testing.assert_allclose(g_p, g_x, atol=2e-5)
