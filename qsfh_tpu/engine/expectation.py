@@ -348,6 +348,20 @@ class PackedPool:
                 np.asarray(ks, np.int32),
             )
         xs, zs, cre, cim, ks = self._scan_arrays
+
+        from .pallas_kernels import pallas_enabled
+
+        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+            from .pallas_kernels import screen_chain_pallas
+
+            contribs = screen_chain_pallas(
+                psi, w, n, xs, zs,
+                cre.astype(np.float32), cim.astype(np.float32),
+            )
+            return jax.ops.segment_sum(
+                contribs, jnp.asarray(ks), num_segments=self.size
+            ).astype(rdt)
+
         conj_w = jnp.conj(w)
 
         def body(grads, term):

@@ -613,3 +613,78 @@ def adjoint_chain_pallas(psi_final, lam, n: int, xs, zs, angles, scales, phre, p
     psi0 = (re + 1j * im).astype(psi_final.dtype).reshape(psi_final.shape)
     lam0 = (lre + 1j * lim).astype(lam.dtype).reshape(lam.shape)
     return psi0, lam0, accs.reshape(-1)[:T]
+
+
+def _screen_chain_kernel(
+    xs_ref, zs_ref, cre_ref, cim_ref, re_ref, im_ref, wre_ref, wim_ref,
+    acc_ref,
+):
+    """Pool-screening contributions 2 Im[c_t <w| s_z P_t |psi>], both
+    states VMEM-resident; per-term scalars land in one-hot slots."""
+    rows = re_ref.shape[0]
+    T = xs_ref.shape[0]
+    re = re_ref[:]
+    im = im_ref[:]
+    wre = wre_ref[:]
+    wim = wim_ref[:]
+    slot_row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
+
+    def body(i, acc):
+        tre = _xor_permute(re, xs_ref[i], rows)
+        tim = _xor_permute(im, xs_ref[i], rows)
+        s = _parity_sign(zs_ref[i], rows)
+        vr = jnp.sum(s * (wre * tre + wim * tim))
+        vi = jnp.sum(s * (wre * tim - wim * tre))
+        contrib = 2.0 * (cre_ref[i] * vi + cim_ref[i] * vr)
+        return acc + contrib * jnp.where(
+            slot_id == i, jnp.float32(1.0), jnp.float32(0.0)
+        )
+
+    acc_ref[:] = jax.lax.fori_loop(0, T, body, jnp.zeros((8, LANE), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def screen_chain_pallas(psi, w, n: int, xs, zs, cre, cim):
+    """Per-term screening contributions (caller segment-sums by generator
+    index).  Zero-coefficient padding contributes exactly 0."""
+    if n < 10:
+        raise ValueError("screen_chain_pallas needs at least 10 qubits")
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    wre = jnp.real(w).astype(jnp.float32).reshape(rows, LANE)
+    wim = jnp.imag(w).astype(jnp.float32).reshape(rows, LANE)
+
+    T = xs.shape[0]
+    chunk = ADJOINT_CHUNK if T > ADJOINT_CHUNK else max(T, 1)
+    pad = (-T) % chunk
+    xs = jnp.pad(jnp.asarray(xs, jnp.uint32), (0, pad))
+    zs = jnp.pad(jnp.asarray(zs, jnp.uint32), (0, pad))
+    cre = jnp.pad(jnp.asarray(cre, jnp.float32), (0, pad))
+    cim = jnp.pad(jnp.asarray(cim, jnp.float32), (0, pad))
+    n_chunks = (T + pad) // chunk
+
+    call = pl.pallas_call(
+        _screen_chain_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+
+    def chunk_body(_, term):
+        cxs, czs, ccr, cci = term
+        acc = call(cxs, czs, ccr, cci, re, im, wre, wim)
+        return None, acc.reshape(-1)[:chunk]
+
+    chunks = (
+        xs.reshape(n_chunks, chunk),
+        zs.reshape(n_chunks, chunk),
+        cre.reshape(n_chunks, chunk),
+        cim.reshape(n_chunks, chunk),
+    )
+    _, accs = jax.lax.scan(chunk_body, None, chunks)
+    return accs.reshape(-1)[:T]

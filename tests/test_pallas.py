@@ -148,3 +148,28 @@ class TestAdjointChainKernel:
         np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_r), atol=2e-6)
         np.testing.assert_allclose(e_p, e_x, atol=2e-5)
         np.testing.assert_allclose(g_p, g_x, atol=2e-5)
+
+
+class TestScreenChainKernel:
+    def test_screen_scan_matches_xla(self, psi, monkeypatch):
+        """QSFH_PALLAS=1 routes PackedPool.screen_scan through the chain
+        kernel; per-generator gradients must match the XLA scan."""
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.engine.expectation import Observable, PackedPool
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+
+        p = HubbardProblem(1, 5, 1.0, 6.0, 5, 3, 2)  # 10 qubits
+        gens = [
+            0.5 * jordan_wigner(g)
+            for g in hubbard_interaction_pool_simplified(1, 5)[:6]
+        ]
+        obs = Observable(p.qubit_hamiltonian, p.n_qubits)
+        w = obs.apply(psi)
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        pool = PackedPool(gens, p.n_qubits)
+        g_xla = np.asarray(pool.screen_scan(psi, w))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        pool2 = PackedPool(gens, p.n_qubits)
+        g_pl = np.asarray(jax.jit(pool2.screen_scan)(psi, w))
+        np.testing.assert_allclose(g_pl, g_xla, atol=3e-5)
