@@ -173,3 +173,18 @@ class TestScreenChainKernel:
         pool2 = PackedPool(gens, p.n_qubits)
         g_pl = np.asarray(jax.jit(pool2.screen_scan)(psi, w))
         np.testing.assert_allclose(g_pl, g_xla, atol=3e-5)
+
+
+class TestTopBitsBranch:
+    def test_xor_gather_top_row_bits_n15(self):
+        """rows > 128 engages the third (top-bits) XOR matmul in
+        _xor_permute; cover it in interpret mode with a mask spanning
+        lane, mid and top row bits."""
+        n = 15
+        k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+        v = jax.random.normal(k1, (1 << n,)) + 1j * jax.random.normal(k2, (1 << n,))
+        psi15 = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+        mask = (1 << 14) | (1 << 9) | 0b101  # top row bit | mid row bit | lanes
+        expected = np.asarray(xor_flip_traced(psi15, n, jnp.uint32(mask)))
+        got = np.asarray(xor_gather_pallas(psi15, n, jnp.uint32(mask)))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
