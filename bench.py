@@ -218,25 +218,37 @@ def warm_stages():
     optimizer = optax.adam(1e-2)
     step = vqe._build_step(indices, optimizer)
     raw = step.raw_stages
-    values = {}
-    # th rebuilt per attempt: a failed dispatch can invalidate buffers it
-    # consumed, and retries must not feed dead arrays
-    values["th"] = None
+    n = 2 * NX * NY
+
+    # Each stage warms INDEPENDENTLY with shape-correct dummy inputs
+    # (compilation + execution only need shapes/dtypes): one rejected stage
+    # no longer blocks warming the other five, and short healthy windows
+    # are not wasted on retry sleeps for a single stubborn program.
+    def dummies():
+        import numpy as _np
+
+        th = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
+        psi_r = jnp.zeros((2, 1 << n), dtype=vqe._rdt)
+        g = jnp.zeros(N_ANSATZ, dtype=vqe._rdt)
+        return th, psi_r, g
+
     order = [
-        ("fwd", lambda: (values["th"],), "psi"),
-        ("energy", lambda: (values["psi"],), "e"),
-        ("cotangent", lambda: (values["psi"],), "lam"),
-        ("adjoint", lambda: (values["psi"], values["lam"], values["th"]), "g"),
-        ("metrics", lambda: (values["psi"],), "m"),
-        ("update", lambda: (values["th"], values["g"], optimizer.init(values["th"])), "u"),
+        ("fwd", lambda th, psi_r, g: (th,)),
+        ("energy", lambda th, psi_r, g: (psi_r,)),
+        ("cotangent", lambda th, psi_r, g: (psi_r,)),
+        ("adjoint", lambda th, psi_r, g: (psi_r, psi_r, th)),
+        ("metrics", lambda th, psi_r, g: (psi_r,)),
+        ("update", lambda th, psi_r, g: (th, g, optimizer.init(th))),
     ]
-    for name, argfn, out in order:
+    failed = []
+    for name, argfn in order:
         done = False
-        for attempt in range(6):
+        for attempt in range(3):
             try:
-                values["th"] = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
+                # fresh arrays per attempt: a failed dispatch can invalidate
+                # buffers it consumed
                 fn = jax.jit(raw[name])  # fresh jit each retry
-                v = fn(*argfn())
+                v = fn(*argfn(*dummies()))
                 # block_until_ready does NOT synchronize on the tunneled
                 # backend (see measure()); only a host fetch proves the
                 # stage actually executed
@@ -244,17 +256,19 @@ def warm_stages():
 
                 for leaf in jax.tree_util.tree_leaves(v):
                     _np.asarray(leaf).ravel()[:1]
-                values[out] = v
                 _log(f"stage {name}: warm (attempt {attempt})")
                 done = True
                 break
             except Exception as exc:
                 msg = " ".join(str(exc).split())[:300]
                 _log(f"stage {name} attempt {attempt}: {type(exc).__name__}: {msg}")
-                time.sleep(25)
+                time.sleep(10)
         if not done:
-            _log(f"stage {name}: NOT warmed; aborting")
-            return 1
+            _log(f"stage {name}: NOT warmed")
+            failed.append(name)
+    if failed:
+        _log(f"stages not warmed: {failed}")
+        return 1
     _log("all stages warm")
     return 0
 
