@@ -143,9 +143,9 @@ def measure(backend: str) -> dict:
     _, params, state = run_chain(1, params, state)  # warm path
     t_small = min(run_chain(2, params, state)[0] for _ in range(2))
     t_large = min(run_chain(2 + ITERS, params, state)[0] for _ in range(2))
-    sec_per_iter = max((t_large - t_small) / ITERS, 1e-9)
+    marginal = (t_large - t_small) / ITERS
     _log(f"marginal: t({2 + ITERS})={t_large:.3f}s t(2)={t_small:.3f}s "
-         f"-> {sec_per_iter * 1e3:.1f} ms/iter")
+         f"-> {marginal * 1e3:.1f} ms/iter")
 
     # secondary: per-iteration fetch-synced (includes one RTT per iter)
     times = []
@@ -155,9 +155,17 @@ def measure(backend: str) -> dict:
         float(e)
         times.append(time.time() - t0)
         _log(f"iter {len(times)}: {times[-1] * 1e3:.1f} ms")
+    fetch_each = float(np.median(times))
+    if marginal <= 0:
+        # RTT jitter swamped the chained work -- the marginal number is
+        # invalid; report the fetch-synced median (an honest upper bound)
+        _log("marginal timing invalid (noise); using fetch-synced median")
+        sec_per_iter = fetch_each
+    else:
+        sec_per_iter = marginal
     return {
         "sec_per_iter": sec_per_iter,
-        "sec_per_iter_fetch_each": float(np.median(times)),
+        "sec_per_iter_fetch_each": fetch_each,
         "platform": jax.devices()[0].platform,
     }
 

@@ -259,11 +259,11 @@ def _rot_body(n, rdt):
     # opt-in pallas lowering: the whole rotation (XOR gather, parity signs,
     # string phase, cos/sin combine) as ONE VMEM-resident kernel pass
     # instead of n conditional flips (engine.pallas_kernels)
-    from .pallas_kernels import LANE_BITS, pallas_enabled
+    from .pallas_kernels import chain_max_qubits, pallas_enabled
 
     # n >= 10 keeps every kernel view at the (8, 128) sublane/lane tile
     # (rows = 2^(n-7) >= 8); smaller states stay on the XLA path
-    if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+    if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
         from .pallas_kernels import pauli_rotation_pallas
 
         def body(psi, term):
@@ -345,9 +345,9 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
             )
             if direction == -1:
                 xs = tuple(x[::-1] for x in xs)
-            from .pallas_kernels import pallas_enabled
+            from .pallas_kernels import chain_max_qubits, pallas_enabled
 
-            if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+            if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
                 # whole-segment chain kernel: state stays VMEM-resident
                 # across all terms (2 HBM plane transfers per 256-term
                 # chunk instead of per rotation)
@@ -405,9 +405,9 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     pidx_host = np.where(d["pidx"] < 0, n_params, d["pidx"])
     th = thetas_ext[jnp.asarray(pidx_host)]
 
-    from .pallas_kernels import pallas_enabled
+    from .pallas_kernels import chain_max_qubits, pallas_enabled
 
-    if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+    if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
         # VMEM-resident chained reverse sweep; per-term contributions are
         # segment-summed by parameter index outside the kernel
         from .pallas_kernels import adjoint_chain_pallas

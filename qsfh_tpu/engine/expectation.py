@@ -197,9 +197,9 @@ class Observable:
         rdt = real_dtype(psi.dtype)
         xs, zs, cre, cim = self._scan_terms()
 
-        from .pallas_kernels import pallas_enabled
+        from .pallas_kernels import chain_max_qubits, pallas_enabled
 
-        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+        if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
             from .pallas_kernels import expectation_chain_pallas
 
             return expectation_chain_pallas(
@@ -237,9 +237,9 @@ class Observable:
         rdt = real_dtype(psi.dtype)
         xs, zs, cre, cim = self._scan_terms()
 
-        from .pallas_kernels import pallas_enabled
+        from .pallas_kernels import chain_max_qubits, pallas_enabled
 
-        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+        if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
             from .pallas_kernels import apply_chain_pallas
 
             return apply_chain_pallas(
@@ -326,7 +326,6 @@ class PackedPool:
 
         n = self.n
         rdt = real_dtype(psi.dtype)
-        idx = index_bits(n)
         # flat per-term arrays (host, built once)
         if not hasattr(self, "_scan_arrays"):
             xs, zs, cre, cim, ks = [], [], [], [], []
@@ -349,9 +348,9 @@ class PackedPool:
             )
         xs, zs, cre, cim, ks = self._scan_arrays
 
-        from .pallas_kernels import pallas_enabled
+        from .pallas_kernels import chain_max_qubits, pallas_enabled
 
-        if pallas_enabled() and n >= 10 and rdt == jnp.float32:
+        if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
             from .pallas_kernels import screen_chain_pallas
 
             contribs = screen_chain_pallas(
@@ -362,6 +361,7 @@ class PackedPool:
                 contribs, jnp.asarray(ks), num_segments=self.size
             ).astype(rdt)
 
+        idx = index_bits(n)
         conj_w = jnp.conj(w)
 
         def body(grads, term):

@@ -55,9 +55,21 @@ def pallas_enabled() -> bool:
     if env is not None:
         return env == "1"
     try:
-        return jax.default_backend() != "cpu"
+        # TPU-only: these kernels are Mosaic (pltpu memory spaces); a CUDA
+        # backend would fail to lower them, and CPU only has interpret mode
+        return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def chain_max_qubits() -> int:
+    """Largest n the VMEM-resident chain kernels accept.
+
+    The adjoint/screen chains keep 4 input + 4-5 output planes plus
+    _xor_permute temporaries resident; at n=18 that is ~10-12 MB of the
+    ~16 MB v5e VMEM, at n=19 it no longer fits.  ``QSFH_PALLAS_MAX_N``
+    overrides (e.g. larger-VMEM parts)."""
+    return int(os.environ.get("QSFH_PALLAS_MAX_N", "18"))
 
 
 def _xor_matrix(size: int, mask) -> jnp.ndarray:

@@ -66,13 +66,15 @@ def config_tag(
 
 
 def resolve(path: str) -> str:
-    """Backward-compat lookup: canonical tag first, then the float-styled
-    legacy variant (``t=1`` -> ``t=1.0``) written before normalization."""
+    """Backward-compat lookup: canonical tag first, then float-styled legacy
+    variants written before normalization (``t=1`` -> ``t=1.0``): first
+    t/U only (the common case), then every ``key=<int>`` field."""
     if os.path.exists(path):
         return path
-    legacy = re.sub(r"\b([tU])=(-?\d+)(?=[,)\s])", r"\1=\2.0", path)
-    if legacy != path and os.path.exists(legacy):
-        return legacy
+    for pattern in (r"\b([tU])=(-?\d+)(?=[,)\s])", r"\b(\w+)=(-?\d+)(?=[,)\s])"):
+        legacy = re.sub(pattern, r"\1=\2.0", path)
+        if legacy != path and os.path.exists(legacy):
+            return legacy
     return path
 
 

@@ -293,13 +293,8 @@ def build_sharded_screen_fn(
     packed = [pack_generator(engine, rot) for rot in rots]
     network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
 
-    if engine.n > 32:
-        # flat masks below pack as uint32 host arrays (32-qubit cap of the
-        # scan-lowered screening; the unrolled path has no such cap)
-        raise ValueError(
-            f"scan-lowered screening packs flat uint32 masks: {engine.n} "
-            "qubits > 32."
-        )
+    # (the 32-qubit uint32-mask cap is enforced by pack_generator above,
+    # which every path through here goes through first)
     # flatten every pool term, regroup by the DEVICE part of the flip mask
     groups = {}
     for k, g in enumerate(packed_pool.generators):
