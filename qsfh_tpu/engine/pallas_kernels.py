@@ -151,8 +151,9 @@ def xor_gather_pallas(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     """
     if not HAVE_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
-    if n < LANE_BITS:
-        raise ValueError("xor_gather_pallas needs at least 7 qubits")
+    if n < 10:
+        # rows = 2^(n-7) >= 8 keeps the (8, 128) sublane/lane tile intact
+        raise ValueError("xor_gather_pallas needs at least 10 qubits")
     rows = (1 << n) // LANE
     re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
     im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
@@ -314,8 +315,8 @@ def pauli_rotation_pallas(psi, n: int, xb, zb, theta, phre, phim):
     Matches engine.compiled's rot-scan body semantics: P|psi> =
     (phre + i phim) * sign_z(b) * psi[b ^ xb].
     """
-    if n < LANE_BITS:
-        raise ValueError("pauli_rotation_pallas needs at least 7 qubits")
+    if n < 10:
+        raise ValueError("pauli_rotation_pallas needs at least 10 qubits")
     rows = (1 << n) // LANE
     re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
     im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
