@@ -15,8 +15,10 @@ resident in VMEM (a 2^18 complex64 state is 2 MB as two f32 planes; VMEM is
   matmul per plane.
 
 Correctness is validated against the XLA path in tests (interpret mode on
-CPU, real lowering on TPU).  Usage is opt-in via ``QSFH_PALLAS=1`` or
-``use_pallas=True`` call sites until profiled on the target chip.
+CPU) and ON THE REAL CHIP (benchmarks/tpu_pallas.py: bit-exact, fastest
+lowering).  Default ON for TPU backends, opt-in elsewhere
+(``QSFH_PALLAS=1/0`` overrides; ``QSFH_PALLAS_MAX_N`` caps the
+VMEM-resident chain kernels, default 18 qubits).
 """
 
 from __future__ import annotations
@@ -147,7 +149,7 @@ def xor_gather_pallas(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     """t[b] = psi[b ^ xb] (traced flat mask) via the one-pass VMEM kernel.
 
     psi: flat (2^n,) complex64/complex128 (planes processed as f32/f64).
-    Requires n >= LANE_BITS and the state to fit VMEM (n <= ~20 for c64).
+    Requires n >= 10 and the state to fit VMEM (n <= ~20 for c64).
     """
     if not HAVE_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
