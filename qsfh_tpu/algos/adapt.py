@@ -522,6 +522,25 @@ class ADAPT:
 
         return jax.jit(step)
 
+    def get_ground_state_properties(self):
+        """Print exact-ground-state observables (adapt_vqe.py:249-267).
+
+        The reference prints only energy and particle number (the Sz/S^2
+        sparse-operator evaluations are commented out there); here they are
+        actually computed from the cached ED state(s)."""
+        print("ground state energy: ", self.ground_state_energy)
+        print("particle number: ", self.problem.n_electrons)
+        from ..engine.state import from_reim
+
+        obs = self.problem.observables
+        reims = getattr(self, "_gs_reim", None) or []
+        for i, g in enumerate(reims):
+            psi = from_reim(jnp.asarray(g), self.dtype)
+            tag = f" [{i}]" if len(reims) > 1 else ""
+            print(f"Sz{tag}: ", round(float(obs["Sz"].expectation(psi)), 6))
+            print(f"S^2{tag}: ", round(float(obs["S^2"].expectation(psi)), 6))
+        print("")
+
     def run(self):
         from ..utils.profiling import PhaseTimer
 
