@@ -188,3 +188,21 @@ class TestTopBitsBranch:
         expected = np.asarray(xor_flip_traced(psi15, n, jnp.uint32(mask)))
         got = np.asarray(xor_gather_pallas(psi15, n, jnp.uint32(mask)))
         np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestChainInverse:
+    def test_apply_inverse_roundtrip_with_pallas(self, psi, monkeypatch):
+        """direction=-1 routes through the chain kernel with reversed,
+        negated terms; apply_inverse(apply(psi)) must return psi."""
+        from qsfh_tpu.engine.compiled import CompiledCircuit
+
+        ops = [
+            ("rot", ((0b11, 0b01, 0.5), ((1 << 9) | 3, (1 << 4), -0.25)), 0),
+            ("rot", ((1 << 9, 1 << 9, 1.0),), 1),
+        ]
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        cc = CompiledCircuit(ops, N)
+        th = jnp.asarray([0.3, -0.7], jnp.float32)
+        psi32 = psi.astype(jnp.complex64)
+        out = jax.jit(lambda p: cc.apply_inverse(cc.apply(p, th), th))(psi32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(psi32), atol=2e-6)
