@@ -38,9 +38,8 @@ EOF
         echo "MEASURE OK: $line" >> $LOG
       fi
     else
+      # fall through: profile/pallas are independent of the train-step warm
       echo "warm failed salt=$salt two_scan=$ts" >> $LOG
-      sleep 120
-      continue
     fi
   fi
   if [ -f benchmarks/tpu_profile.py ] && [ ! -f benchmarks/tpu_profile.json ]; then
