@@ -378,7 +378,10 @@ def _expectation_chain_kernel(
         vi = jnp.sum(s * (re * tim - im * tre))
         return acc + cre_ref[i] * vr - cim_ref[i] * vi
 
-    out_ref[0, 0] = jax.lax.fori_loop(0, T, body, jnp.float32(0.0))
+    acc = jax.lax.fori_loop(0, T, body, jnp.float32(0.0))
+    # Mosaic cannot store a scalar to VMEM; broadcast over a full (8, LANE)
+    # tile (the proven full-plane store pattern) and let the caller read [0,0]
+    out_ref[:] = jnp.zeros((8, LANE), jnp.float32) + acc
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -401,7 +404,7 @@ def expectation_chain_pallas(psi, n: int, xs, zs, cre, cim):
 
     call = pl.pallas_call(
         _expectation_chain_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
