@@ -18,5 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("QSFH_TPU_TESTS") == "1":
+    # keep the real TPU platform: runs the TPU-gated tests (Mosaic lowering
+    # regression guards, test_pallas_lowering.py) that the CPU env must skip
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,125 @@
+"""Mosaic lowering regression guard for every Pallas kernel.
+
+The interpret-mode CPU tests (test_pallas.py) validate numerics but never
+run the Mosaic lowering pipeline, so lowering-only rejections -- e.g. the
+scalar-store-to-VMEM in the expectation chain (fixed in round 2) or the
+``rev`` primitive in the original row-bit flips -- are invisible there.
+``jax.jit(...).lower()`` on a TPU platform runs the full Mosaic pipeline on
+the host without needing a healthy compile service, so this file catches
+that bug class deterministically.  Skipped wherever no TPU platform exists
+(the CPU test env); exercised by local runs against the axon tunnel and by
+benchmarks/tpu_pallas.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qsfh_tpu.engine.pallas_kernels import HAVE_PALLAS
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_PALLAS or jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="needs a TPU platform for Mosaic lowering",
+)
+
+N = 12
+T = 5
+
+
+@pytest.fixture(scope="module")
+def arrs():
+    rng = np.random.default_rng(0)
+    size = 1 << N
+    psi = (rng.standard_normal(size) + 1j * rng.standard_normal(size)).astype(
+        np.complex64
+    )
+    psi /= np.linalg.norm(psi)
+    return {
+        "psi": psi,
+        "xs": rng.integers(0, size, T).astype(np.uint32),
+        "zs": rng.integers(0, size, T).astype(np.uint32),
+        "cre": rng.standard_normal(T).astype(np.float32),
+        "cim": rng.standard_normal(T).astype(np.float32),
+        "th": rng.standard_normal(T).astype(np.float32),
+        "ph": np.ones(T, np.float32),
+        "pz": np.zeros(T, np.float32),
+    }
+
+
+def _lowers(fn, *args):
+    assert jax.jit(fn).lower(*args) is not None
+
+
+def test_xor_gather_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import xor_gather_pallas
+
+    _lowers(lambda p: xor_gather_pallas(p, N, jnp.uint32(3)), arrs["psi"])
+
+
+def test_pauli_rotation_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import pauli_rotation_pallas
+
+    a = arrs
+    _lowers(
+        lambda p: pauli_rotation_pallas(
+            p, N, a["xs"][0], a["zs"][0], a["th"][0], 1.0, 0.0
+        ),
+        a["psi"],
+    )
+
+
+def test_rotation_chain_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+
+    a = arrs
+    _lowers(
+        lambda p: pauli_chain_pallas(p, N, a["xs"], a["zs"], a["th"], a["ph"], a["pz"]),
+        a["psi"],
+    )
+
+
+def test_expectation_chain_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import expectation_chain_pallas
+
+    a = arrs
+    _lowers(
+        lambda p: expectation_chain_pallas(p, N, a["xs"], a["zs"], a["cre"], a["cim"]),
+        a["psi"],
+    )
+
+
+def test_apply_chain_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import apply_chain_pallas
+
+    a = arrs
+    _lowers(
+        lambda p: apply_chain_pallas(p, N, a["xs"], a["zs"], a["cre"], a["cim"]),
+        a["psi"],
+    )
+
+
+def test_adjoint_chain_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import adjoint_chain_pallas
+
+    a = arrs
+    _lowers(
+        lambda p, l: adjoint_chain_pallas(
+            p, l, N, a["xs"], a["zs"], a["th"], a["cre"], a["ph"], a["pz"]
+        ),
+        a["psi"],
+        a["psi"],
+    )
+
+
+def test_screen_chain_lowers(arrs):
+    from qsfh_tpu.engine.pallas_kernels import screen_chain_pallas
+
+    a = arrs
+    _lowers(
+        lambda p, w: screen_chain_pallas(
+            p, w, N, a["xs"], a["zs"], a["cre"], a["cim"]
+        ),
+        a["psi"],
+        a["psi"],
+    )
