@@ -300,6 +300,37 @@ def main():
     # program hash), then fall back to CPU
     import tempfile
 
+    # attempt the fused-shape measurement first: the whole train step as
+    # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
+    # program-shape class the chip demonstrably accepts, and it
+    # parity-checks its energies against a CPU trace before recording
+    fused = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_step_fused.py"
+    )
+    expected = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "step_fused_expected.json",
+    )
+    if os.path.exists(fused) and os.path.exists(expected):
+        env = dict(os.environ)
+        env["QSFH_BENCH_SALT"] = str(time.time() % 1000 * 1e-7)
+        try:
+            proc = subprocess.run(
+                [sys.executable, fused], env=env, timeout=TPU_TIMEOUT_S,
+                capture_output=True, text=True,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("tpu_step_fused: {"):
+                    blob = json.loads(line.split(" ", 1)[1])
+                    print(json.dumps({k: blob[k] for k in
+                                      ("metric", "value", "unit", "vs_baseline")}))
+                    return
+            _log(f"fused attempt failed (rc={proc.returncode})")
+            for l in proc.stderr.strip().splitlines()[-2:]:
+                _log(f"fused: {l}")
+        except subprocess.TimeoutExpired:
+            _log(f"fused attempt exceeded {TPU_TIMEOUT_S}s")
+
     err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
     per_attempt = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 120)
     # if the campaign warmed the persistent cache, attempt 0 reuses the

@@ -26,20 +26,32 @@ EOF
   if [ ! -f benchmarks/tpu_result.json ]; then
     salt="$(python -c "print(7e-6*$i)")"
     ts=$((i % 2))   # alternate merged / two-scan fwd program shapes
-    if QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
-        timeout 560 python bench.py --warm-stages >> $LOG 2>&1; then
-      echo "WARM OK salt=$salt two_scan=$ts" >> $LOG
-      echo "$salt $ts" > benchmarks/tpu_salt.txt
-      out=$(QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
-        timeout 560 python bench.py --inner 2>>$LOG)
-      line=$(echo "$out" | grep '^{' | tail -1)
-      if [ -n "$line" ]; then
-        echo "$line" > benchmarks/tpu_result.json
-        echo "MEASURE OK: $line" >> $LOG
+    # primary: the WHOLE train step as one fused salted scan program
+    # (the program-shape class the chip demonstrably accepts; see
+    # benchmarks/tpu_step_fused.py) -- one program, one shot, fast fail
+    if [ -f benchmarks/step_fused_expected.json ] && \
+        QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
+        timeout 560 python benchmarks/tpu_step_fused.py >> $LOG 2>&1; then
+      echo "FUSED MEASURE OK salt=$salt two_scan=$ts" >> $LOG
+    elif [ $((i % 3)) -eq 0 ]; then
+      # occasional fallback: warm the six split stages (now all salted)
+      # + dispatch-per-stage measurement
+      if QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
+          timeout 560 python bench.py --warm-stages >> $LOG 2>&1; then
+        echo "WARM OK salt=$salt two_scan=$ts" >> $LOG
+        echo "$salt $ts" > benchmarks/tpu_salt.txt
+        out=$(QSFH_BENCH_SALT=$salt QSFH_SPLIT_TWO_SCAN=$ts \
+          timeout 560 python bench.py --inner 2>>$LOG)
+        line=$(echo "$out" | grep '^{' | tail -1)
+        if [ -n "$line" ]; then
+          echo "$line" > benchmarks/tpu_result.json
+          echo "MEASURE OK: $line" >> $LOG
+        fi
+      else
+        echo "warm failed salt=$salt two_scan=$ts" >> $LOG
       fi
     else
-      # fall through: profile/pallas are independent of the train-step warm
-      echo "warm failed salt=$salt two_scan=$ts" >> $LOG
+      echo "fused failed salt=$salt two_scan=$ts" >> $LOG
     fi
   fi
   if [ -f benchmarks/tpu_profile.py ] && [ ! -f benchmarks/tpu_profile.json ]; then

@@ -404,11 +404,18 @@ class ADAPT:
                     self.n_qubits,
                 )[2]
 
+        # the fwd/adjoint programs are salted through net_ops above, but
+        # energy/cotangent/metrics/update used to have FIXED program hashes:
+        # one rejection in a sick service window poisoned them in the remote
+        # failure cache forever.  A numerically invisible constant (~1e-35)
+        # folded into each program gives every stage a fresh hash per salt.
+        _eps = float(self.program_salt) * 1e-30
+
         def energy_raw(psi_r):
-            return obs["H"].expectation_scan(from_reim(psi_r, dt))
+            return obs["H"].expectation_scan(from_reim(psi_r, dt)) + _eps
 
         def cotangent_raw(psi_r):
-            return to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
+            return to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt))) + _eps
 
         def metrics_fn(psi_r):
             # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the
@@ -423,10 +430,10 @@ class ADAPT:
                 fid = state_fidelity(psi, gs_states[0])
             else:
                 fid = jnp.zeros((), dtype=self._rdt)
-            return sz, s2, fid
+            return sz + _eps, s2, fid
 
         def update_fn(thetas, grads, opt_state):
-            gnorm = jnp.linalg.norm(grads)
+            gnorm = jnp.linalg.norm(grads) + _eps
             updates, opt_state = optimizer.update(grads, opt_state)
             return optax.apply_updates(thetas, updates), opt_state, gnorm
 
