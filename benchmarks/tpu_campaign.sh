@@ -24,7 +24,10 @@ EOF
     continue
   fi
   if [ ! -f benchmarks/tpu_result.json ]; then
-    salt="$(python -c "print(7e-6*$i)")"
+    # time-anchored salt: stays fresh across campaign relaunches (a
+    # restarted loop's cycle counter would otherwise reuse salts already
+    # sitting in the service's failure cache)
+    salt="$(python -c "import time; print(7e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
     ts=$((i % 2))   # alternate merged / two-scan fwd program shapes
     # primary: the WHOLE train step as one fused salted scan program
     # (the program-shape class the chip demonstrably accepts; see
