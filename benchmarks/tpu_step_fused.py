@@ -133,9 +133,13 @@ def main() -> int:
         exp = json.load(open(EXPECTED_PATH))
         ref_e = np.asarray(exp["energies"])
         err = float(np.max(np.abs(energies - ref_e) / np.maximum(np.abs(ref_e), 1e-9)))
-        print(f"[fused] max rel energy err vs CPU trace: {err:.2e}",
+        # gnorms feed straight from the adjoint chain kernel: checking them
+        # validates the on-chip gradient path, not just the forward/energy
+        ref_g = np.asarray(exp["gnorms"])
+        gerr = float(np.max(np.abs(gnorms - ref_g) / np.maximum(np.abs(ref_g), 1e-9)))
+        print(f"[fused] max rel err vs CPU trace: energy {err:.2e} gnorm {gerr:.2e}",
               file=sys.stderr, flush=True)
-        if err > 1e-3:
+        if err > 1e-3 or gerr > 1e-2:
             print("tpu_step_fused: PARITY FAIL; not recording", file=sys.stderr)
             return 1
 
