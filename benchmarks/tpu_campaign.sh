@@ -69,11 +69,16 @@ EOF
     timeout 560 python benchmarks/tpu_screen.py >> $LOG 2>&1 \
       && echo "SCREEN OK" >> $LOG
   fi
+  if [ -f benchmarks/stream_expected.json ] && [ ! -f benchmarks/tpu_stream.json ]; then
+    timeout 560 python benchmarks/tpu_stream.py >> $LOG 2>&1 \
+      && echo "STREAM OK" >> $LOG
+  fi
   done_all=1
   [ -f benchmarks/tpu_result.json ] || done_all=0
   [ ! -f benchmarks/tpu_profile.py ] || [ -f benchmarks/tpu_profile.json ] || done_all=0
   [ ! -f benchmarks/tpu_pallas.py ] || [ -f benchmarks/tpu_pallas.json ] || done_all=0
   [ ! -f benchmarks/screen_expected.json ] || [ -f benchmarks/tpu_screen.json ] || done_all=0
+  [ ! -f benchmarks/stream_expected.json ] || [ -f benchmarks/tpu_stream.json ] || done_all=0
   if [ "$done_all" = 1 ]; then
     echo "CAMPAIGN COMPLETE $(date +%H:%M:%S)" >> $LOG
     exit 0

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""On-chip validation + timing of the HBM-streaming kernels at 20 qubits.
+
+Beyond ``chain_max_qubits()`` the statevector exceeds VMEM and the
+chain kernels cannot run; the streaming kernels
+(`engine/pallas_kernels.expectation_stream_pallas` / `apply_stream_pallas`)
+group Pauli terms by their block-crossing flip bits and stream
+(block, partner-block) pairs through VMEM with static XOR index maps.
+This validates them on the real chip at n=20 (a 2x5 Hubbard Hamiltonian,
+8 MB statevector) against a CPU-generated trace, and times the energy
+eval marginally vs the XLA scan lowering.
+
+CPU mode (--cpu, QSFH_PROFILE_ALLOW_CPU=1) writes stream_expected.json;
+TPU mode writes tpu_stream.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+N = 20
+EXPECTED_PATH = os.path.join(HERE, "stream_expected.json")
+
+
+def main() -> int:
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu and not os.environ.get("QSFH_PROFILE_ALLOW_CPU"):
+        print("tpu_stream: no TPU platform; refusing to record", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from qsfh_tpu.algos.base import HubbardProblem
+    from qsfh_tpu.engine.expectation import Observable
+    from qsfh_tpu.engine.state import from_reim
+
+    p = HubbardProblem(2, 5, 1.0, 6.0, 10, 5, 5)  # 20 qubits
+    obs = Observable(p.qubit_hamiltonian, p.n_qubits)
+
+    rng = np.random.default_rng(23)
+    v = rng.standard_normal(1 << N) + 1j * rng.standard_normal(1 << N)
+    v /= np.linalg.norm(v)
+    psi_reim = jnp.asarray(np.stack([v.real, v.imag]).astype(np.float32))
+
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[stream +{time.time()-t0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    def build(pallas: str):
+        os.environ["QSFH_PALLAS"] = pallas
+
+        @jax.jit
+        def once(pr):
+            psi = from_reim(pr, jnp.complex64)
+            e = obs.expectation_scan(psi)
+            w = obs.apply_scan(psi)
+            # <w|w> compresses the full H|psi> plane into one checkable
+            # scalar without fetching 8 MB through the tunnel
+            return e, jnp.vdot(w, w).real
+
+        @jax.jit
+        def chain(pr, scales):
+            psi = from_reim(pr, jnp.complex64)
+
+            def body(tot, a):
+                return tot + obs.expectation_scan(psi * a), None
+
+            tot, _ = lax.scan(body, jnp.float32(0.0), scales)
+            return tot
+
+        return once, chain
+
+    out: dict = {
+        "platform": str(jax.devices()[0]),
+        "n_qubits": N,
+        "h_terms": len(obs),
+    }
+
+    once, chain = build("1" if not on_cpu else "0")
+    e, ww = (float(x) for x in once(psi_reim))
+    log(f"E = {e:.6f}, <Hpsi|Hpsi> = {ww:.6f}")
+
+    if on_cpu:
+        with open(EXPECTED_PATH, "w") as f:
+            json.dump({"energy": e, "w_norm2": ww}, f)
+        print("wrote expected stream trace (CPU)", file=sys.stderr)
+        return 0
+
+    if not os.path.exists(EXPECTED_PATH):
+        print("no expected trace; run once with --cpu first", file=sys.stderr)
+        return 1
+    exp = json.load(open(EXPECTED_PATH))
+    e_err = abs(e - exp["energy"]) / max(abs(exp["energy"]), 1e-9)
+    w_err = abs(ww - exp["w_norm2"]) / max(abs(exp["w_norm2"]), 1e-9)
+    out["energy_rel_err"] = e_err
+    out["apply_rel_err"] = w_err
+    out["correct"] = bool(e_err < 1e-3 and w_err < 1e-3)
+    log(f"rel err: energy {e_err:.2e}, apply {w_err:.2e}")
+
+    if out["correct"]:
+        def time_chain(prog):
+            ts = {}
+            for k in (4, 12):
+                scales = jnp.linspace(1.0, 1.0001, k, dtype=jnp.float32)
+                float(prog(psi_reim, scales))
+                samples = []
+                for _ in range(5):
+                    s0 = time.time()
+                    float(prog(psi_reim, scales))
+                    samples.append(time.time() - s0)
+                ts[k] = float(np.median(samples))
+            return 1e3 * (ts[12] - ts[4]) / 8
+
+        out["energy_eval_stream_ms"] = round(time_chain(chain), 3)
+        _, chain_x = build("0")
+        out["energy_eval_xla_ms"] = round(time_chain(chain_x), 3)
+        log(
+            f"energy eval 20q: stream {out['energy_eval_stream_ms']} ms "
+            f"vs xla {out['energy_eval_xla_ms']} ms"
+        )
+
+    with open(os.path.join(HERE, "tpu_stream.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("tpu_stream:", json.dumps(out))
+    return 0 if out["correct"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

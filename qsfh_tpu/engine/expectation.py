@@ -206,6 +206,20 @@ class Observable:
                 psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
             )
 
+        from .pallas_kernels import stream_max_qubits
+
+        if (
+            pallas_enabled()
+            and chain_max_qubits() < n <= stream_max_qubits()
+            and rdt == jnp.float32
+        ):
+            # beyond the VMEM-resident cap: HBM-streaming grouped kernel
+            from .pallas_kernels import expectation_stream_pallas
+
+            return expectation_stream_pallas(
+                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+            )
+
         idx = index_bits(n)
         conj = jnp.conj(psi)
 
@@ -243,6 +257,19 @@ class Observable:
             from .pallas_kernels import apply_chain_pallas
 
             return apply_chain_pallas(
+                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+            )
+
+        from .pallas_kernels import stream_max_qubits
+
+        if (
+            pallas_enabled()
+            and chain_max_qubits() < n <= stream_max_qubits()
+            and rdt == jnp.float32
+        ):
+            from .pallas_kernels import apply_stream_pallas
+
+            return apply_stream_pallas(
                 psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
             )
 

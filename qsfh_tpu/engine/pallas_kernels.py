@@ -706,3 +706,222 @@ def screen_chain_pallas(psi, w, n: int, xs, zs, cre, cim):
     )
     _, accs = jax.lax.scan(chunk_body, None, chunks)
     return accs.reshape(-1)[:T]
+
+
+# -- HBM-streaming kernels (n beyond the VMEM-resident cap) ---------------------
+#
+# Above chain_max_qubits() the statevector no longer fits VMEM, so the
+# chain kernels cannot hold it resident.  Expectations and operator
+# applications are SUMS over Pauli terms -- freely reorderable -- which
+# admits a streaming design: group the terms by the HIGH bits of their
+# flip mask (the bits that cross stream blocks), and for each group run
+# ONE gridded pallas call over (rows/BLOCK) blocks where output block i
+# reads input block i ^ group_flip via a static XOR index map.  Inside a
+# block, all of the group's terms apply while the (block, partner-block)
+# pair is VMEM-resident: HBM traffic is (groups + 1) state reads instead
+# of per-term passes, and the program stays O(groups) pallas calls
+# (Hubbard Hamiltonians have few distinct cross-block flip patterns --
+# hopping terms are local under Jordan-Wigner).
+#
+# The masks must be HOST constants (they are: Observable._scan_terms
+# builds numpy arrays) -- the grouping and index maps are static, so no
+# scalar-prefetch machinery is needed.  Rotations are NOT reorderable and
+# keep the XLA scan path above the chain cap.
+
+
+def stream_max_qubits() -> int:
+    """Largest n the HBM-streaming expectation/apply kernels accept.
+
+    Bounded by uint32 flat masks (n <= 32) and compile/HBM practicality on
+    one chip; ``QSFH_PALLAS_STREAM_MAX_N`` overrides."""
+    return int(os.environ.get("QSFH_PALLAS_STREAM_MAX_N", "24"))
+
+
+def _stream_block_rows(rows: int) -> int:
+    """Rows per stream block: 2048 rows x 128 lanes x 4 B = 1 MB per plane
+    (~5 MB VMEM working set with partner + temporaries), halved for small
+    states so there are always >= 2 blocks."""
+    env = os.environ.get("QSFH_PALLAS_STREAM_ROWS")
+    br = int(env) if env else min(2048, rows // 2)
+    if br < 8 or rows % br:
+        raise ValueError(f"invalid stream block rows {br} for {rows} rows")
+    return br
+
+
+def _stream_groups(xs: np.ndarray, bb: int):
+    """Group term indices by the block-crossing flip bits xs >> (7 + bb)."""
+    xh = (np.asarray(xs, np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
+    groups = {}
+    for t, h in enumerate(xh):
+        groups.setdefault(int(h), []).append(t)
+    return groups
+
+
+def _expectation_stream_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
+    sre_ref, sim_ref, pre_ref, pim_ref, out_ref,
+):
+    """One group's contribution to Re<psi|sum c_t s_z P_t|psi>, streamed.
+
+    Block i of the conjugate side pairs with partner block i ^ group_flip
+    (delivered by the static index map); in-block flip bits apply via
+    _xor_permute.  The z mask's block bits contribute a per-(term, block)
+    scalar parity that flips the whole tile sign: parity(zhi & i), with
+    nhi static high bits.  Grid steps accumulate into one (8, LANE) tile.
+    """
+    i = pl.program_id(0)
+    br = sre_ref.shape[0]
+    re = sre_ref[:]
+    im = sim_ref[:]
+    tre0 = pre_ref[:]
+    tim0 = pim_ref[:]
+    T = xlo_ref.shape[0]
+
+    def body(j, acc):
+        tre = _xor_permute(tre0, xlo_ref[j], br)
+        tim = _xor_permute(tim0, xlo_ref[j], br)
+        s = _parity_sign(zlo_ref[j], br)
+        hi = zhi_ref[j] & i  # int32; values < 2^nhi
+        par = jnp.int32(0)
+        for t in range(nhi):
+            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        vr = jnp.sum(s * (re * tre + im * tim))
+        vi = jnp.sum(s * (re * tim - im * tre))
+        return acc + cre_ref[j] * vr - cim_ref[j] * vi
+
+    acc = jax.lax.fori_loop(0, T, body, jnp.float32(0.0))
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((8, LANE), jnp.float32) + acc
+
+    @pl.when(i > 0)
+    def _accum():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _apply_stream_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
+    pre_ref, pim_ref, ore_ref, oim_ref,
+):
+    """One group of (sum c_t s_z P_t)|psi>, streamed: output block i is
+    built entirely from partner block i ^ group_flip."""
+    i = pl.program_id(0)
+    br = pre_ref.shape[0]
+    tre0 = pre_ref[:]
+    tim0 = pim_ref[:]
+    T = xlo_ref.shape[0]
+
+    def body(j, carry):
+        ar, ai = carry
+        tre = _xor_permute(tre0, xlo_ref[j], br)
+        tim = _xor_permute(tim0, xlo_ref[j], br)
+        s = _parity_sign(zlo_ref[j], br)
+        hi = zhi_ref[j] & i
+        par = jnp.int32(0)
+        for t in range(nhi):
+            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        cr = cre_ref[j]
+        ci = cim_ref[j]
+        ar = ar + s * (cr * tre - ci * tim)
+        ai = ai + s * (cr * tim + ci * tre)
+        return (ar, ai)
+
+    zero = jnp.zeros((br, LANE), jnp.float32)
+    ar, ai = jax.lax.fori_loop(0, T, body, (zero, zero))
+    ore_ref[:] = ar
+    oim_ref[:] = ai
+
+
+def _stream_setup(psi, n: int, xs):
+    rows = (1 << n) // LANE
+    br = _stream_block_rows(rows)
+    bb = br.bit_length() - 1
+    nb = rows // br
+    nhi = max(n - LANE_BITS - bb, 0)
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    groups = _stream_groups(xs, bb)
+    return rows, br, bb, nb, nhi, re, im, groups
+
+
+def _group_arrays(idx, xs, zs, cre, cim, bb):
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    xlo = jnp.asarray(np.asarray(xs, np.uint32)[idx] & inb)
+    zlo = jnp.asarray(np.asarray(zs, np.uint32)[idx] & inb)
+    zhi = jnp.asarray(
+        (np.asarray(zs, np.uint32)[idx] >> np.uint32(LANE_BITS + bb)).astype(
+            np.int32
+        )
+    )
+    gcre = jnp.asarray(np.asarray(cre, np.float32)[idx])
+    gcim = jnp.asarray(np.asarray(cim, np.float32)[idx])
+    return xlo, zlo, zhi, gcre, gcim
+
+
+def expectation_stream_pallas(psi, n: int, xs, zs, cre, cim):
+    """Re <psi| sum_t c_t s_z P_t |psi> for states larger than VMEM.
+
+    ``xs``/``zs`` must be host numpy arrays (static grouping).  One gridded
+    pallas call per distinct block-crossing flip pattern; XLA sums the
+    per-group scalars.
+    """
+    if n < 11:
+        raise ValueError("expectation_stream_pallas needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup(psi, n, xs)
+
+    total = jnp.float32(0.0)
+    for xh, idx in sorted(groups.items()):
+        xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
+        out = pl.pallas_call(
+            functools.partial(_expectation_stream_kernel, nhi),
+            grid=(nb,),
+            out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+            + [
+                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
+            interpret=jax.devices()[0].platform == "cpu",
+        )(xlo, zlo, zhi, gcre, gcim, re, im, re, im)
+        total = total + out[0, 0]
+    return total
+
+
+def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
+    """(sum_t c_t s_z P_t)|psi> for states larger than VMEM (same grouping
+    as expectation_stream_pallas; XLA sums the per-group planes)."""
+    if n < 11:
+        raise ValueError("apply_stream_pallas needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup(psi, n, xs)
+
+    ore = jnp.zeros((rows, LANE), jnp.float32)
+    oim = jnp.zeros((rows, LANE), jnp.float32)
+    for xh, idx in sorted(groups.items()):
+        xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
+        gre, gim = pl.pallas_call(
+            functools.partial(_apply_stream_kernel, nhi),
+            grid=(nb,),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+            + [
+                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+            ),
+            interpret=jax.devices()[0].platform == "cpu",
+        )(xlo, zlo, zhi, gcre, gcim, re, im)
+        ore = ore + gre
+        oim = oim + gim
+    return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)

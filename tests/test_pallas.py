@@ -190,6 +190,78 @@ class TestTopBitsBranch:
         np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+class TestStreamingKernels:
+    """HBM-streaming grouped kernels (n beyond the VMEM chain cap).
+
+    Forced small stream blocks (8 rows) at n=12 so the grid/grouping
+    machinery (block-crossing flips, per-block z-parity sign, grid
+    accumulation) is exercised in interpret mode: 32 rows -> 4 blocks,
+    2 block-crossing flip bits."""
+
+    def _h12(self):
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.engine.expectation import Observable
+
+        p = HubbardProblem(2, 3, 1.0, 6.0, 6, 3, 3)  # 12 qubits
+        return Observable(p.qubit_hamiltonian, p.n_qubits)
+
+    @pytest.fixture()
+    def psi12(self):
+        k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+        v = jax.random.normal(k1, (1 << 12,)) + 1j * jax.random.normal(
+            k2, (1 << 12,)
+        )
+        return (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+
+    def test_expectation_stream_matches_xla(self, psi12, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import expectation_stream_pallas
+
+        obs = self._h12()
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        e_xla = float(obs.expectation_scan(psi12))
+        xs, zs, cre, cim = obs._scan_terms()
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "8")
+        e_st = float(
+            expectation_stream_pallas(
+                psi12, 12, xs, zs,
+                cre.astype(np.float32), cim.astype(np.float32),
+            )
+        )
+        np.testing.assert_allclose(e_st, e_xla, atol=2e-5)
+
+    def test_apply_stream_matches_xla(self, psi12, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import apply_stream_pallas
+
+        obs = self._h12()
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        w_xla = np.asarray(obs.apply_scan(psi12))
+        xs, zs, cre, cim = obs._scan_terms()
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "8")
+        w_st = np.asarray(
+            apply_stream_pallas(
+                psi12, 12, xs, zs,
+                cre.astype(np.float32), cim.astype(np.float32),
+            )
+        )
+        np.testing.assert_allclose(w_st, w_xla, atol=2e-5)
+
+    def test_observable_routes_to_stream_between_caps(self, psi12, monkeypatch):
+        """chain_max < n <= stream_max routes expectation/apply through the
+        streaming kernels (verified numerically vs the XLA scan)."""
+        obs = self._h12()
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        e_xla = float(obs.expectation_scan(psi12))
+        w_xla = np.asarray(obs.apply_scan(psi12))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        monkeypatch.setenv("QSFH_PALLAS_MAX_N", "11")  # force past the chain
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "8")
+        obs2 = self._h12()
+        e_st = float(jax.jit(obs2.expectation_scan)(psi12))
+        w_st = np.asarray(jax.jit(obs2.apply_scan)(psi12))
+        np.testing.assert_allclose(e_st, e_xla, atol=2e-5)
+        np.testing.assert_allclose(w_st, w_xla, atol=2e-5)
+
+
 class TestChainInverse:
     def test_apply_inverse_roundtrip_with_pallas(self, psi, monkeypatch):
         """direction=-1 routes through the chain kernel with reversed,

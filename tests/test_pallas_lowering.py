@@ -51,6 +51,11 @@ def _lowers(fn, *args):
     assert jax.jit(fn).lower(*args) is not None
 
 
+def _lowers_abstract(fn, *shapes):
+    # ShapeDtypeStruct args avoid materializing multi-MB states on the host
+    assert jax.jit(fn).lower(*shapes) is not None
+
+
 def test_xor_gather_lowers(arrs):
     from qsfh_tpu.engine.pallas_kernels import xor_gather_pallas
 
@@ -109,6 +114,40 @@ def test_adjoint_chain_lowers(arrs):
         ),
         a["psi"],
         a["psi"],
+    )
+
+
+def test_expectation_stream_lowers():
+    """HBM-streaming grouped expectation at n=20 (beyond the VMEM cap):
+    gridded call, static XOR index map, per-block z-parity sign."""
+    from qsfh_tpu.engine.pallas_kernels import expectation_stream_pallas
+
+    n = 20
+    rng = np.random.default_rng(1)
+    T5 = 5
+    xs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    zs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    cre = rng.standard_normal(T5).astype(np.float32)
+    cim = rng.standard_normal(T5).astype(np.float32)
+    psi = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    _lowers_abstract(
+        lambda p: expectation_stream_pallas(p, n, xs, zs, cre, cim), psi
+    )
+
+
+def test_apply_stream_lowers():
+    from qsfh_tpu.engine.pallas_kernels import apply_stream_pallas
+
+    n = 20
+    rng = np.random.default_rng(2)
+    T5 = 5
+    xs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    zs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    cre = rng.standard_normal(T5).astype(np.float32)
+    cim = rng.standard_normal(T5).astype(np.float32)
+    psi = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    _lowers_abstract(
+        lambda p: apply_stream_pallas(p, n, xs, zs, cre, cim), psi
     )
 
 
