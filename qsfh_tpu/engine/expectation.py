@@ -388,6 +388,23 @@ class PackedPool:
                 contribs, jnp.asarray(ks), num_segments=self.size
             ).astype(rdt)
 
+        from .pallas_kernels import stream_max_qubits
+
+        if (
+            pallas_enabled()
+            and chain_max_qubits() < n <= stream_max_qubits()
+            and rdt == jnp.float32
+        ):
+            from .pallas_kernels import screen_stream_pallas
+
+            contribs, perm = screen_stream_pallas(
+                psi, w, n, xs, zs,
+                cre.astype(np.float32), cim.astype(np.float32),
+            )
+            return jax.ops.segment_sum(
+                contribs, jnp.asarray(ks[perm]), num_segments=self.size
+            ).astype(rdt)
+
         idx = index_bits(n)
         conj_w = jnp.conj(w)
 

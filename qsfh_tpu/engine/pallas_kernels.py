@@ -861,6 +861,90 @@ def _group_arrays(idx, xs, zs, cre, cim, bb):
     return xlo, zlo, zhi, gcre, gcim
 
 
+def _screen_stream_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
+    wre_ref, wim_ref, pre_ref, pim_ref, acc_ref,
+):
+    """One group of screening contributions 2 Im[c_t <w| s_z P_t |psi>],
+    streamed: w blocks pair with psi partner blocks; per-term scalars land
+    in one-hot (8, LANE) slots accumulated across grid blocks."""
+    i = pl.program_id(0)
+    br = wre_ref.shape[0]
+    wre = wre_ref[:]
+    wim = wim_ref[:]
+    tre0 = pre_ref[:]
+    tim0 = pim_ref[:]
+    T = xlo_ref.shape[0]
+    slot_row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
+
+    def body(j, acc):
+        tre = _xor_permute(tre0, xlo_ref[j], br)
+        tim = _xor_permute(tim0, xlo_ref[j], br)
+        s = _parity_sign(zlo_ref[j], br)
+        hi = zhi_ref[j] & i
+        par = jnp.int32(0)
+        for t in range(nhi):
+            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        vr = jnp.sum(s * (wre * tre + wim * tim))
+        vi = jnp.sum(s * (wre * tim - wim * tre))
+        contrib = 2.0 * (cre_ref[j] * vi + cim_ref[j] * vr)
+        return acc + contrib * jnp.where(
+            slot_id == j, jnp.float32(1.0), jnp.float32(0.0)
+        )
+
+    acc = jax.lax.fori_loop(0, T, body, jnp.zeros((8, LANE), jnp.float32))
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = acc
+
+    @pl.when(i > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + acc
+
+
+def screen_stream_pallas(psi, w, n: int, xs, zs, cre, cim):
+    """Per-term screening contributions for states larger than VMEM.
+
+    Returns ``(contribs, perm)``: contribution values in group-permuted
+    order plus the host permutation (numpy int array) mapping them back to
+    input term positions -- the caller segment-sums by ``ks[perm]``.
+    Groups larger than the 1024 one-hot slots are chunked.
+    """
+    if n < 11:
+        raise ValueError("screen_stream_pallas needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup(psi, n, xs)
+    wre = jnp.real(w).astype(jnp.float32).reshape(rows, LANE)
+    wim = jnp.imag(w).astype(jnp.float32).reshape(rows, LANE)
+
+    vals = []
+    perm = []
+    for xh, idx in sorted(groups.items()):
+        for lo in range(0, len(idx), 8 * LANE):
+            chunk = idx[lo : lo + 8 * LANE]
+            xlo, zlo, zhi, gcre, gcim = _group_arrays(chunk, xs, zs, cre, cim, bb)
+            acc = pl.pallas_call(
+                functools.partial(_screen_stream_kernel, nhi),
+                grid=(nb,),
+                out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+                + [
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                ],
+                out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
+                interpret=jax.devices()[0].platform == "cpu",
+            )(xlo, zlo, zhi, gcre, gcim, wre, wim, re, im)
+            vals.append(acc.reshape(-1)[: len(chunk)])
+            perm.extend(chunk)
+    return jnp.concatenate(vals), np.asarray(perm, np.int64)
+
+
 def expectation_stream_pallas(psi, n: int, xs, zs, cre, cim):
     """Re <psi| sum_t c_t s_z P_t |psi> for states larger than VMEM.
 

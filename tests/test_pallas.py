@@ -245,6 +245,29 @@ class TestStreamingKernels:
         )
         np.testing.assert_allclose(w_st, w_xla, atol=2e-5)
 
+    def test_screen_stream_matches_xla(self, psi12, monkeypatch):
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.engine.expectation import Observable, PackedPool
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+
+        p = HubbardProblem(2, 3, 1.0, 6.0, 6, 3, 3)
+        gens = [
+            jordan_wigner(g)
+            for g in hubbard_interaction_pool_simplified(2, 3)[:8]
+        ]
+        obs = Observable(p.qubit_hamiltonian, p.n_qubits)
+        w = obs.apply(psi12)
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        pool = PackedPool(gens, p.n_qubits)
+        g_xla = np.asarray(pool.screen_scan(psi12, w))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        monkeypatch.setenv("QSFH_PALLAS_MAX_N", "11")
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "8")
+        pool2 = PackedPool(gens, p.n_qubits)
+        g_st = np.asarray(jax.jit(pool2.screen_scan)(psi12, w))
+        np.testing.assert_allclose(g_st, g_xla, atol=3e-5)
+
     def test_observable_routes_to_stream_between_caps(self, psi12, monkeypatch):
         """chain_max < n <= stream_max routes expectation/apply through the
         streaming kernels (verified numerically vs the XLA scan)."""

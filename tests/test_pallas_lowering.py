@@ -162,3 +162,23 @@ def test_screen_chain_lowers(arrs):
         a["psi"],
         a["psi"],
     )
+
+
+def test_screen_stream_lowers():
+    """HBM-streaming pool screening at n=20: one-hot slot accumulation
+    across grid blocks, SMEM term scalars, XOR-paired psi blocks."""
+    from qsfh_tpu.engine.pallas_kernels import screen_stream_pallas
+
+    n = 20
+    rng = np.random.default_rng(3)
+    T5 = 5
+    xs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    zs = rng.integers(0, 1 << n, T5).astype(np.uint32)
+    cre = rng.standard_normal(T5).astype(np.float32)
+    cim = rng.standard_normal(T5).astype(np.float32)
+    psi = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    _lowers_abstract(
+        lambda p, w: screen_stream_pallas(p, w, n, xs, zs, cre, cim)[0],
+        psi,
+        psi,
+    )
