@@ -345,7 +345,11 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
             )
             if direction == -1:
                 xs = tuple(x[::-1] for x in xs)
-            from .pallas_kernels import chain_max_qubits, pallas_enabled
+            from .pallas_kernels import (
+                chain_max_qubits,
+                pallas_enabled,
+                stream_max_qubits,
+            )
 
             if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
                 # whole-segment chain kernel: state stays VMEM-resident
@@ -355,6 +359,25 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
 
                 psi = pauli_chain_pallas(
                     psi, n, xs[0], xs[1], xs[6] * xs[2], xs[4], xs[5]
+                )
+            elif (
+                pallas_enabled()
+                and chain_max_qubits() < n <= stream_max_qubits()
+                and rdt == jnp.float32
+            ):
+                # beyond the VMEM cap: HBM-streaming rotations (block-local
+                # runs chain in VMEM, block-crossing rotations pair partner
+                # blocks); masks must be host numpy for static partitioning
+                from .pallas_kernels import rotation_stream_pallas
+
+                step = -1 if direction == -1 else 1
+                psi = rotation_stream_pallas(
+                    psi, n,
+                    np.asarray(d["xb"])[::step],
+                    np.asarray(d["zb"])[::step],
+                    xs[6] * xs[2],
+                    np.asarray(d["phre"])[::step],
+                    np.asarray(d["phim"])[::step],
                 )
             else:
                 psi, _ = jax.lax.scan(_rot_body(n, rdt), psi, xs)

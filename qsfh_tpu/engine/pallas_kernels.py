@@ -1009,3 +1009,143 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
         ore = ore + gre
         oim = oim + gim
     return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
+
+
+def _rot_stream_local_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cos_ref, sin_ref, phre_ref, phim_ref,
+    re_ref, im_ref, ore_ref, oim_ref,
+):
+    """A chain of BLOCK-LOCAL rotations streamed over the state: every
+    rotation's flip mask stays inside one (br, LANE) block, so a whole run
+    of consecutive local rotations costs ONE state read + write.  The
+    z-mask may still touch block-index bits -- folded in as a per-term
+    parity sign of (zhi & block_id)."""
+    i = pl.program_id(0)
+    br = re_ref.shape[0]
+    T = xlo_ref.shape[0]
+
+    def body(j, carry):
+        re, im = carry
+        tre = _xor_permute(re, xlo_ref[j], br)
+        tim = _xor_permute(im, xlo_ref[j], br)
+        s = _parity_sign(zlo_ref[j], br)
+        hi = zhi_ref[j] & i
+        par = jnp.int32(0)
+        for t in range(nhi):
+            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        pr = phre_ref[j]
+        pi = phim_ref[j]
+        pre = s * (pr * tre - pi * tim)
+        pim = s * (pr * tim + pi * tre)
+        c = cos_ref[j]
+        sn = sin_ref[j]
+        return (c * re + sn * pim, c * im - sn * pre)
+
+    re, im = jax.lax.fori_loop(0, T, body, (re_ref[:], im_ref[:]))
+    ore_ref[:] = re
+    oim_ref[:] = im
+
+
+def _rot_stream_cross_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cos_ref, sin_ref, phre_ref, phim_ref,
+    re_ref, im_ref, pre_ref, pim_ref, ore_ref, oim_ref,
+):
+    """One BLOCK-CROSSING rotation: output block i combines its identity
+    block (cos part) with the XOR-paired partner block i ^ xh (sin part)."""
+    i = pl.program_id(0)
+    br = re_ref.shape[0]
+    tre = _xor_permute(pre_ref[:], xlo_ref[0], br)
+    tim = _xor_permute(pim_ref[:], xlo_ref[0], br)
+    s = _parity_sign(zlo_ref[0], br)
+    hi = zhi_ref[0] & i
+    par = jnp.int32(0)
+    for t in range(nhi):
+        par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+    s = jnp.where(par > 0, -s, s)
+    pr = phre_ref[0]
+    pi = phim_ref[0]
+    ppre = s * (pr * tre - pi * tim)
+    ppim = s * (pr * tim + pi * tre)
+    c = cos_ref[0]
+    sn = sin_ref[0]
+    ore_ref[:] = c * re_ref[:] + sn * ppim
+    oim_ref[:] = c * im_ref[:] - sn * ppre
+
+
+def rotation_stream_pallas(psi, n: int, xs, zs, thetas, phre, phim):
+    """Apply exp(-i theta_T P_T) ... exp(-i theta_0 P_0)|psi> for states
+    larger than VMEM (chain_max < n <= stream_max).
+
+    ``xs``/``zs`` must be host numpy (static partitioning): consecutive
+    rotations whose flip masks stay inside one (br, LANE) block run as a
+    VMEM-resident chain (one state pass per run); rotations crossing
+    blocks each pair output block i with partner block i ^ xh (one state
+    pass per such rotation).  On JW-mapped lattice circuits nearly all
+    rotations are block-local, so HBM traffic approaches one state
+    read + write per circuit layer instead of per rotation.
+    """
+    if n < 11:
+        raise ValueError("rotation_stream_pallas needs at least 11 qubits")
+    xs = np.asarray(xs, np.uint32)
+    zs = np.asarray(zs, np.uint32)
+    rows, br, bb, nb, nhi, re, im, _ = _stream_setup(psi, n, xs)
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    xh_all = (xs.astype(np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
+
+    cos = jnp.cos(thetas).astype(jnp.float32)
+    sin = jnp.sin(thetas).astype(jnp.float32)
+    phre = jnp.asarray(phre, jnp.float32)
+    phim = jnp.asarray(phim, jnp.float32)
+
+    runs: list = []  # (xh, [term indices]); xh == 0 -> local chain
+    for t in range(xs.shape[0]):
+        h = int(xh_all[t])
+        if h == 0 and runs and runs[-1][0] == 0:
+            runs[-1][1].append(t)
+        else:
+            runs.append((h, [t]))
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
+    blk = pl.BlockSpec((br, LANE), lambda i: (i, 0))
+    interp = jax.devices()[0].platform == "cpu"
+    for xh, idx in runs:
+        for lo in range(0, len(idx), CHAIN_CHUNK):
+            part = np.asarray(idx[lo : lo + CHAIN_CHUNK])
+            xlo = jnp.asarray(xs[part] & inb)
+            zlo = jnp.asarray(zs[part] & inb)
+            zhi = jnp.asarray(
+                (zs[part] >> np.uint32(LANE_BITS + bb)).astype(np.int32)
+            )
+            args = (xlo, zlo, zhi, cos[part], sin[part], phre[part], phim[part])
+            if xh == 0:
+                re, im = pl.pallas_call(
+                    functools.partial(_rot_stream_local_kernel, nhi),
+                    grid=(nb,),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                    ),
+                    in_specs=smem + [blk, blk],
+                    out_specs=(blk, blk),
+                    interpret=interp,
+                )(*args, re, im)
+            else:
+                re, im = pl.pallas_call(
+                    functools.partial(_rot_stream_cross_kernel, nhi),
+                    grid=(nb,),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                    ),
+                    in_specs=smem
+                    + [
+                        blk,
+                        blk,
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    ],
+                    out_specs=(blk, blk),
+                    interpret=interp,
+                )(*args, re, im, re, im)
+    return (re + 1j * im).astype(psi.dtype).reshape(psi.shape)

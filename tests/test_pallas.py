@@ -268,6 +268,32 @@ class TestStreamingKernels:
         g_st = np.asarray(jax.jit(pool2.screen_scan)(psi12, w))
         np.testing.assert_allclose(g_st, g_xla, atol=3e-5)
 
+    def test_rotation_stream_matches_xla(self, psi12, monkeypatch):
+        """Streaming rotations at n=12 with 8-row blocks: local runs
+        (flips below bit 10), cross-block rotations (flips on bits 10/11),
+        and z-masks reaching the block-index bits."""
+        from qsfh_tpu.engine.compiled import CompiledCircuit
+
+        ops = [
+            ("rot", ((0b11, 0b101, 0.5), (0b1100, 0b0110, -0.25)), 0),  # local
+            ("rot", (((1 << 11) | 3, (1 << 10) | 1, 1.0),), 1),  # cross
+            ("rot", ((1 << 5, (1 << 11) | (1 << 5), -0.5),), 2),  # local, hi-z
+            ("rot", (((1 << 10), (1 << 3), 0.75),), 3),  # cross
+        ]
+        th = jnp.asarray([0.3, -0.7, 0.41, 0.9], jnp.float32)
+        psi32 = psi12.astype(jnp.complex64)
+        monkeypatch.setenv("QSFH_PALLAS", "0")
+        out_xla = np.asarray(CompiledCircuit(ops, 12).apply(psi32, th))
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        monkeypatch.setenv("QSFH_PALLAS_MAX_N", "11")  # force past the chain
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "8")
+        cc = CompiledCircuit(ops, 12)
+        out_st = np.asarray(jax.jit(lambda p, t: cc.apply(p, t))(psi32, th))
+        np.testing.assert_allclose(out_st, out_xla, atol=2e-6)
+        # exact inverse must roundtrip through the same streaming route
+        back = np.asarray(cc.apply_inverse(jnp.asarray(out_st), th))
+        np.testing.assert_allclose(back, np.asarray(psi32), atol=5e-6)
+
     def test_observable_routes_to_stream_between_caps(self, psi12, monkeypatch):
         """chain_max < n <= stream_max routes expectation/apply through the
         streaming kernels (verified numerically vs the XLA scan)."""

@@ -164,6 +164,25 @@ def test_screen_chain_lowers(arrs):
     )
 
 
+def test_rotation_stream_lowers():
+    """HBM-streaming rotations at n=20: local chained run + cross-block
+    partner-paired rotation in one traced program."""
+    from qsfh_tpu.engine.pallas_kernels import rotation_stream_pallas
+
+    n = 20
+    xs = np.asarray([0b11, 0b1100, (1 << 19) | 1, 1 << 4], np.uint32)
+    zs = np.asarray([0b101, (1 << 19) | 2, 1 << 18, 0b11], np.uint32)
+    ph_re = np.ones(4, np.float32)
+    ph_im = np.zeros(4, np.float32)
+    th = jnp.asarray([0.3, -0.2, 0.7, 0.1], jnp.float32)
+    psi = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    _lowers_abstract(
+        lambda p, t: rotation_stream_pallas(p, n, xs, zs, t, ph_re, ph_im),
+        psi,
+        jax.ShapeDtypeStruct((4,), jnp.float32),
+    )
+
+
 def test_screen_stream_lowers():
     """HBM-streaming pool screening at n=20: one-hot slot accumulation
     across grid blocks, SMEM term scalars, XOR-paired psi blocks."""
