@@ -89,12 +89,46 @@ def main() -> int:
 
         return lambda: run(pr, th)
 
+    def fn_chain_scan2():
+        # force the scan-over-chunks path with a tiny program: 16 terms,
+        # CHAIN_CHUNK monkeypatched to 8 -> lax.scan over 2 pallas calls
+        from qsfh_tpu.engine import pallas_kernels as pk
+
+        pk.CHAIN_CHUNK = 8
+        return fn_chain("1")()
+
+    def fn_chain_260():
+        # realistic fwd-sized chain: 260 terms > CHAIN_CHUNK -> 2 chunks
+        os.environ["QSFH_PALLAS"] = "1"
+        rng = np.random.default_rng(9)
+        import jax.numpy as jnp
+
+        from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+        from qsfh_tpu.engine.state import from_reim, to_reim
+
+        pr = jnp.asarray(
+            rng.standard_normal((2, 1 << N)).astype(np.float32) * 1e-3
+        )
+        T = 260
+        xs = jnp.asarray(rng.integers(0, 1 << N, T).astype(np.uint32))
+        zs = jnp.asarray(rng.integers(0, 1 << N, T).astype(np.uint32))
+        th = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+
+        psi = from_reim(pr, jnp.complex64)
+        psi = pauli_chain_pallas(
+            psi, N, xs, zs, th * (1 + salt),
+            jnp.ones(T, jnp.float32), jnp.zeros(T, jnp.float32),
+        )
+        return to_reim(psi)
+
     fns = {
         "iota2d": fn_iota2d,
         "basis_real": fn_basis_real,
         "basis_reim": fn_basis_reim,
         "chain_pallas": fn_chain("1"),
         "chain_xla": fn_chain("0"),
+        "chain_scan2": fn_chain_scan2,
+        "chain_260": fn_chain_260,
     }
     t0 = time.time()
     rec = {"rung": rung}

@@ -382,6 +382,10 @@ class ADAPT:
                 psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
                 return to_reim(net_cc.apply(ans_cc.apply(psi0, th), th))
 
+            def fwd_from_raw(psi0_r, th):
+                psi0 = from_reim(psi0_r, dt)
+                return to_reim(net_cc.apply(ans_cc.apply(psi0, th), th))
+
             def adjoint_raw(psi_r, lam_r, th):
                 psi_m, lam_m, _ = run_rot_adjoint(
                     net_seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th,
@@ -396,6 +400,10 @@ class ADAPT:
 
             def fwd_raw(th):
                 psi0 = basis_state(self.n_qubits, self._occupied_modes, dtype=dt)
+                return to_reim(cc.apply(psi0, th))
+
+            def fwd_from_raw(psi0_r, th):
+                psi0 = from_reim(psi0_r, dt)
                 return to_reim(cc.apply(psi0, th))
 
             def adjoint_raw(psi_r, lam_r, th):
@@ -457,6 +465,11 @@ class ADAPT:
         # each can be re-jitted fresh to bypass jax's in-process failure cache
         step.raw_stages = {
             "fwd": fwd_raw,
+            # fwd from a host-fed initial state: tracing the basis one-hot
+            # constant costs the remote compile service ~2 min at 18q
+            # (benchmarks/tpu_bisect_basis.jsonl) -- benchmarks and chained
+            # restarts feed |psi0> as a (2, 2^n) input instead
+            "fwd_from": fwd_from_raw,
             "energy": energy_raw,
             "cotangent": cotangent_raw,
             "adjoint": adjoint_raw,

@@ -221,6 +221,26 @@ def _pauli_chain_kernel(
 CHAIN_CHUNK = 256
 
 
+def _chunk_loop(body, carry, chunks, n_chunks):
+    """Run a scan-style body once per chunk, UNROLLED for small counts.
+
+    The remote TPU compile service takes ~150 s to compile a lax.scan
+    whose body contains a pallas call, while the same calls unrolled
+    compile in seconds (benchmarks/tpu_bisect_basis.jsonl: chain_scan2
+    156.5 s vs chain_pallas 5.0 s).  Realistic circuits have <= a few
+    chunks, so unrolling costs little program size; very long chains
+    fall back to the scan.
+    """
+    if n_chunks <= int(os.environ.get("QSFH_PALLAS_UNROLL_CHUNKS", "16")):
+        ys = []
+        for c in range(n_chunks):
+            carry, y = body(carry, tuple(a[c] for a in chunks))
+            if y is not None:
+                ys.append(y)
+        return carry, (jnp.stack(ys) if ys else None)
+    return jax.lax.scan(body, carry, chunks)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def pauli_chain_pallas(psi, n: int, xs, zs, thetas, phre, phim):
     """Apply exp(-i theta_T P_T) ... exp(-i theta_0 P_0) |psi> in chunks of
@@ -277,7 +297,7 @@ def pauli_chain_pallas(psi, n: int, xs, zs, thetas, phre, phim):
         phre.reshape(n_chunks, chunk),
         phim.reshape(n_chunks, chunk),
     )
-    (re, im), _ = jax.lax.scan(chunk_body, (re, im), chunks)
+    (re, im), _ = _chunk_loop(chunk_body, (re, im), chunks, n_chunks)
     return (re + 1j * im).astype(psi.dtype).reshape(psi.shape)
 
 
@@ -424,7 +444,7 @@ def expectation_chain_pallas(psi, n: int, xs, zs, cre, cim):
         cre.reshape(n_chunks, chunk),
         cim.reshape(n_chunks, chunk),
     )
-    total, _ = jax.lax.scan(chunk_body, jnp.float32(0.0), chunks)
+    total, _ = _chunk_loop(chunk_body, jnp.float32(0.0), chunks, n_chunks)
     return total
 
 
@@ -499,7 +519,7 @@ def apply_chain_pallas(psi, n: int, xs, zs, cre, cim):
         cim.reshape(n_chunks, chunk),
     )
     zero = jnp.zeros((rows, LANE), jnp.float32)
-    (ar, ai), _ = jax.lax.scan(chunk_body, (zero, zero), chunks)
+    (ar, ai), _ = _chunk_loop(chunk_body, (zero, zero), chunks, n_chunks)
     return (ar + 1j * ai).astype(psi.dtype).reshape(psi.shape)
 
 
@@ -627,7 +647,7 @@ def adjoint_chain_pallas(psi_final, lam, n: int, xs, zs, angles, scales, phre, p
         phre.reshape(n_chunks, chunk),
         phim.reshape(n_chunks, chunk),
     )
-    (re, im, lre, lim), accs = jax.lax.scan(chunk_body, (re, im, lre, lim), chunks)
+    (re, im, lre, lim), accs = _chunk_loop(chunk_body, (re, im, lre, lim), chunks, n_chunks)
     psi0 = (re + 1j * im).astype(psi_final.dtype).reshape(psi_final.shape)
     lam0 = (lre + 1j * lim).astype(lam.dtype).reshape(lam.shape)
     return psi0, lam0, accs.reshape(-1)[:T]
@@ -704,7 +724,7 @@ def screen_chain_pallas(psi, w, n: int, xs, zs, cre, cim):
         cre.reshape(n_chunks, chunk),
         cim.reshape(n_chunks, chunk),
     )
-    _, accs = jax.lax.scan(chunk_body, None, chunks)
+    _, accs = _chunk_loop(chunk_body, None, chunks, n_chunks)
     return accs.reshape(-1)[:T]
 
 

@@ -68,6 +68,25 @@ def test_fused_scan_matches_sequential_steps(vqe):
     np.testing.assert_allclose(np.asarray(th_fused), th_seq, rtol=1e-6, atol=1e-9)
 
 
+def test_fwd_from_matches_fwd(vqe):
+    """fwd_from (host-fed |psi0>) == fwd (traced basis_state): benchmarks
+    feed the initial state as an input because tracing the basis one-hot
+    costs the remote compile service ~2 min at 18q."""
+    from qsfh_tpu.engine.state import bitpos
+
+    indices = tuple(range(4))
+    raw = vqe._build_step(indices, optax.adam(1e-2)).raw_stages
+    th = jnp.asarray([0.1, -0.2, 0.3, 0.05], vqe._rdt)
+    index = 0
+    for q in vqe._occupied_modes:
+        index |= 1 << bitpos(q, vqe.n_qubits)
+    arr = np.zeros((2, 1 << vqe.n_qubits), np.asarray(th).dtype)
+    arr[0, index] = 1.0
+    a = np.asarray(raw["fwd"](th))
+    b = np.asarray(raw["fwd_from"](jnp.asarray(arr), th))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_program_salt_is_numerically_invisible(vqe):
     # the per-stage salt constant (salt * 1e-30) must not move any result
     # beyond float roundoff
