@@ -333,7 +333,7 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
         if seg.kind == "rot":
             d = seg.data
             pidx_arr = np.where(d["pidx"] < 0, n_params, d["pidx"])
-            th = thetas_ext[jnp.asarray(pidx_arr)] * direction
+            th = _select_params(thetas_ext, pidx_arr) * direction
             xs = (
                 jnp.asarray(d["xb"]),
                 jnp.asarray(d["zb"]),
@@ -413,6 +413,21 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
     return psi
 
 
+def _select_params(thetas_ext, pidx_host):
+    """``thetas_ext[pidx]`` without a gather.
+
+    The tunneled TPU backend rejects gather lowerings outright -- a
+    13-element constant-index gather is UNIMPLEMENTED on its own
+    (benchmarks/tpu_bisect_fwd2.jsonl, rung "gather") -- so per-term
+    angles are selected by a one-hot (T, n_params+1) constant matmul,
+    which lowers to the MXU.
+    """
+    pidx_host = np.asarray(pidx_host)
+    sel = np.zeros((pidx_host.shape[0], thetas_ext.shape[0]), np.float64)
+    sel[np.arange(pidx_host.shape[0]), pidx_host] = 1.0
+    return jnp.asarray(sel, thetas_ext.dtype) @ thetas_ext
+
+
 def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     """Adjoint sweep over ONE rot segment: returns (psi0, lam0, grads).
 
@@ -426,7 +441,7 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     n_params = thetas.shape[0]
     thetas_ext = jnp.concatenate([thetas, jnp.ones(1, dtype=thetas.dtype)])
     pidx_host = np.where(d["pidx"] < 0, n_params, d["pidx"])
-    th = thetas_ext[jnp.asarray(pidx_host)]
+    th = _select_params(thetas_ext, pidx_host)
 
     from .pallas_kernels import chain_max_qubits, pallas_enabled
 
@@ -447,18 +462,22 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
             jnp.asarray(d["phre"], rdt)[::-1],
             jnp.asarray(d["phim"], rdt)[::-1],
         )
-        grads = jax.ops.segment_sum(
-            contribs, jnp.asarray(pidx_host[::-1]), num_segments=n_params + 1
-        )
+        # accumulate per-term contributions by parameter index with the
+        # transposed one-hot matmul (scatter-free, see _select_params)
+        rsel = np.zeros((pidx_host.shape[0], n_params + 1), np.float64)
+        rsel[np.arange(pidx_host.shape[0]), pidx_host[::-1]] = 1.0
+        grads = contribs @ jnp.asarray(rsel, contribs.dtype)
         return psi0, lam0, grads[:n_params].astype(rdt)
 
     idx = index_bits(n)
 
+    onehot = np.zeros((pidx_host.shape[0], n_params + 1), np.float64)
+    onehot[np.arange(pidx_host.shape[0]), pidx_host[::-1]] = 1.0
     xs = (
         jnp.asarray(d["xb"])[::-1],
         jnp.asarray(d["zb"])[::-1],
         (th * jnp.asarray(d["scale"], thetas.dtype))[::-1],
-        jnp.asarray(pidx_host)[::-1],
+        jnp.asarray(onehot, rdt),
         jnp.asarray(d["scale"], rdt)[::-1],
         jnp.asarray(d["phre"], rdt)[::-1],
         jnp.asarray(d["phim"], rdt)[::-1],
@@ -466,14 +485,16 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
 
     def body(carry, term):
         psi, lam, grads = carry
-        xb, zb, angle, k, scale, phre, phim = term
+        xb, zb, angle, krow, scale, phre, phim = term
         par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
         s = (1.0 - 2.0 * par.astype(rdt))
         ph = (phre + 1j * phim).astype(psi.dtype)
         # gradient at the post-gate state: Im <lam| scale*P |psi>
         ppsi = ph * s.astype(psi.dtype) * xor_flip_traced(psi, n, xb)
         contrib = scale * jnp.imag(jnp.vdot(lam, ppsi)).astype(rdt)
-        grads = grads.at[k].add(contrib)
+        # scatter-free accumulation: the backend rejects gather/scatter
+        # lowerings (see _select_params), a one-hot FMA row does not
+        grads = grads + contrib * krow
         # inverse-rotate both carriers:  exp(+i angle P)
         c = jnp.cos(angle).astype(psi.dtype)
         sn = jnp.sin(angle).astype(psi.dtype)

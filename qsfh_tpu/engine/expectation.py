@@ -407,15 +407,20 @@ class PackedPool:
 
         idx = index_bits(n)
         conj_w = jnp.conj(w)
+        # scatter-free accumulation: the tunneled TPU backend rejects
+        # gather/scatter lowerings (engine.compiled._select_params), so
+        # each term adds contrib * its one-hot generator row
+        onehot = np.zeros((len(ks), self.size), np.float64)
+        onehot[np.arange(len(ks)), ks] = 1.0
 
         def body(grads, term):
-            xb, zb, re, im, k = term
+            xb, zb, re, im, krow = term
             t = xor_flip_traced(psi, n, xb)
             par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
             s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
             val = jnp.sum(conj_w * s * t)
             contrib = 2.0 * jnp.imag((re + 1j * im).astype(psi.dtype) * val).astype(rdt)
-            return grads.at[k].add(contrib), None
+            return grads + contrib * krow, None
 
         grads0 = jnp.zeros(self.size, dtype=rdt)
         grads, _ = jax.lax.scan(
@@ -426,7 +431,7 @@ class PackedPool:
                 jnp.asarray(zs),
                 jnp.asarray(cre, rdt),
                 jnp.asarray(cim, rdt),
-                jnp.asarray(ks),
+                jnp.asarray(onehot, rdt),
             ),
         )
         return grads
@@ -451,7 +456,6 @@ class PackedPool:
             for start in range(0, len(zs), _CHUNK):
                 zb = jnp.asarray(zb_host[start : start + _CHUNK])
                 c = const_complex(cs_adj[start : start + _CHUNK], psi.dtype)
-                kk = jnp.asarray(ks[start : start + _CHUNK])
 
                 def term_val(zbj):
                     par = jax.lax.population_count(idx & zbj) & jnp.uint32(1)
@@ -460,5 +464,9 @@ class PackedPool:
 
                 vals = jax.vmap(term_val)(zb)  # (chunk,)
                 contrib = 2.0 * jnp.imag(c * vals).astype(rdt)
-                grads = grads.at[kk].add(contrib)
+                # scatter-free: (chunk,) @ one-hot (chunk, size) matmul
+                chunk_ks = np.asarray(ks[start : start + _CHUNK])
+                oh = np.zeros((chunk_ks.shape[0], self.size), np.float64)
+                oh[np.arange(chunk_ks.shape[0]), chunk_ks] = 1.0
+                grads = grads + contrib @ jnp.asarray(oh, rdt)
         return grads
