@@ -443,20 +443,28 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     pidx_host = np.where(d["pidx"] < 0, n_params, d["pidx"])
     th = _select_params(thetas_ext, pidx_host)
 
-    from .pallas_kernels import chain_max_qubits, pallas_enabled
+    from .pallas_kernels import (
+        chain_max_qubits,
+        pallas_enabled,
+        stream_max_qubits,
+    )
 
-    if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
-        # VMEM-resident chained reverse sweep; per-term contributions are
-        # segment-summed by parameter index outside the kernel
-        from .pallas_kernels import adjoint_chain_pallas
+    in_chain = 10 <= n <= chain_max_qubits()
+    in_stream = chain_max_qubits() < n <= stream_max_qubits()
+    if pallas_enabled() and (in_chain or in_stream) and rdt == jnp.float32:
+        # VMEM-resident chained reverse sweep (or HBM-streaming beyond the
+        # VMEM cap); per-term contributions are accumulated by parameter
+        # index outside the kernel
+        from .pallas_kernels import adjoint_chain_pallas, adjoint_stream_pallas
 
         angle = (th.astype(rdt) * jnp.asarray(d["scale"], rdt))[::-1]
-        psi0, lam0, contribs = adjoint_chain_pallas(
+        kernel = adjoint_chain_pallas if in_chain else adjoint_stream_pallas
+        psi0, lam0, contribs = kernel(
             psi_final,
             lam,
             n,
-            jnp.asarray(d["xb"])[::-1],
-            jnp.asarray(d["zb"])[::-1],
+            np.asarray(d["xb"])[::-1] if in_stream else jnp.asarray(d["xb"])[::-1],
+            np.asarray(d["zb"])[::-1] if in_stream else jnp.asarray(d["zb"])[::-1],
             angle,
             jnp.asarray(d["scale"], rdt)[::-1],
             jnp.asarray(d["phre"], rdt)[::-1],

@@ -1031,6 +1031,209 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
     return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
 
 
+def _adjoint_stream_local_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cos_ref, sin_ref, scale_ref,
+    phre_ref, phim_ref,
+    re_ref, im_ref, lre_ref, lim_ref,
+    ore_ref, oim_ref, olre_ref, olim_ref, acc_ref,
+):
+    """Reverse adjoint sweep over a run of BLOCK-LOCAL terms, streamed.
+
+    Per term (reversed order, matching _adjoint_chain_kernel): the
+    BLOCK-PARTIAL contribution scale * Im<lam| P psi> lands in the term's
+    one-hot (8, LANE) slot, accumulated across grid blocks; then both
+    carriers are inverse-rotated in VMEM.
+    """
+    i = pl.program_id(0)
+    br = re_ref.shape[0]
+    T = xlo_ref.shape[0]
+    slot_row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
+
+    def body(j, carry):
+        re, im, lre, lim, acc = carry
+        s = _parity_sign(zlo_ref[j], br)
+        hi = zhi_ref[j] & i
+        par = jnp.int32(0)
+        for t in range(nhi):
+            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        pr = phre_ref[j]
+        pi = phim_ref[j]
+        tre = _xor_permute(re, xlo_ref[j], br)
+        tim = _xor_permute(im, xlo_ref[j], br)
+        pre = s * (pr * tre - pi * tim)
+        pim = s * (pr * tim + pi * tre)
+        contrib = scale_ref[j] * jnp.sum(lre * pim - lim * pre)
+        acc = acc + contrib * jnp.where(
+            slot_id == j, jnp.float32(1.0), jnp.float32(0.0)
+        )
+        c = cos_ref[j]
+        sn = sin_ref[j]
+        re, im = c * re - sn * pim, c * im + sn * pre
+        tlre = _xor_permute(lre, xlo_ref[j], br)
+        tlim = _xor_permute(lim, xlo_ref[j], br)
+        plre = s * (pr * tlre - pi * tlim)
+        plim = s * (pr * tlim + pi * tlre)
+        lre, lim = c * lre - sn * plim, c * lim + sn * plre
+        return (re, im, lre, lim, acc)
+
+    re, im, lre, lim, acc = jax.lax.fori_loop(
+        0, T, body,
+        (re_ref[:], im_ref[:], lre_ref[:], lim_ref[:],
+         jnp.zeros((8, LANE), jnp.float32)),
+    )
+    ore_ref[:] = re
+    oim_ref[:] = im
+    olre_ref[:] = lre
+    olim_ref[:] = lim
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = acc
+
+    @pl.when(i > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + acc
+
+
+def _adjoint_stream_cross_kernel(
+    nhi, xlo_ref, zlo_ref, zhi_ref, cos_ref, sin_ref, scale_ref,
+    phre_ref, phim_ref,
+    re_ref, im_ref, lre_ref, lim_ref,
+    pre_ref, pim_ref, plre_ref, plim_ref,
+    ore_ref, oim_ref, olre_ref, olim_ref, acc_ref,
+):
+    """One BLOCK-CROSSING adjoint term: P psi / P lam come from the
+    XOR-paired partner blocks; the block-partial contribution accumulates
+    across the grid like the local kernel."""
+    i = pl.program_id(0)
+    br = re_ref.shape[0]
+    s = _parity_sign(zlo_ref[0], br)
+    hi = zhi_ref[0] & i
+    par = jnp.int32(0)
+    for t in range(nhi):
+        par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+    s = jnp.where(par > 0, -s, s)
+    pr = phre_ref[0]
+    pi = phim_ref[0]
+    tre = _xor_permute(pre_ref[:], xlo_ref[0], br)
+    tim = _xor_permute(pim_ref[:], xlo_ref[0], br)
+    ppre = s * (pr * tre - pi * tim)
+    ppim = s * (pr * tim + pi * tre)
+    contrib = scale_ref[0] * jnp.sum(lre_ref[:] * ppim - lim_ref[:] * ppre)
+    c = cos_ref[0]
+    sn = sin_ref[0]
+    ore_ref[:] = c * re_ref[:] - sn * ppim
+    oim_ref[:] = c * im_ref[:] + sn * ppre
+    tlre = _xor_permute(plre_ref[:], xlo_ref[0], br)
+    tlim = _xor_permute(plim_ref[:], xlo_ref[0], br)
+    plre = s * (pr * tlre - pi * tlim)
+    plim = s * (pr * tlim + pi * tlre)
+    olre_ref[:] = c * lre_ref[:] - sn * plim
+    olim_ref[:] = c * lim_ref[:] + sn * plre
+    acc = contrib * jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0) == 0)
+        & (jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1) == 0),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = acc
+
+    @pl.when(i > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + acc
+
+
+def adjoint_stream_pallas(psi_final, lam, n: int, xs, zs, angles, scales,
+                          phre, phim):
+    """Reverse adjoint sweep for states larger than VMEM; returns
+    (psi0, lam0, contribs) exactly like adjoint_chain_pallas.
+
+    ``xs``/``zs`` must be host numpy in REVERSED application order.  Four
+    planes stream through half-size blocks (the cross kernel holds 8
+    input + 4 output blocks, so blocks are shrunk to keep the working set
+    inside VMEM); block-local runs chain in VMEM, block-crossing terms
+    pair partner blocks.  Contributions come back in input (reversed-term)
+    order -- runs partition the order sequentially.
+    """
+    if n < 11:
+        raise ValueError("adjoint_stream_pallas needs at least 11 qubits")
+    xs = np.asarray(xs, np.uint32)
+    zs = np.asarray(zs, np.uint32)
+    rows = (1 << n) // LANE
+    br = max(8, _stream_block_rows(rows) // 2)
+    bb = br.bit_length() - 1
+    nb = rows // br
+    nhi = max(n - LANE_BITS - bb, 0)
+    re = jnp.real(psi_final).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi_final).astype(jnp.float32).reshape(rows, LANE)
+    lre = jnp.real(lam).astype(jnp.float32).reshape(rows, LANE)
+    lim = jnp.imag(lam).astype(jnp.float32).reshape(rows, LANE)
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    xh_all = (xs.astype(np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
+
+    cos = jnp.cos(angles).astype(jnp.float32)
+    sin = jnp.sin(angles).astype(jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
+    phre = jnp.asarray(phre, jnp.float32)
+    phim = jnp.asarray(phim, jnp.float32)
+
+    runs: list = []
+    for t in range(xs.shape[0]):
+        h = int(xh_all[t])
+        if h == 0 and runs and runs[-1][0] == 0:
+            runs[-1][1].append(t)
+        else:
+            runs.append((h, [t]))
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+    blk = pl.BlockSpec((br, LANE), lambda i: (i, 0))
+    plane = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    acc_shape = jax.ShapeDtypeStruct((8, LANE), jnp.float32)
+    acc_spec = pl.BlockSpec((8, LANE), lambda i: (0, 0))
+    interp = jax.devices()[0].platform == "cpu"
+    vals = []
+    for xh, idx in runs:
+        for lo in range(0, len(idx), CHAIN_CHUNK):
+            part = np.asarray(idx[lo : lo + CHAIN_CHUNK])
+            xlo = jnp.asarray(xs[part] & inb)
+            zlo = jnp.asarray(zs[part] & inb)
+            zhi = jnp.asarray(
+                (zs[part] >> np.uint32(LANE_BITS + bb)).astype(np.int32)
+            )
+            args = (xlo, zlo, zhi, cos[part], sin[part], scales[part],
+                    phre[part], phim[part])
+            if xh == 0:
+                re, im, lre, lim, acc = pl.pallas_call(
+                    functools.partial(_adjoint_stream_local_kernel, nhi),
+                    grid=(nb,),
+                    out_shape=(plane, plane, plane, plane, acc_shape),
+                    in_specs=smem + [blk] * 4,
+                    out_specs=(blk, blk, blk, blk, acc_spec),
+                    interpret=interp,
+                )(*args, re, im, lre, lim)
+                vals.append(acc.reshape(-1)[: len(part)])
+            else:
+                pblk = pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0))
+                re, im, lre, lim, acc = pl.pallas_call(
+                    functools.partial(_adjoint_stream_cross_kernel, nhi),
+                    grid=(nb,),
+                    out_shape=(plane, plane, plane, plane, acc_shape),
+                    in_specs=smem + [blk] * 4 + [pblk] * 4,
+                    out_specs=(blk, blk, blk, blk, acc_spec),
+                    interpret=interp,
+                )(*args, re, im, lre, lim, re, im, lre, lim)
+                vals.append(acc.reshape(-1)[:1])
+    psi0 = (re + 1j * im).astype(psi_final.dtype).reshape(psi_final.shape)
+    lam0 = (lre + 1j * lim).astype(lam.dtype).reshape(lam.shape)
+    return psi0, lam0, jnp.concatenate(vals)
+
+
 def _rot_stream_local_kernel(
     nhi, xlo_ref, zlo_ref, zhi_ref, cos_ref, sin_ref, phre_ref, phim_ref,
     re_ref, im_ref, ore_ref, oim_ref,

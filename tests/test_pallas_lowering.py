@@ -183,6 +183,28 @@ def test_rotation_stream_lowers():
     )
 
 
+def test_adjoint_stream_lowers():
+    """HBM-streaming adjoint sweep at n=20: half-size blocks, grid-
+    accumulated contribution slots, partner-paired cross terms."""
+    from qsfh_tpu.engine.pallas_kernels import adjoint_stream_pallas
+
+    n = 20
+    xs = np.asarray([0b11, 0b1100, (1 << 19) | 1, 1 << 4], np.uint32)
+    zs = np.asarray([0b101, (1 << 19) | 2, 1 << 18, 0b11], np.uint32)
+    ones = np.ones(4, np.float32)
+    zero = np.zeros(4, np.float32)
+    th = jnp.asarray([0.3, -0.2, 0.7, 0.1], jnp.float32)
+    psi = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    _lowers_abstract(
+        lambda p, l, t: adjoint_stream_pallas(
+            p, l, n, xs, zs, t, ones, ones, zero
+        ),
+        psi,
+        psi,
+        jax.ShapeDtypeStruct((4,), jnp.float32),
+    )
+
+
 def test_screen_stream_lowers():
     """HBM-streaming pool screening at n=20: one-hot slot accumulation
     across grid blocks, SMEM term scalars, XOR-paired psi blocks."""
