@@ -26,6 +26,7 @@ window isn't available.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -64,9 +65,11 @@ def build_multi_step():
     optimizer = optax.adam(1e-2)
     raw = vqe._build_step(indices, optimizer).raw_stages
 
-    def one_step(carry, _):
+    def one_step(psi0_r, carry, _):
         th, opt = carry
-        psi_r = raw["fwd"](th)
+        # fwd_from: |psi0> is a host input -- tracing the basis one-hot
+        # costs the compile service ~2 min (tpu_bisect_basis.jsonl)
+        psi_r = raw["fwd_from"](psi0_r, th)
         e = raw["energy"](psi_r)
         lam_r = raw["cotangent"](psi_r)
         g = raw["adjoint"](psi_r, lam_r, th)
@@ -74,19 +77,32 @@ def build_multi_step():
         th, opt, gn = raw["update"](th, g, opt)
         return (th, opt), (e, sz, s2, fid, gn)
 
-    def multi(th, opt, k):
-        (th, opt), traj = lax.scan(one_step, (th, opt), None, length=k)
+    def multi(psi0_r, th, opt, k):
+        (th, opt), traj = lax.scan(
+            functools.partial(one_step, psi0_r), (th, opt), None, length=k
+        )
         return th, opt, traj
 
-    progs = {k: jax.jit(lambda th, opt, _k=k: multi(th, opt, _k)) for k in (K1, K2)}
+    progs = {
+        k: jax.jit(lambda p0, th, opt, _k=k: multi(p0, th, opt, _k))
+        for k in (K1, K2)
+    }
     th0 = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
     opt0 = optimizer.init(th0)
-    return progs, th0, opt0
+
+    from qsfh_tpu.engine.state import bitpos
+
+    index = 0
+    for q in vqe._occupied_modes:
+        index |= 1 << bitpos(q, vqe.n_qubits)
+    arr = np.zeros((2, 1 << vqe.n_qubits), np.dtype(vqe._rdt))
+    arr[0, index] = 1.0
+    return progs, jnp.asarray(arr), th0, opt0
 
 
-def run_chain(progs, th0, opt0, k):
+def run_chain(progs, psi0, th0, opt0, k):
     t0 = time.time()
-    th, opt, traj = progs[k](th0, opt0)
+    th, opt, traj = progs[k](psi0, th0, opt0)
     energies = np.asarray(traj[0])  # fetch: proves the whole chain executed
     return time.time() - t0, energies, np.asarray(traj[4])
 
@@ -106,19 +122,19 @@ def main() -> int:
         return 1
 
     t0 = time.time()
-    progs, th0, opt0 = build_multi_step()
+    progs, psi0, th0, opt0 = build_multi_step()
     print(f"[fused +{time.time()-t0:6.1f}s] built", file=sys.stderr, flush=True)
 
     # compile + warm both chain lengths (first call includes remote compile)
     for k in (K1, K2):
-        dt, energies, gnorms = run_chain(progs, th0, opt0, k)
+        dt, energies, gnorms = run_chain(progs, psi0, th0, opt0, k)
         print(
             f"[fused +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
             f"E={energies.tolist()}", file=sys.stderr, flush=True,
         )
 
     # integrity: on-chip energies/gnorms must match the CPU-generated trace
-    _, energies, gnorms = run_chain(progs, th0, opt0, K2)
+    _, energies, gnorms = run_chain(progs, psi0, th0, opt0, K2)
     if on_cpu:
         with open(EXPECTED_PATH, "w") as f:
             json.dump(
@@ -146,7 +162,7 @@ def main() -> int:
     # marginal timing: median of 3 per chain length
     ts = {}
     for k in (K1, K2):
-        samples = [run_chain(progs, th0, opt0, k)[0] for _ in range(3)]
+        samples = [run_chain(progs, psi0, th0, opt0, k)[0] for _ in range(3)]
         ts[k] = float(np.median(samples))
     marginal = (ts[K2] - ts[K1]) / (K2 - K1)
     print(
