@@ -46,24 +46,28 @@ def build_sharded_pool_screen(pool: PackedPool, mesh, axis: str = AMP_AXIS):
 
     xs_d = jnp.asarray(xs)
     zs_d = jnp.asarray(zs)
-    ks_d = jnp.asarray(ks)
+    # scatter-free accumulation: one-hot generator rows travel with the
+    # sharded term data instead of integer ks (the TPU backend rejects
+    # gather/scatter lowerings -- engine.compiled._select_params)
+    onehot = np.zeros((len(ks), pool.size + 1), np.float64)
+    onehot[np.arange(len(ks)), ks] = 1.0
 
-    def local(psi, w, xb_l, zb_l, cre_l, cim_l, k_l):
+    def local(psi, w, xb_l, zb_l, cre_l, cim_l, krow_l):
         rdt = real_dtype(psi.dtype)
         idx = index_bits(n)
         conj_w = jnp.conj(w)
 
         def body(grads, term):
-            xb, zb, re, im, k = term
+            xb, zb, re, im, krow = term
             t = xor_flip_traced(psi, n, xb)
             par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
             s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
             val = jnp.sum(conj_w * s * t)
             contrib = 2.0 * jnp.imag((re + 1j * im).astype(psi.dtype) * val).astype(rdt)
-            return grads.at[k].add(contrib), None
+            return grads + contrib * krow, None
 
         grads0 = jnp.zeros(pool.size + 1, dtype=rdt)
-        grads, _ = jax.lax.scan(body, grads0, (xb_l, zb_l, cre_l, cim_l, k_l))
+        grads, _ = jax.lax.scan(body, grads0, (xb_l, zb_l, cre_l, cim_l, krow_l))
         return jax.lax.psum(grads, axis)
 
     fn = shard_map(
@@ -83,7 +87,7 @@ def build_sharded_pool_screen(pool: PackedPool, mesh, axis: str = AMP_AXIS):
             zs_d,
             jnp.asarray(cre, rdt),
             jnp.asarray(cim, rdt),
-            ks_d,
+            jnp.asarray(onehot, rdt),
         )
         return grads[: pool.size]
 

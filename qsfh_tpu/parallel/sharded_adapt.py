@@ -123,10 +123,13 @@ def build_sharded_adapt_step(
             psi = net_inv(psi)
             lam = net_inv(lam)
             grads = jnp.zeros(len(rots), dtype=rdt)
+            eye = np.eye(len(rots))
             for slot in range(len(rots) - 1, -1, -1):
                 gpsi = gen_apply(psi, slot)
                 g = psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-                grads = grads.at[slot].set(g)
+                # scatter-free (TPU backend rejects scatter lowerings):
+                # add onto the slot's one-hot row
+                grads = grads + g * jnp.asarray(eye[slot], rdt)
                 psi = inv_rot(psi, slot, thetas[slot])
                 lam = inv_rot(lam, slot, thetas[slot])
             return energy, grads
@@ -335,18 +338,22 @@ def build_sharded_screen_fn(
             psi_p = _xor_ppermute(psi, x_hi, engine.n_devices)
 
             def body(acc, term, _pp=psi_p):
-                xl, z, cr, ci, k = term
+                xl, z, cr, ci, krow = term
                 t = xor_flip_traced(_pp, engine.n_local, xl)
                 s = _z_signs(engine, z, rdt)
                 ov = jnp.sum(wc * (cr + 1j * ci).astype(t.dtype) * s.astype(t.dtype) * t)
-                return acc.at[k].add(2.0 * jnp.imag(ov).astype(rdt)), None
+                # scatter-free: one-hot FMA row (backend rejects scatter)
+                return acc + 2.0 * jnp.imag(ov).astype(rdt) * krow, None
 
+            ks_arr = np.asarray(ks)
+            oh = np.zeros((ks_arr.shape[0], packed_pool.size), np.float64)
+            oh[np.arange(ks_arr.shape[0]), ks_arr] = 1.0
             xs = (
                 jnp.asarray(x_lo),
                 jnp.asarray(zb),
                 jnp.asarray(cre, rdt),
                 jnp.asarray(cim, rdt),
-                jnp.asarray(ks),
+                jnp.asarray(oh, rdt),
             )
             grads, _ = jax.lax.scan(body, grads, xs)
         return psum(grads, AMP_AXIS)

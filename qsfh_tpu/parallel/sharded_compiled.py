@@ -325,10 +325,12 @@ def adjoint_energy_grads(
         psi = network.apply(psi, inverse=True)
         lam = network.apply(lam, inverse=True)
     grads = jnp.zeros(n_params, dtype=rdt)
+    eye = np.eye(n_params)
     for packed, k in reversed(slots):
         gpsi = apply_generator_scan(engine, psi, packed)
         g = jax.lax.psum(jnp.imag(jnp.vdot(lam, gpsi)).astype(rdt), AMP_AXIS)
-        grads = grads.at[k].add(g)
+        # scatter-free (TPU backend rejects scatter lowerings)
+        grads = grads + g * jnp.asarray(eye[k], rdt)
         psi = generator_rotation_scan_inverse(engine, psi, packed, thetas[k])
         lam = generator_rotation_scan_inverse(engine, lam, packed, thetas[k])
     return energy, grads, extras
