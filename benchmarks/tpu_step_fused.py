@@ -7,8 +7,9 @@ programs, six chances to land in a sick moment (and four of them had
 fixed hashes, so one failure used to poison every later cycle).  This
 script takes the opposite shape: the WHOLE train step (fwd circuit +
 energy + cotangent + adjoint gradient + Sz/S^2/fidelity metrics + Adam
-update) composed from ADAPT's raw split stages and scanned K iterations
-inside a SINGLE jitted program.  With the Pallas chain kernels default-on
+update) composed from ADAPT's raw split stages and UNROLLED K iterations
+inside a SINGLE jitted program (scan-over-pallas costs the compile
+service ~150 s even for tiny bodies; unrolled calls compile in seconds).  With the Pallas chain kernels default-on
 this is the program-shape class the chip demonstrably accepts
 (benchmarks/tpu_pallas.json: scan-over-chain programs compile + run).
 
@@ -26,7 +27,6 @@ window isn't available.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -48,7 +48,6 @@ def build_multi_step():
     import jax
     import jax.numpy as jnp
     import optax
-    from jax import lax
 
     from qsfh_tpu.algos.adapt import ADAPT
 
@@ -78,9 +77,16 @@ def build_multi_step():
         return (th, opt), (e, sz, s2, fid, gn)
 
     def multi(psi0_r, th, opt, k):
-        (th, opt), traj = lax.scan(
-            functools.partial(one_step, psi0_r), (th, opt), None, length=k
-        )
+        # UNROLLED over iterations: a lax.scan whose body contains pallas
+        # calls costs the remote compile service ~150 s even for two tiny
+        # chunks (tpu_bisect_basis.jsonl chain_scan2), while the same
+        # calls unrolled compile in seconds
+        carry, ys = (th, opt), []
+        for _ in range(k):
+            carry, y = one_step(psi0_r, carry, None)
+            ys.append(y)
+        th, opt = carry
+        traj = tuple(jnp.stack(col) for col in zip(*ys))
         return th, opt, traj
 
     progs = {
@@ -189,7 +195,7 @@ def main() -> int:
         "unit": "iters/sec",
         "vs_baseline": vs_baseline,
         "how": (
-            f"single fused jit: lax.scan over {K2} full train steps "
+            f"single fused jit: {K2} UNROLLED full train steps "
             "(fwd+energy+cotangent+adjoint+metrics+update, pallas chain "
             "kernels), marginal between chain lengths "
             f"{K1}/{K2}, energies parity-checked vs CPU trace"
