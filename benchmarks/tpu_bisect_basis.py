@@ -121,6 +121,46 @@ def main() -> int:
         )
         return to_reim(psi)
 
+    def _chain_n(T, glue):
+        """T synthetic terms; glue in {none, concat, select}: reproduce
+        run_segments' theta-derivation steps one at a time.  Salt is
+        folded into the program (fresh hash per run)."""
+        os.environ["QSFH_PALLAS"] = "1"
+        rng = np.random.default_rng(9)
+        import jax.numpy as jnp
+
+        from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+        from qsfh_tpu.engine.state import from_reim, to_reim
+
+        pr = jnp.asarray(
+            rng.standard_normal((2, 1 << N)).astype(np.float32) * 1e-3
+        )
+        xs = jnp.asarray(rng.integers(0, 1 << N, T).astype(np.uint32))
+        zs = jnp.asarray(rng.integers(0, 1 << N, T).astype(np.uint32))
+        pidx = rng.integers(0, 12, T)
+        scales = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+        th12 = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+
+        def run():
+            psi = from_reim(pr, jnp.complex64)
+            if glue == "none":
+                th = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+            else:
+                ext = jnp.concatenate([th12, jnp.ones(1, th12.dtype)])
+                if glue == "concat":
+                    th = ext[:1] * jnp.ones(T, jnp.float32)
+                else:  # select: the one-hot matmul run_segments uses
+                    sel = np.zeros((T, 13), np.float32)
+                    sel[np.arange(T), pidx] = 1.0
+                    th = jnp.asarray(sel) @ ext
+            psi = pauli_chain_pallas(
+                psi, N, xs, zs, th * scales * (1 + salt),
+                jnp.ones(T, jnp.float32), jnp.zeros(T, jnp.float32),
+            )
+            return to_reim(psi)
+
+        return run
+
     fns = {
         "iota2d": fn_iota2d,
         "basis_real": fn_basis_real,
@@ -129,6 +169,9 @@ def main() -> int:
         "chain_xla": fn_chain("0"),
         "chain_scan2": fn_chain_scan2,
         "chain_260": fn_chain_260,
+        "chain_467": lambda: _chain_n(467, "none")(),
+        "chain_467_concat": lambda: _chain_n(467, "concat")(),
+        "chain_467_select": lambda: _chain_n(467, "select")(),
     }
     t0 = time.time()
     rec = {"rung": rung}

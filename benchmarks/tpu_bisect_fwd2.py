@@ -79,6 +79,104 @@ def main() -> int:
                 idx = np.asarray([0, 3, 11, 12, 12, 7], np.int64)
                 return ext[jnp.asarray(idx)].sum() * (1 + salt)
             out = jax.jit(g)(th0)
+        elif rung == "chain_real":
+            # pauli_chain_pallas DIRECTLY on the real merged-segment
+            # arrays (T=467): isolates real mask/phase VALUES from the
+            # run_segments glue
+            from qsfh_tpu.engine.compiled import (
+                CompiledCircuit,
+                givens_network_static_ops,
+            )
+            from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+            from qsfh_tpu.engine.state import from_reim, to_reim
+
+            ops = [("rot", tuple(vqe.pool_rot[i]), slot)
+                   for slot, i in enumerate(indices)]
+            net_ops, gphase = givens_network_static_ops(
+                n, vqe.problem.diagonal, vqe.problem.decomposition
+            )
+            cc = CompiledCircuit(ops + net_ops, n, global_phase=gphase)
+            d = cc.segments[0].data
+            T = len(d["xb"])
+            thfull = np.full(T, 0.05, np.float32) * d["scale"].astype(
+                np.float32
+            ) * (1 + salt)
+
+            def g(pr, tf):
+                psi = from_reim(pr, vqe.dtype)
+                psi = pauli_chain_pallas(
+                    psi, n,
+                    jnp.asarray(d["xb"]), jnp.asarray(d["zb"]), tf,
+                    jnp.asarray(d["phre"], jnp.float32),
+                    jnp.asarray(d["phim"], jnp.float32),
+                )
+                return to_reim(psi)
+            out = jax.jit(g)(host_psi0(), jnp.asarray(thfull))
+        elif rung in ("chain_real_nophase", "chain_synth_phase"):
+            # A/B: real masks with trivial phases vs synthetic masks with
+            # JW-like imaginary phases -- which input class does the
+            # service reject?
+            from qsfh_tpu.engine.compiled import (
+                CompiledCircuit,
+                givens_network_static_ops,
+            )
+            from qsfh_tpu.engine.pallas_kernels import pauli_chain_pallas
+            from qsfh_tpu.engine.state import from_reim, to_reim
+
+            rng = np.random.default_rng(77)
+            T = 467
+            if rung == "chain_real_nophase":
+                ops = [("rot", tuple(vqe.pool_rot[i]), slot)
+                       for slot, i in enumerate(indices)]
+                net_ops, gphase = givens_network_static_ops(
+                    n, vqe.problem.diagonal, vqe.problem.decomposition
+                )
+                cc = CompiledCircuit(ops + net_ops, n, global_phase=gphase)
+                d = cc.segments[0].data
+                xb, zb = d["xb"], d["zb"]
+                T = len(xb)
+                phre = np.ones(T, np.float32)
+                phim = np.zeros(T, np.float32)
+            else:
+                xb = rng.integers(0, 1 << n, T).astype(np.uint32)
+                zb = rng.integers(0, 1 << n, T).astype(np.uint32)
+                # JW-like phases: most terms pure imaginary +-i
+                sgn = rng.choice([-1.0, 1.0], T).astype(np.float32)
+                phim = sgn
+                phre = np.zeros(T, np.float32)
+                phre[::6] = 1.0
+                phim[::6] = 0.0
+            thfull = (np.full(T, 0.05, np.float32) * (1 + salt)).astype(
+                np.float32
+            )
+
+            def g(pr, tf):
+                psi = from_reim(pr, vqe.dtype)
+                psi = pauli_chain_pallas(
+                    psi, n, jnp.asarray(xb), jnp.asarray(zb), tf,
+                    jnp.asarray(phre), jnp.asarray(phim),
+                )
+                return to_reim(psi)
+            out = jax.jit(g)(host_psi0(), jnp.asarray(thfull))
+        elif rung == "rs_synth":
+            # run_segments glue with a SYNTHETIC random single-segment
+            # circuit of the same size/shape as the real merged fwd
+            from qsfh_tpu.engine.compiled import CompiledCircuit
+            from qsfh_tpu.engine.state import from_reim, to_reim
+
+            rng = np.random.default_rng(123)
+            T = 467
+            ops = []
+            for t in range(T):
+                xb = int(rng.integers(0, 1 << n))
+                zb = int(rng.integers(0, 1 << n))
+                sc = float(rng.standard_normal() + salt)
+                ops.append(("rot", ((xb, zb, sc),), int(t % 12)))
+            cc = CompiledCircuit(ops, n)
+
+            def g(pr, th):
+                return to_reim(cc.apply(from_reim(pr, vqe.dtype), th))
+            out = jax.jit(g)(host_psi0(), th0)
         elif rung in ("ans_only", "net_only"):
             from qsfh_tpu.engine.compiled import (
                 CompiledCircuit,
