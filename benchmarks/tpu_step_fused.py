@@ -89,10 +89,6 @@ def build_multi_step():
         traj = tuple(jnp.stack(col) for col in zip(*ys))
         return th, opt, traj
 
-    progs = {
-        k: jax.jit(lambda p0, th, opt, _k=k: multi(p0, th, opt, _k))
-        for k in (K1, K2)
-    }
     th0 = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
     opt0 = optimizer.init(th0)
 
@@ -103,12 +99,36 @@ def build_multi_step():
         index |= 1 << bitpos(q, vqe.n_qubits)
     arr = np.zeros((2, 1 << vqe.n_qubits), np.dtype(vqe._rdt))
     arr[0, index] = 1.0
-    return progs, jnp.asarray(arr), th0, opt0
+    psi0 = jnp.asarray(arr)
+
+    # ZERO-ARG program shape: the tunneled compile service rejects any
+    # program taking runtime array arguments with UNIMPLEMENTED (see
+    # benchmarks/tpu_bisect_args.jsonl: every zero-arg rung passes, every
+    # minimal arg-taking pair fails), so the inputs are baked as constants
+    # behind an optimization_barrier (which blocks XLA from constant-
+    # folding the chain at compile time).
+    zeroarg = os.environ.get("QSFH_FUSED_ZEROARG", "1") != "0"
+    if zeroarg:
+        def make(k):
+            def prog():
+                p0, th, opt = jax.lax.optimization_barrier((psi0, th0, opt0))
+                return multi(p0, th, opt, k)
+            return jax.jit(prog)
+        progs = {k: make(k) for k in (K1, K2)}
+    else:
+        progs = {
+            k: jax.jit(lambda p0, th, opt, _k=k: multi(p0, th, opt, _k))
+            for k in (K1, K2)
+        }
+    return progs, psi0, th0, opt0, zeroarg
 
 
-def run_chain(progs, psi0, th0, opt0, k):
+def run_chain(progs, psi0, th0, opt0, k, zeroarg):
     t0 = time.time()
-    th, opt, traj = progs[k](psi0, th0, opt0)
+    if zeroarg:
+        th, opt, traj = progs[k]()
+    else:
+        th, opt, traj = progs[k](psi0, th0, opt0)
     energies = np.asarray(traj[0])  # fetch: proves the whole chain executed
     return time.time() - t0, energies, np.asarray(traj[4])
 
@@ -128,19 +148,19 @@ def main() -> int:
         return 1
 
     t0 = time.time()
-    progs, psi0, th0, opt0 = build_multi_step()
+    progs, psi0, th0, opt0, zeroarg = build_multi_step()
     print(f"[fused +{time.time()-t0:6.1f}s] built", file=sys.stderr, flush=True)
 
     # compile + warm both chain lengths (first call includes remote compile)
     for k in (K1, K2):
-        dt, energies, gnorms = run_chain(progs, psi0, th0, opt0, k)
+        dt, energies, gnorms = run_chain(progs, psi0, th0, opt0, k, zeroarg)
         print(
             f"[fused +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
             f"E={energies.tolist()}", file=sys.stderr, flush=True,
         )
 
     # integrity: on-chip energies/gnorms must match the CPU-generated trace
-    _, energies, gnorms = run_chain(progs, psi0, th0, opt0, K2)
+    _, energies, gnorms = run_chain(progs, psi0, th0, opt0, K2, zeroarg)
     if on_cpu:
         with open(EXPECTED_PATH, "w") as f:
             json.dump(
@@ -168,7 +188,7 @@ def main() -> int:
     # marginal timing: median of 3 per chain length
     ts = {}
     for k in (K1, K2):
-        samples = [run_chain(progs, psi0, th0, opt0, k)[0] for _ in range(3)]
+        samples = [run_chain(progs, psi0, th0, opt0, k, zeroarg)[0] for _ in range(3)]
         ts[k] = float(np.median(samples))
     marginal = (ts[K2] - ts[K1]) / (K2 - K1)
     print(
@@ -195,7 +215,7 @@ def main() -> int:
         "unit": "iters/sec",
         "vs_baseline": vs_baseline,
         "how": (
-            f"single fused jit: {K2} UNROLLED full train steps "
+            f"single fused jit ({'zero-arg' if zeroarg else 'arg'} form): {K2} UNROLLED full train steps "
             "(fwd+energy+cotangent+adjoint+metrics+update, pallas chain "
             "kernels), marginal between chain lengths "
             f"{K1}/{K2}, energies parity-checked vs CPU trace"
