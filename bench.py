@@ -44,6 +44,26 @@ def _log(msg, _t0=[None]):
     print(f"[bench +{now - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+
+def _host_adam_state(params):
+    """optax.adam(1e-2).init(params) built WITHOUT device compiles.
+
+    An eager ``optimizer.init`` dispatches fixed-hash convert/broadcast
+    programs; on the tunneled compile service a hash that ever failed is
+    cached as a permanent failure (see engine/state.py real_dtype).  Adam's
+    init state is all zeros, so eval_shape gives the exact pytree and host
+    zeros fill it via plain transfers.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    shapes = jax.eval_shape(optax.adam(1e-2).init, params)
+    return jax.tree_util.tree_map(
+        lambda sd: jnp.asarray(np.zeros(sd.shape, sd.dtype)), shapes
+    )
+
+
 def measure(backend: str) -> dict:
     import jax
 
@@ -95,7 +115,7 @@ def measure(backend: str) -> dict:
     _log("ADAPT built (pool + problem)")
     indices = tuple(range(N_ANSATZ))
     vqe.selected_indices = list(indices)
-    vqe.params_t = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
+    vqe.params_t = jnp.asarray(np.full(N_ANSATZ, 0.05, dtype=np.dtype(vqe._rdt)))
 
     optimizer = optax.adam(1e-2)
     step = None
@@ -109,8 +129,11 @@ def measure(backend: str) -> dict:
             # compiled are served by the persistent cache, so retries resume
             # at the first failing stage
             step = vqe._build_step(indices, optimizer)
-            params = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
-            state = optimizer.init(params)
+            # host-built arrays + jitted init: eager jnp.full/optax.init
+            # dispatch fixed-hash programs (poisonable on the tunneled
+            # service; see engine/state.py real_dtype)
+            params = jnp.asarray(np.full(N_ANSATZ, 0.05, dtype=np.dtype(vqe._rdt)))
+            state = _host_adam_state(params)
             for w in range(WARMUP):
                 params, state, e, sz, s2, fid, gn = step(params, state)
                 float(e)
@@ -235,9 +258,10 @@ def warm_stages():
     def dummies():
         import numpy as _np
 
-        th = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
-        psi_r = jnp.zeros((2, 1 << n), dtype=vqe._rdt)
-        g = jnp.zeros(N_ANSATZ, dtype=vqe._rdt)
+        rdt = _np.dtype(vqe._rdt)
+        th = jnp.asarray(_np.full(N_ANSATZ, 0.05, dtype=rdt))
+        psi_r = jnp.asarray(_np.zeros((2, 1 << n), dtype=rdt))
+        g = jnp.asarray(_np.zeros(N_ANSATZ, dtype=rdt))
         return th, psi_r, g
 
     order = [
@@ -246,7 +270,7 @@ def warm_stages():
         ("cotangent", lambda th, psi_r, g: (psi_r,)),
         ("adjoint", lambda th, psi_r, g: (psi_r, psi_r, th)),
         ("metrics", lambda th, psi_r, g: (psi_r,)),
-        ("update", lambda th, psi_r, g: (th, g, optimizer.init(th))),
+        ("update", lambda th, psi_r, g: (th, g, _host_adam_state(th))),
     ]
     failed = []
     for name, argfn in order:

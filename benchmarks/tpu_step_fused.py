@@ -76,12 +76,15 @@ def build_multi_step():
         th, opt, gn = raw["update"](th, g, opt)
         return (th, opt), (e, sz, s2, fid, gn)
 
-    def multi(psi0_r, th, opt, k):
+    def multi(psi0_r, th, k):
         # UNROLLED over iterations: a lax.scan whose body contains pallas
         # calls costs the remote compile service ~150 s even for two tiny
         # chunks (tpu_bisect_basis.jsonl chain_scan2), while the same
-        # calls unrolled compile in seconds
-        carry, ys = (th, opt), []
+        # calls unrolled compile in seconds.  optimizer.init is traced
+        # INSIDE the program: an eager optax init dispatches fixed-hash
+        # device programs (poisonable on the tunneled service; see
+        # engine/state.py real_dtype).
+        carry, ys = (th, optimizer.init(th)), []
         for _ in range(k):
             carry, y = one_step(psi0_r, carry, None)
             ys.append(y)
@@ -89,8 +92,7 @@ def build_multi_step():
         traj = tuple(jnp.stack(col) for col in zip(*ys))
         return th, opt, traj
 
-    th0 = jnp.full(N_ANSATZ, 0.05, dtype=vqe._rdt)
-    opt0 = optimizer.init(th0)
+    th0 = np.full(N_ANSATZ, 0.05, dtype=np.dtype(vqe._rdt))
 
     from qsfh_tpu.engine.state import bitpos
 
@@ -99,36 +101,39 @@ def build_multi_step():
         index |= 1 << bitpos(q, vqe.n_qubits)
     arr = np.zeros((2, 1 << vqe.n_qubits), np.dtype(vqe._rdt))
     arr[0, index] = 1.0
-    psi0 = jnp.asarray(arr)
+    psi0 = arr
 
-    # ZERO-ARG program shape: the tunneled compile service rejects any
-    # program taking runtime array arguments with UNIMPLEMENTED (see
-    # benchmarks/tpu_bisect_args.jsonl: every zero-arg rung passes, every
-    # minimal arg-taking pair fails), so the inputs are baked as constants
-    # behind an optimization_barrier (which blocks XLA from constant-
-    # folding the chain at compile time).
+    # Program-form knob.  The round-2 bisect ladders first suggested an
+    # args-vs-constants split, but the final minimal pairs cleared runtime
+    # args entirely (tpu_bisect_args.jsonl: arg_th/arg_pr PASS) — the real
+    # poison was unsalted fixed-hash device dispatches during library init,
+    # now purged (engine/state.py real_dtype).  Both forms are kept: the
+    # arg form is the production shape; zero-arg bakes inputs as constants
+    # behind an optimization_barrier.
     zeroarg = os.environ.get("QSFH_FUSED_ZEROARG", "1") != "0"
     if zeroarg:
+        jpsi0, jth0 = jnp.asarray(psi0), jnp.asarray(th0)
+
         def make(k):
             def prog():
-                p0, th, opt = jax.lax.optimization_barrier((psi0, th0, opt0))
-                return multi(p0, th, opt, k)
+                p0, th = jax.lax.optimization_barrier((jpsi0, jth0))
+                return multi(p0, th, k)
             return jax.jit(prog)
         progs = {k: make(k) for k in (K1, K2)}
     else:
         progs = {
-            k: jax.jit(lambda p0, th, opt, _k=k: multi(p0, th, opt, _k))
+            k: jax.jit(lambda p0, th, _k=k: multi(p0, th, _k))
             for k in (K1, K2)
         }
-    return progs, psi0, th0, opt0, zeroarg
+    return progs, psi0, th0, zeroarg
 
 
-def run_chain(progs, psi0, th0, opt0, k, zeroarg):
+def run_chain(progs, psi0, th0, k, zeroarg):
     t0 = time.time()
     if zeroarg:
         th, opt, traj = progs[k]()
     else:
-        th, opt, traj = progs[k](psi0, th0, opt0)
+        th, opt, traj = progs[k](psi0, th0)
     energies = np.asarray(traj[0])  # fetch: proves the whole chain executed
     return time.time() - t0, energies, np.asarray(traj[4])
 
@@ -148,19 +153,19 @@ def main() -> int:
         return 1
 
     t0 = time.time()
-    progs, psi0, th0, opt0, zeroarg = build_multi_step()
+    progs, psi0, th0, zeroarg = build_multi_step()
     print(f"[fused +{time.time()-t0:6.1f}s] built", file=sys.stderr, flush=True)
 
     # compile + warm both chain lengths (first call includes remote compile)
     for k in (K1, K2):
-        dt, energies, gnorms = run_chain(progs, psi0, th0, opt0, k, zeroarg)
+        dt, energies, gnorms = run_chain(progs, psi0, th0, k, zeroarg)
         print(
             f"[fused +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
             f"E={energies.tolist()}", file=sys.stderr, flush=True,
         )
 
     # integrity: on-chip energies/gnorms must match the CPU-generated trace
-    _, energies, gnorms = run_chain(progs, psi0, th0, opt0, K2, zeroarg)
+    _, energies, gnorms = run_chain(progs, psi0, th0, K2, zeroarg)
     if on_cpu:
         with open(EXPECTED_PATH, "w") as f:
             json.dump(
@@ -188,7 +193,7 @@ def main() -> int:
     # marginal timing: median of 3 per chain length
     ts = {}
     for k in (K1, K2):
-        samples = [run_chain(progs, psi0, th0, opt0, k, zeroarg)[0] for _ in range(3)]
+        samples = [run_chain(progs, psi0, th0, k, zeroarg)[0] for _ in range(3)]
         ts[k] = float(np.median(samples))
     marginal = (ts[K2] - ts[K1]) / (K2 - K1)
     print(

@@ -40,7 +40,7 @@ from ..engine.circuits import apply_givens_network, apply_givens_network_adjoint
 from ..engine.expectation import PackedPool
 from ..engine.gates import generator_rotation
 from ..grad.adjoint import adjoint_apply, expectation_value, givens_network_ops
-from ..engine.state import basis_state, from_reim, to_reim_host, fidelity as state_fidelity, subspace_fidelity
+from ..engine.state import basis_state, from_reim, real_dtype, to_reim_host, fidelity as state_fidelity, subspace_fidelity
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger, plot_energy_iterations
 from ..ops.jw import jordan_wigner
@@ -183,13 +183,13 @@ class ADAPT:
             os.path.join(results_root, "vqe_results", tag + ".jsonl") if log_metrics else None
         )
 
-        rdt = jnp.zeros((), self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         self._rdt = rdt
         if load_model:
             self.load_model()
         else:
             self.selected_indices: List[int] = []
-            self.params_t = jnp.zeros(0, dtype=rdt)
+            self.params_t = jnp.asarray(np.zeros(0, dtype=rdt))
             self.results = {
                 "epoch loss": [],
                 "iteration loss": [],
@@ -274,7 +274,7 @@ class ADAPT:
                 self.n_qubits, p.diagonal, p.decomposition
             )
             net = CompiledCircuit(net_ops, self.n_qubits, global_phase=gphase)
-            empty = jnp.zeros(0, dtype=self._rdt)
+            empty = jnp.asarray(np.zeros(0, dtype=self._rdt))
 
             # each stage its own (small) compilation
             j_ans = jax.jit(
@@ -578,8 +578,13 @@ class ADAPT:
                 break
 
             self.selected_indices += new_indices
-            self.params_t = jnp.concatenate(
-                [self.params_t, jnp.zeros(len(new_indices), dtype=self._rdt)]
+            # host-side concat: an eager jnp.concatenate dispatches a
+            # fixed-hash program per epoch (poisonable; see state.real_dtype)
+            self.params_t = jnp.asarray(
+                np.concatenate(
+                    [np.asarray(self.params_t),
+                     np.zeros(len(new_indices), dtype=self._rdt)]
+                )
             )
             self.results["selected operators"] += [
                 repr(self.fermion_pool[i]).replace("\n", " ") for i in new_indices

@@ -26,7 +26,7 @@ import optax
 
 from ..engine.expectation import Observable
 from ..engine.gates import apply_one_qubit, cnot
-from ..engine.state import zero_state
+from ..engine.state import real_dtype, zero_state
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger
 from ..ops.jw import jordan_wigner
@@ -73,7 +73,7 @@ class VQE:
         qubit_h = jordan_wigner(molecule.get_molecular_hamiltonian())
         self.observable = Observable(qubit_h, self.n_qubits)
 
-        rdt = jnp.zeros((), self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         # random +-pi init (vqe_hea.py:39)
         key = jax.random.PRNGKey(seed)
         self.params = (

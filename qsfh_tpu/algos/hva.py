@@ -164,7 +164,7 @@ class HVA:
         self.Nh, self.Nv = len(self.h_generators), len(self.v_generators)
         self._h_rot = [g.rotation_terms() for g in self.h_generators]
         self._v_rot = [g.rotation_terms() for g in self.v_generators]
-        rdt = jnp.zeros((), self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         self._coulomb_diag = p.coulomb_diagonal(dtype=rdt)
 
         # constant initial state (Slater determinant of occupied k-modes),
@@ -205,9 +205,9 @@ class HVA:
             self.load_model()
         else:
             self.params = {
-                "theta_U": jnp.zeros(reps + 1, dtype=rdt),
-                "theta_v": jnp.zeros(reps * self.Nv, dtype=rdt),
-                "theta_h": jnp.zeros(reps * self.Nh, dtype=rdt),
+                "theta_U": jnp.asarray(np.zeros(reps + 1, dtype=rdt)),
+                "theta_v": jnp.asarray(np.zeros(reps * self.Nv, dtype=rdt)),
+                "theta_h": jnp.asarray(np.zeros(reps * self.Nh, dtype=rdt)),
             }
             self.results = {"loss": [], "Sz": [], "S^2": [], "fidelity": []}
 
@@ -431,7 +431,7 @@ class HVA:
         if not os.path.exists(ckpt.resolve(self.result_filepath)):
             raise ValueError(f"Please check if the file {self.result_filepath} exists!")
         params, _ = ckpt.load_model(self.model_filepath)
-        rdt = jnp.zeros((), self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         self.params = {k: jnp.asarray(v, dtype=rdt) for k, v in params.items()}
         self.results = ckpt.load_results(self.result_filepath)
 

@@ -31,6 +31,7 @@ import optax
 
 from ..engine.expectation import Observable, PackedPool
 from ..engine.gates import pauli_rotation
+from ..engine.state import real_dtype
 from ..io import checkpoint as ckpt
 from ..io.metrics import MetricsLogger, plot_energy_iterations
 from ..ops.dressing import dis_generators, dress_hamiltonian
@@ -114,7 +115,7 @@ class IQCC:
         self.max_terms = max_terms
         self.plot = plot
         self.dtype = dtype or default_dtype()
-        rdt = jnp.zeros((), self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         self._rdt = rdt
 
         if reference_energy is not None:
@@ -143,8 +144,8 @@ class IQCC:
                     + [0.0] * (self.n_qubits - self.n_electrons),
                     dtype=rdt,
                 ),
-                "phi": jnp.zeros(self.n_qubits, dtype=rdt),
-                "tau": jnp.zeros(0, dtype=rdt),
+                "phi": jnp.asarray(np.zeros(self.n_qubits, dtype=rdt)),
+                "tau": jnp.asarray(np.zeros(0, dtype=rdt)),
             }
             self.loss_history = {"iteration": [], "epoch": []}
             self.selected_ops: List[str] = []  # dressing audit trail
@@ -233,7 +234,7 @@ class IQCC:
                 break
             print(f"=== Found operators: {labels}\n with gradients: {max_grads} ===")
 
-            self.params["tau"] = jnp.zeros(len(gens), dtype=self._rdt)
+            self.params["tau"] = jnp.asarray(np.zeros(len(gens), dtype=self._rdt))
             selected_masks = [(int(P.x[0]), int(P.z[0])) for P in gens]
             optimizer = optax.adam(self.lr)
             opt_state = optimizer.init(self.params)

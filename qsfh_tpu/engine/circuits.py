@@ -87,6 +87,20 @@ def slater_prep_reim(
         psi = apply_givens_network(psi, n_qubits, diagonal, decomposition)
         return to_reim(psi)
 
+    # Pinned to the host CPU backend: this one-time prep used to dispatch a
+    # fixed-hash program on the default (accelerator) device, which (a) a
+    # tunneled compile service can permanently poison via its
+    # failure-by-hash cache (see engine/state.py real_dtype) and (b) costs
+    # such services ~2 min to compile (traced basis one-hot,
+    # benchmarks/tpu_bisect_basis.jsonl).  Drivers re-upload the returned
+    # host array into their own salted programs.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+            return jax.jit(prep)()
     return jax.jit(prep)()
 
 

@@ -444,13 +444,13 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     th = _select_params(thetas_ext, pidx_host)
 
     from .pallas_kernels import (
-        chain_max_qubits,
+        adjoint_chain_max_qubits,
         pallas_enabled,
         stream_max_qubits,
     )
 
-    in_chain = 10 <= n <= chain_max_qubits()
-    in_stream = chain_max_qubits() < n <= stream_max_qubits()
+    in_chain = 10 <= n <= adjoint_chain_max_qubits()
+    in_stream = adjoint_chain_max_qubits() < n <= stream_max_qubits()
     if pallas_enabled() and (in_chain or in_stream) and rdt == jnp.float32:
         # VMEM-resident chained reverse sweep (or HBM-streaming beyond the
         # VMEM cap); per-term contributions are accumulated by parameter

@@ -64,6 +64,20 @@ def pallas_enabled() -> bool:
         return False
 
 
+def adjoint_chain_max_qubits() -> int:
+    """VMEM cap for the ADJOINT chain kernel, one qubit below the others.
+
+    The adjoint sweep keeps the most planes resident (psi + lambda inputs,
+    carried pair, per-term accumulators) and with the 3-pass HIGHEST
+    permutation matmuls it needs 19.3 MB scoped VMEM at n=18 vs the 16 MB
+    v5e limit (measured AOT OOM, 2026-08-17).  At ``n`` above this cap the
+    HBM-streaming adjoint takes over.  ``QSFH_PALLAS_ADJ_MAX_N`` overrides.
+    """
+    return min(
+        chain_max_qubits(), int(os.environ.get("QSFH_PALLAS_ADJ_MAX_N", "17"))
+    )
+
+
 def chain_max_qubits() -> int:
     """Largest n the VMEM-resident chain kernels accept.
 
@@ -94,15 +108,24 @@ def _xor_permute(x, mask, rows: int):
     real chip, round 2); iota-compare + MXU matmul + minor-dim transpose all
     do.
     """
+    # precision=HIGHEST is load-bearing: the MXU's default f32 matmul
+    # truncates inputs to bf16 (measured on-chip: per-element permutation
+    # error up to 1.6e-2, benchmarks/tpu_op_probe.jsonl), which corrupted
+    # every chained rotation by ~1e-3 and the 18q fused-step energy by
+    # 6e-3.  With a 0/1 permutation matrix the multi-pass HIGHEST algorithm
+    # reproduces exact f32 selection.
+    _PREC = jax.lax.Precision.HIGHEST
     lane_mask = (mask & np.uint32(LANE - 1)).astype(jnp.uint32)
     row_mask = (mask >> np.uint32(LANE_BITS)).astype(jnp.uint32)
-    x = jnp.dot(x, _xor_matrix(LANE, lane_mask), preferred_element_type=jnp.float32)
+    x = jnp.dot(x, _xor_matrix(LANE, lane_mask),
+                preferred_element_type=jnp.float32, precision=_PREC)
     m = min(LANE, rows)
     s = rows // m
     mid_mask = row_mask & np.uint32(m - 1)
     x3 = x.reshape(s, m, LANE)
     y = jnp.swapaxes(x3, 1, 2)  # (s, LANE, m) -- minor-dim transpose
-    y = jnp.dot(y, _xor_matrix(m, mid_mask), preferred_element_type=jnp.float32)
+    y = jnp.dot(y, _xor_matrix(m, mid_mask),
+                preferred_element_type=jnp.float32, precision=_PREC)
     x3 = jnp.swapaxes(y, 1, 2)
     if s > 1:
         top_mask = (row_mask >> np.uint32(m.bit_length() - 1)).astype(jnp.uint32)
@@ -112,6 +135,7 @@ def _xor_permute(x, mask, rows: int):
             x2,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_PREC,
         )
         x3 = x2.reshape(s, m, LANE)
     return x3.reshape(rows, LANE)

@@ -36,7 +36,17 @@ def complex_dtype(dtype) -> jnp.dtype:
 
 
 def real_dtype(cdtype) -> jnp.dtype:
-    return jnp.zeros((), dtype=cdtype).real.dtype
+    """Real dtype paired with a complex dtype, computed HOST-SIDE.
+
+    Deliberately numpy, not ``jnp.zeros(()).real``: that form dispatches
+    tiny fixed-hash device programs (convert_element_type / real) at
+    library-init time.  Tunneled TPU compile services cache failures by
+    program hash, so an unsalted init-time program that ever failed in a
+    sick window poisons every later construction in every process — the
+    round-2 root cause of all real-model on-chip rejections while salted
+    synthetic programs passed (benchmarks/tpu_bisect_args.jsonl).
+    """
+    return jnp.dtype(np.zeros((), dtype=np.dtype(cdtype)).real.dtype)
 
 
 def zero_state(n_qubits: int, dtype=jnp.complex128) -> jnp.ndarray:

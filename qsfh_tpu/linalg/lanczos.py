@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.expectation import Observable
+from ..engine.state import real_dtype
 from ..ops.pauli import PauliSum
 from .sectors import jw_number_spin_indices, sector_dimension
 
@@ -61,7 +62,7 @@ def _lanczos_basis(matvec, v0: jnp.ndarray, k: int):
     """
     dim = v0.shape[0]
     dtype = v0.dtype
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
 
     V = jnp.zeros((k, dim), dtype=dtype)
     v = v0 / jnp.linalg.norm(v0)
@@ -148,7 +149,7 @@ def ground_state(
         hamiltonian, n_qubits, n_electrons, spin_up, spin_down, dtype
     )
     kr, ki = jax.random.split(jax.random.PRNGKey(seed))
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
     v0 = (
         jax.random.normal(kr, (dim_sector,), dtype=rdt)
         + 1j * jax.random.normal(ki, (dim_sector,), dtype=rdt)
@@ -185,7 +186,7 @@ def degenerate_ground_space(
     mv, idx = _sector_matvec(
         hamiltonian, n_qubits, n_electrons, spin_up, spin_down, dtype
     )
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
     found: List[jnp.ndarray] = []  # sector-coordinate eigenvectors
     energies: List[float] = []
     shift = None

@@ -18,7 +18,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from ..engine.state import index_bits, qmask_to_bmask
+from ..engine.state import index_bits, qmask_to_bmask, real_dtype
 
 
 def jw_number_spin_indices(n_electrons: int, spin_up: int, spin_down: int, n_qubits: int) -> List[int]:
@@ -75,7 +75,7 @@ def random_sector_state(
         key = jax.random.PRNGKey(0)
     kr, ki = jax.random.split(key)
     dim = 1 << n_qubits
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
     v = (
         jax.random.normal(kr, (dim,), dtype=rdt)
         + 1j * jax.random.normal(ki, (dim,), dtype=rdt)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..algos.base import HubbardProblem
+from ..engine.state import real_dtype
 from .shmap_engine import ShardedPauliEngine
 
 
@@ -54,7 +55,7 @@ def build_sharded_adapt_step(
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
     rots = [tuple(pool_rot[i]) for i in selected]
     obs_op = p.qubit_hamiltonian
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
 
     from jax import shard_map
     from jax.lax import psum
@@ -198,7 +199,7 @@ def build_sharded_adapt_train_step(
     engine = ShardedPauliEngine(p.n_qubits, mesh)
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
     rots = [tuple(pool_rot[i]) for i in selected]
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
     obs = p.observables
 
     from jax import shard_map
@@ -278,7 +279,7 @@ def build_sharded_screen_fn(
     engine = ShardedPauliEngine(p.n_qubits, mesh)
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
     rots = [tuple(pool_rot[i]) for i in selected]
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
 
     from jax import shard_map
     from jax.lax import psum

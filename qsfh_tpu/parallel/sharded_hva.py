@@ -19,7 +19,7 @@ import optax
 from ..algos.base import HubbardProblem
 from ..algos.hva import hva_circuit
 from ..engine.circuits import slater_prep_reim
-from ..engine.state import from_reim
+from ..engine.state import from_reim, real_dtype
 from .mesh import amp_sharding, constrain_amp, replicated
 
 
@@ -40,7 +40,7 @@ def build_sharded_hva_step(
     h_gen, v_gen = p.hva_generators()
     h_rot = [g.rotation_terms() for g in h_gen]
     v_rot = [g.rotation_terms() for g in v_gen]
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
     coulomb_diag = p.coulomb_diagonal(dtype=rdt)
 
     psi0_reim = slater_prep_reim(

@@ -25,6 +25,7 @@ import optax
 
 from ..algos.base import HubbardProblem
 from ..ops.jw import jordan_wigner
+from ..engine.state import real_dtype
 from .shmap_engine import AMP_AXIS, ShardedPauliEngine
 
 
@@ -69,7 +70,7 @@ def build_sharded_hva_step_shmap(
     p = problem
     engine = ShardedPauliEngine(p.n_qubits, mesh)
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
 
     from .sharded_compiled import adjoint_energy_grads
 
@@ -137,7 +138,7 @@ def build_sharded_hva_train_step(
     p = problem
     engine = ShardedPauliEngine(p.n_qubits, mesh)
     occupied = tuple(p.spin_up_indices + p.spin_down_indices)
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = real_dtype(dtype)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
