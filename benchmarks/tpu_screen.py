@@ -119,13 +119,13 @@ def main() -> int:
     scale = max(float(np.max(np.abs(ref))), 1e-9)
     err = float(np.max(np.abs(grads - ref)) / scale)
     out["rel_err"] = err
-    # tolerance is cross-platform f32 reduction-order noise: the CPU f32
-    # XLA trace itself sits at 8.4e-7 of an f64 reference
-    # (benchmarks/screen_noise_floor.json), but the Mosaic in-kernel
-    # jnp.sum over 2^18 amplitudes accumulates in a different order than
-    # XLA-CPU's tree reduce, measured at ~2.4e-3 of max|g|.  What ADAPT
-    # consumes is the SELECTION (argmax |g|), checked exactly below.
-    out["correct"] = bool(err < 5e-3)
+    # The 2.4e-3 error once blamed on "Mosaic reduction-order noise" was
+    # actually the MXU's default f32 matmul truncating the XOR-permutation
+    # inputs to bf16 (benchmarks/tpu_op_probe.jsonl); with
+    # Precision.HIGHEST the permutation is bit-exact on-chip, so the
+    # remaining difference is genuine f32 reduction-order noise near the
+    # CPU-f32 floor of 8.4e-7 (benchmarks/screen_noise_floor.json).
+    out["correct"] = bool(err < 1e-4)
     top_ref = np.argsort(-np.abs(ref))[:5]
     top_tpu = np.argsort(-np.abs(grads))[:5]
     out["top5_ref"] = top_ref.tolist()
