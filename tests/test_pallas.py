@@ -303,6 +303,47 @@ class TestStreamingKernels:
         np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_r), atol=2e-6)
         np.testing.assert_allclose(g_p, g_x, atol=2e-5)
 
+    def test_mixed_chain_fwd_stream_adjoint(self, monkeypatch, tmp_path):
+        """The 18q production split in miniature: fwd/energy/cotangent take
+        the VMEM chain kernels while the ADJOINT streams (its own cap sits
+        one below, QSFH_PALLAS_ADJ_MAX_N — the 3-pass HIGHEST permutation
+        matmuls push the adjoint chain past VMEM at 18q).  Gradients from
+        the mixed route must match the pure-XLA reverse scan."""
+        import optax
+
+        from qsfh_tpu.algos.adapt import ADAPT
+
+        kw = dict(
+            n_epoch=0, threshold1=1e-2, threshold2=1e-2,
+            x_dimension=2, y_dimension=3, n_electrons=6, n_spin_up=3,
+            n_spin_down=3, tunneling=1.0, coulomb=6.0,
+            ground_truth=False, plot=False, log_metrics=False,
+            circuit_mode="split", dtype=jnp.complex64,
+        )
+        idx = (0, 1, 2)
+        th = jnp.asarray([0.2, -0.3, 0.1], jnp.float32)
+        opt = optax.adam(1e-2)
+        monkeypatch.setenv("QSFH_PALLAS", "0")
+        a = ADAPT(**kw, results_root=str(tmp_path / "x"))
+        raw_x = a._build_step(idx, opt).raw_stages
+        psi_r = jax.jit(raw_x["fwd"])(th)
+        lam_r = jax.jit(raw_x["cotangent"])(psi_r)
+        g_x = np.asarray(jax.jit(raw_x["adjoint"])(psi_r, lam_r, th))
+
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        monkeypatch.setenv("QSFH_PALLAS_MAX_N", "12")   # chain covers 12q...
+        monkeypatch.setenv("QSFH_PALLAS_ADJ_MAX_N", "11")  # ...adjoint doesn't
+        monkeypatch.setenv("QSFH_PALLAS_STREAM_ROWS", "16")
+        b = ADAPT(**kw, results_root=str(tmp_path / "p"))
+        raw_p = b._build_step(idx, opt).raw_stages
+        psi_p = jax.jit(raw_p["fwd"])(th)
+        e_p = float(jax.jit(raw_p["energy"])(psi_p))
+        e_x = float(jax.jit(raw_x["energy"])(psi_r))
+        g_p = np.asarray(jax.jit(raw_p["adjoint"])(psi_r, lam_r, th))
+        np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_r), atol=2e-6)
+        np.testing.assert_allclose(e_p, e_x, atol=2e-6)
+        np.testing.assert_allclose(g_p, g_x, atol=2e-5)
+
     def test_rotation_stream_matches_xla(self, psi12, monkeypatch):
         """Streaming rotations at n=12 with 8-row blocks: local runs
         (flips below bit 10), cross-block rotations (flips on bits 10/11),
