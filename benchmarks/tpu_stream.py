@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""On-chip validation + timing of the HBM-streaming kernels at 20 qubits.
+"""On-chip validation + timing of the HBM-streaming kernels at 20-24 qubits (QSFH_STREAM_N).
 
 Beyond ``chain_max_qubits()`` the statevector exceeds VMEM and the
 chain kernels cannot run; the streaming kernels
@@ -27,8 +27,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-N = 20
-EXPECTED_PATH = os.path.join(HERE, "stream_expected.json")
+N = int(os.environ.get("QSFH_STREAM_N", "20"))
+# 20q keeps the round-2 filenames; other sizes get suffixed artifacts
+_SUF = "" if N == 20 else f"_{N}"
+EXPECTED_PATH = os.path.join(HERE, f"stream_expected{_SUF}.json")
+_LATTICE = {20: (2, 5), 22: (1, 11), 24: (2, 6)}
 
 
 def main() -> int:
@@ -49,7 +52,9 @@ def main() -> int:
     from qsfh_tpu.engine.expectation import Observable
     from qsfh_tpu.engine.state import from_reim
 
-    p = HubbardProblem(2, 5, 1.0, 6.0, 10, 5, 5)  # 20 qubits
+    x, y = _LATTICE[N]
+    n_e = x * y
+    p = HubbardProblem(x, y, 1.0, 6.0, n_e, (n_e + 1) // 2, n_e // 2)
     obs = Observable(p.qubit_hamiltonian, p.n_qubits)
 
     rng = np.random.default_rng(23)
@@ -131,11 +136,11 @@ def main() -> int:
         _, chain_x = build("0")
         out["energy_eval_xla_ms"] = round(time_chain(chain_x), 3)
         log(
-            f"energy eval 20q: stream {out['energy_eval_stream_ms']} ms "
+            f"energy eval {N}q: stream {out['energy_eval_stream_ms']} ms "
             f"vs xla {out['energy_eval_xla_ms']} ms"
         )
 
-    with open(os.path.join(HERE, "tpu_stream.json"), "w") as f:
+    with open(os.path.join(HERE, f"tpu_stream{_SUF}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("tpu_stream:", json.dumps(out))
     return 0 if out["correct"] else 1
