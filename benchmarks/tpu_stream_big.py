@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""On-chip 26-30 qubit single-chip energy evaluation (QSFH_STREAM_BIG_N).
+
+Validation past every host-reference scale: the statevector is a phased
+product state built ON DEVICE from pure elementwise ops (no 2^n tunnel
+transfer, no complex copy — engine/product_state.py), the streaming
+expectation kernel (engine/pallas_kernels.expectation_stream_planes)
+evaluates a full Hubbard Hamiltonian on it, and the result is checked
+against the per-qubit closed form computed on the host in float64.
+
+At 28-30 qubits this is 10-12 qubits past the reference's practical
+single-device ceiling (/root/reference/models/adapt_vqe.py:299-304) on
+ONE chip, no sharding.  Program shapes are value-salted by the angle
+draw (fresh compile-cache hash every run).
+
+CPU smoke: --cpu + QSFH_PROFILE_ALLOW_CPU=1 with QSFH_STREAM_BIG_N=12
+runs the whole harness in interpret mode and writes to /tmp.
+TPU mode writes benchmarks/tpu_stream_big_{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+N = int(os.environ.get("QSFH_STREAM_BIG_N", "28"))
+_LATTICE = {12: (2, 3), 26: (1, 13), 28: (2, 7), 30: (3, 5)}
+K_CHAIN = 3
+
+
+def main() -> int:
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu and not os.environ.get("QSFH_PROFILE_ALLOW_CPU"):
+        print("tpu_stream_big: no TPU platform; refusing to record", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+
+    from qsfh_tpu.algos.base import HubbardProblem
+    from qsfh_tpu.engine.expectation import Observable
+    from qsfh_tpu.engine.pallas_kernels import expectation_stream_planes
+    from qsfh_tpu.engine.product_state import product_expectation, product_planes_fn
+
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[big +{time.time()-t0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    x, y = _LATTICE[N]
+    sites = x * y
+    p = HubbardProblem(x, y, 1.0, 6.0, sites, (sites + 1) // 2, sites // 2)
+    assert p.n_qubits == N
+    obs = Observable(p.qubit_hamiltonian, N)
+    xs, zs, cre, cim = obs._scan_terms()
+    cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+
+    seed = int(os.environ.get("QSFH_STREAM_BIG_SEED", str(int(time.time()) % 100000)))
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0.4, 2.7, N)
+    al = rng.uniform(-np.pi, np.pi, N)
+    e_closed = product_expectation(p.qubit_hamiltonian, N, th, al)
+    log(f"n={N} ({x}x{y}), {len(obs)} terms, seed {seed}, E_closed = {e_closed:.8f}")
+
+    build = product_planes_fn(N, th, al)
+
+    @jax.jit
+    def once():
+        re, im = build()
+        norm2 = jnp.sum(re * re + im * im)
+        return expectation_stream_planes(re, im, N, xs, zs, cre32, cim32), norm2
+
+    e, norm2 = (float(v) for v in once())
+    log(f"on-device E = {e:.8f}, |psi|^2 = {norm2:.8f}")
+
+    e_err = abs(e - e_closed) / max(abs(e_closed), 1e-9)
+    n_err = abs(norm2 - 1.0)
+    out = {
+        "platform": str(jax.devices()[0]),
+        "n_qubits": N,
+        "lattice": f"{x}x{y}",
+        "h_terms": len(obs),
+        "seed": seed,
+        "energy_closed_form": e_closed,
+        "energy_on_device": e,
+        "energy_rel_err": e_err,
+        "norm_err": n_err,
+        "correct": bool(e_err < 5e-3 and n_err < 1e-3),
+    }
+    log(f"rel err: energy {e_err:.2e}, norm {n_err:.2e}")
+
+    if out["correct"]:
+        ts = []
+        for _ in range(5):
+            s0 = time.time()
+            float(once()[0])
+            ts.append(time.time() - s0)
+        out["eval_fetch_synced_ms"] = round(1e3 * float(np.median(ts)), 2)
+
+        # marginal device time: 3 scaled evals in one program vs 1
+        scales = [1.0 + 1e-3 * k for k in range(K_CHAIN)]
+
+        @jax.jit
+        def chain():
+            re, im = build()
+            tot = jnp.float32(0.0)
+            for s in scales:
+                s32 = np.float32(s)
+                tot = tot + expectation_stream_planes(
+                    re * s32, im * s32, N, xs, zs, cre32, cim32
+                )
+            return tot
+
+        e3 = float(chain())  # compile + warm
+        e3_closed = e_closed * sum(s * s for s in scales)
+        out["chain_rel_err"] = abs(e3 - e3_closed) / max(abs(e3_closed), 1e-9)
+        t3 = []
+        for _ in range(5):
+            s0 = time.time()
+            float(chain())
+            t3.append(time.time() - s0)
+        t1 = float(np.median(ts))
+        t3m = float(np.median(t3))
+        out["eval_marginal_ms"] = round(1e3 * (t3m - t1) / (K_CHAIN - 1), 2)
+
+        plane_bytes = 2 * (1 << N) * 4  # re+im f32
+        from qsfh_tpu.engine.pallas_kernels import _stream_groups
+        groups = _stream_groups(xs, 11 if N >= 19 else (N - 8))
+        out["n_groups"] = len(groups)
+        model = 2 * plane_bytes * len(groups)  # conj + partner reads per group
+        out["model_bytes_per_eval"] = int(model)
+        if out["eval_marginal_ms"] > 0:
+            out["model_GBps"] = round(model / (out["eval_marginal_ms"] / 1e3) / 1e9, 1)
+        log(f"fetch-synced {out['eval_fetch_synced_ms']} ms, "
+            f"marginal {out['eval_marginal_ms']} ms over {len(groups)} groups")
+
+    dest = HERE if not on_cpu else "/tmp"
+    path = os.path.join(dest, f"tpu_stream_big_{N}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("tpu_stream_big:", json.dumps(out))
+    return 0 if out["correct"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -879,16 +879,24 @@ def _apply_stream_kernel(
     oim_ref[:] = ai
 
 
-def _stream_setup(psi, n: int, xs):
+def _stream_setup_planes(re, im, n: int, xs):
+    """Static stream geometry for f32 (rows, LANE) re/im planes."""
     rows = (1 << n) // LANE
     br = _stream_block_rows(rows)
     bb = br.bit_length() - 1
     nb = rows // br
     nhi = max(n - LANE_BITS - bb, 0)
-    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
-    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    if re.shape != (rows, LANE) or im.shape != (rows, LANE):
+        raise ValueError(f"planes must be ({rows}, {LANE}) for n={n}")
     groups = _stream_groups(xs, bb)
     return rows, br, bb, nb, nhi, re, im, groups
+
+
+def _stream_setup(psi, n: int, xs):
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    return _stream_setup_planes(re, im, n, xs)
 
 
 def _group_arrays(idx, xs, zs, cre, cim, bb):
@@ -998,7 +1006,24 @@ def expectation_stream_pallas(psi, n: int, xs, zs, cre, cim):
     """
     if n < 11:
         raise ValueError("expectation_stream_pallas needs at least 11 qubits")
-    rows, br, bb, nb, nhi, re, im, groups = _stream_setup(psi, n, xs)
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    return expectation_stream_planes(re, im, n, xs, zs, cre, cim)
+
+
+def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
+    """Streaming expectation on f32 (rows, LANE) planes directly.
+
+    The planes entry point exists for statevectors too large to ever
+    materialize as a complex array (26-30 qubits on one chip: the complex
+    copy alone would double HBM use); callers such as the product-state
+    validation harness (engine/product_state.py) build the planes on
+    device and never hold |psi> in complex form.
+    """
+    if n < 11:
+        raise ValueError("expectation_stream_planes needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
 
     total = jnp.float32(0.0)
     for xh, idx in sorted(groups.items()):

@@ -1,0 +1,130 @@
+"""Phased product states with closed-form Pauli expectations.
+
+Purpose: validate very large statevector kernels (26-30 qubits) on real
+hardware *without* a host reference simulation and *without* shipping the
+state through the host<->device tunnel.  A product state
+
+    |psi> = prod_q  cos(theta_q/2)|0> + e^{i alpha_q} sin(theta_q/2)|1>
+
+has a per-qubit closed-form expectation for every packed Pauli term, so
+the exact <psi|H|psi> of a full Hubbard Hamiltonian is computable on the
+host in O(terms * n) float64 arithmetic at ANY qubit count, while the
+2^n-amplitude state itself is built on the device from pure elementwise
+ops (iota bit tests + exp/cos/sin) that XLA fuses into the consumer.
+
+Engine convention (engine/expectation.py:173-189, "_scan_terms"): a packed
+term (x, z, c) acts as  c_adj * D_z X_x  with c_adj = c * (-1)^{|z & x|},
+(X_x psi)(k) = psi(k XOR x), (D_z psi)(k) = (-1)^{parity(z & k)} psi(k),
+and qubit q occupies flat-index bit (n-1-q) (state.py:22 qmask_to_bmask).
+<psi| D_z X_x |psi> factorizes per qubit:
+
+    (x_q, z_q) = (0,0) -> 1
+    (0,1) -> cos(theta_q)
+    (1,0) -> sin(theta_q) cos(alpha_q)
+    (1,1) -> i sin(theta_q) sin(alpha_q)
+
+The reference has no analog of this module; it exists because the rebuild
+pushes single-chip evaluation past the scale where reference traces are
+computable (reference ceiling: /root/reference/models/adapt_vqe.py:299-304).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+LANE = 128
+LANE_BITS = 7
+
+
+def product_planes_fn(n: int, thetas, alphas):
+    """Return a zero-argument traceable fn building (re, im) f32 planes.
+
+    The planes are shaped (2^n / 128, 128) in the engine's flat-index
+    layout.  All per-qubit weights are folded in as Python-float constants
+    (no device arrays are indexed: constant-index gathers are rejected by
+    some tunneled TPU backends, and value-dependent program hashes give
+    every angle draw a fresh compile-cache entry).  log-magnitudes are
+    accumulated instead of amplitude products so 30-qubit amplitudes
+    (~2^-15 each) stay far from the f32 denormal floor.
+    """
+    if n < LANE_BITS:
+        raise ValueError("product_planes_fn needs at least 7 qubits")
+    th = np.asarray(thetas, np.float64)
+    al = np.asarray(alphas, np.float64)
+    if th.shape != (n,) or al.shape != (n,):
+        raise ValueError("thetas/alphas must have shape (n,)")
+    ln_a = np.log(np.cos(th / 2.0))
+    ln_b = np.log(np.sin(th / 2.0))
+    base = float(ln_a.sum())
+    d = ln_b - ln_a
+    rows = (1 << n) // LANE
+
+    def build():
+        rowv = lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+        lanev = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        lnmag = jnp.full((rows, LANE), base, jnp.float32)
+        phase = jnp.zeros((rows, LANE), jnp.float32)
+        for q in range(n):
+            p = n - 1 - q  # flat-index bit of qubit q
+            if p < LANE_BITS:
+                bit = (lanev >> np.int32(p)) & np.int32(1)
+            else:
+                bit = (rowv >> np.int32(p - LANE_BITS)) & np.int32(1)
+            b = bit.astype(jnp.float32)
+            lnmag = lnmag + b * np.float32(d[q])
+            phase = phase + b * np.float32(al[q])
+        mag = jnp.exp(lnmag)
+        return mag * jnp.cos(phase), mag * jnp.sin(phase)
+
+    return build
+
+
+def product_state_host(n: int, thetas, alphas) -> np.ndarray:
+    """Dense complex128 product state on the host (test-scale n only)."""
+    th = np.asarray(thetas, np.float64)
+    al = np.asarray(alphas, np.float64)
+    psi = np.ones(1, np.complex128)
+    for q in range(n):  # qubit 0 is the most significant flat-index bit
+        v = np.array(
+            [math.cos(th[q] / 2.0),
+             math.sin(th[q] / 2.0) * complex(math.cos(al[q]), math.sin(al[q]))],
+            np.complex128,
+        )
+        psi = np.kron(psi, v)
+    return psi
+
+
+def product_expectation(op, n: int, thetas, alphas) -> float:
+    """Closed-form Re <psi| op |psi> for a packed PauliSum, host float64."""
+    th = np.asarray(thetas, np.float64)
+    al = np.asarray(alphas, np.float64)
+    sin_t = np.sin(th)
+    cos_t = np.cos(th)
+    mx = sin_t * np.cos(al)  # <X_q>
+    my = sin_t * np.sin(al)  # i-coefficient of the (1,1) factor
+    total = 0.0
+    for x, z, c in zip(op.x, op.z, op.c):
+        x, z = int(x), int(z)
+        m = complex(c) * ((-1.0) ** bin(z & x).count("1"))
+        q = 0
+        mask = x | z
+        while mask and m != 0:
+            if mask & 1:
+                xq = (x >> q) & 1
+                zq = (z >> q) & 1
+                if xq and zq:
+                    m *= 1j * my[q]
+                elif xq:
+                    m *= mx[q]
+                else:
+                    m *= cos_t[q]
+            mask >>= 1
+            q += 1
+        total += m.real
+    return float(total)

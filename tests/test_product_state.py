@@ -1,0 +1,82 @@
+"""Phased-product-state closed forms vs the engine (engine/product_state.py).
+
+These pin the three legs the >24-qubit on-chip validation rides on
+(benchmarks/tpu_stream_big.py): (1) the closed-form per-qubit expectation
+matches the engine's packed-term convention exactly, (2) the on-device
+plane builder reproduces the host kron state, (3) the HBM-streaming
+expectation kernel on those planes reproduces the closed form.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qsfh_tpu.algos.base import HubbardProblem
+from qsfh_tpu.engine.expectation import Observable
+from qsfh_tpu.engine.product_state import (
+    product_expectation,
+    product_planes_fn,
+    product_state_host,
+)
+
+
+def _angles(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.4, 2.7, n), rng.uniform(-np.pi, np.pi, n)
+
+
+@pytest.fixture(scope="module")
+def problem_2x3():
+    return HubbardProblem(2, 3, 1.0, 6.0, 6, 3, 3)
+
+
+def test_closed_form_matches_dense(problem_2x3):
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n)
+    psi = product_state_host(n, th, al)
+    assert abs(np.linalg.norm(psi) - 1.0) < 1e-12
+    obs = Observable(p.qubit_hamiltonian, n)
+    dense = float(obs.expectation(jnp.asarray(psi)))
+    closed = product_expectation(p.qubit_hamiltonian, n, th, al)
+    assert abs(dense - closed) < 1e-9
+
+
+def test_planes_match_host():
+    n = 10
+    th, al = _angles(n, seed=11)
+    psi = product_state_host(n, th, al)
+    re, im = jax.jit(product_planes_fn(n, th, al))()
+    np.testing.assert_allclose(
+        np.asarray(re).ravel(), psi.real.astype(np.float32), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(im).ravel(), psi.imag.astype(np.float32), atol=2e-6
+    )
+
+
+def test_stream_planes_closed_form(problem_2x3):
+    from qsfh_tpu.engine.pallas_kernels import expectation_stream_planes
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=13)
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+
+    build = product_planes_fn(n, th, al)
+
+    @jax.jit
+    def run():
+        re, im = build()
+        norm2 = jnp.sum(re * re + im * im)
+        e = expectation_stream_planes(
+            re, im, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+        )
+        return e, norm2
+
+    e, norm2 = (float(v) for v in run())
+    assert abs(norm2 - 1.0) < 1e-5
+    closed = product_expectation(p.qubit_hamiltonian, n, th, al)
+    assert abs(e - closed) < 1e-4 * max(1.0, abs(closed))
