@@ -134,6 +134,41 @@ def main() -> int:
         t3m = float(np.median(t3))
         out["eval_marginal_ms"] = round(1e3 * (t3m - t1) / (K_CHAIN - 1), 2)
 
+        # rotated leg: streamed rotations validated via symbolic U^dag H U
+        # dressing + closed form (covers the rotation stream kernels, both
+        # block-crossing and diagonal-local paths, at this scale)
+        from qsfh_tpu.engine.pallas_kernels import rotation_stream_planes
+        from qsfh_tpu.engine.product_state import (
+            rotated_hamiltonian,
+            stream_rotation_inputs,
+        )
+
+        rots = [
+            ((1 << 0) | (1 << (N - 1)), 0, float(rng.uniform(0.2, 1.0))),
+            ((1 << 1) | (1 << (N - 2)), (1 << 1) | (1 << (N - 2)),
+             float(rng.uniform(-1.0, -0.2))),
+            (0, 0b11, float(rng.uniform(0.2, 1.0))),
+        ]
+        dressed = rotated_hamiltonian(p.qubit_hamiltonian, rots)
+        e_rot_closed = product_expectation(dressed, N, th, al)
+        xb, zb, rth, phre, phim = stream_rotation_inputs(N, rots)
+
+        @jax.jit
+        def rotated():
+            re, im = build()
+            re, im = rotation_stream_planes(re, im, N, xb, zb, rth, phre, phim)
+            return expectation_stream_planes(re, im, N, xs, zs, cre32, cim32)
+
+        e_rot = float(rotated())
+        rot_err = abs(e_rot - e_rot_closed) / max(abs(e_rot_closed), 1e-9)
+        out["rot_energy_closed_form"] = e_rot_closed
+        out["rot_energy_on_device"] = e_rot
+        out["rot_rel_err"] = rot_err
+        out["rot_dressed_terms"] = len(dressed.c)
+        out["rot_correct"] = bool(rot_err < 5e-3)
+        log(f"rotated leg: E = {e_rot:.8f} vs closed {e_rot_closed:.8f} "
+            f"(rel {rot_err:.2e}, dressed {len(dressed.c)} terms)")
+
         plane_bytes = 2 * (1 << N) * 4  # re+im f32
         from qsfh_tpu.engine.pallas_kernels import _stream_groups
         groups = _stream_groups(xs, 11 if N >= 19 else (N - 8))
@@ -150,7 +185,7 @@ def main() -> int:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("tpu_stream_big:", json.dumps(out))
-    return 0 if out["correct"] else 1
+    return 0 if (out["correct"] and out.get("rot_correct", True)) else 1
 
 
 if __name__ == "__main__":

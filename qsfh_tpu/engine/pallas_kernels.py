@@ -1359,9 +1359,22 @@ def rotation_stream_pallas(psi, n: int, xs, zs, thetas, phre, phim):
     """
     if n < 11:
         raise ValueError("rotation_stream_pallas needs at least 11 qubits")
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
+    ore, oim = rotation_stream_planes(re, im, n, xs, zs, thetas, phre, phim)
+    return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
+
+
+def rotation_stream_planes(re, im, n: int, xs, zs, thetas, phre, phim):
+    """Streaming rotation product on f32 (rows, LANE) planes directly
+    (same contract as rotation_stream_pallas; planes in, planes out --
+    for 26-30 qubit states never materialized in complex form)."""
+    if n < 11:
+        raise ValueError("rotation_stream_planes needs at least 11 qubits")
     xs = np.asarray(xs, np.uint32)
     zs = np.asarray(zs, np.uint32)
-    rows, br, bb, nb, nhi, re, im, _ = _stream_setup(psi, n, xs)
+    rows, br, bb, nb, nhi, re, im, _ = _stream_setup_planes(re, im, n, xs)
     inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
     xh_all = (xs.astype(np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
 
@@ -1420,4 +1433,4 @@ def rotation_stream_pallas(psi, n: int, xs, zs, thetas, phre, phim):
                     out_specs=(blk, blk),
                     interpret=interp,
                 )(*args, re, im, re, im)
-    return (re + 1j * im).astype(psi.dtype).reshape(psi.shape)
+    return re, im

@@ -100,6 +100,61 @@ def product_state_host(n: int, thetas, alphas) -> np.ndarray:
     return psi
 
 
+def hermitian_string(x: int, z: int):
+    """The Hermitian Pauli string P = i^{|x&z|} X^x Z^z as a PauliSum.
+
+    Matches engine/gates.py:144 pauli_rotation's convention; P^2 = I for
+    any masks, so exp(-i theta P) = cos(theta) - i sin(theta) P.
+    """
+    from ..ops.pauli import PauliSum
+
+    w = bin(x & z).count("1") % 4
+    return PauliSum([x], [z], [1j**w])
+
+
+def stream_rotation_inputs(n: int, rotations):
+    """Host inputs for rotation_stream_planes from (x, z, theta) triples.
+
+    Returns (xb, zb, thetas, phre, phim): flat-index bitmasks plus the
+    kernel phase ph = (-i)^{|x&z|} such that P = ph * D_z X_x equals
+    hermitian_string(x, z) in the engine's operator order.
+    """
+    from .state import qmask_to_bmask
+
+    xb, zb, th, phre, phim = [], [], [], [], []
+    for x, z, theta in rotations:
+        w = bin(x & z).count("1") % 4
+        ph = (-1j) ** w
+        xb.append(qmask_to_bmask(int(x), n))
+        zb.append(qmask_to_bmask(int(z), n))
+        th.append(float(theta))
+        phre.append(ph.real)
+        phim.append(ph.imag)
+    return (
+        np.asarray(xb, np.uint32),
+        np.asarray(zb, np.uint32),
+        np.asarray(th, np.float32),
+        np.asarray(phre, np.float32),
+        np.asarray(phim, np.float32),
+    )
+
+
+def rotated_hamiltonian(op, rotations):
+    """U^dag H U for U = exp(-i th_T P_T) ... exp(-i th_0 P_0), computed
+    symbolically (ops/dressing.py): each P_t = hermitian_string(x_t, z_t).
+
+    <psi| U^dag H U |psi> equals the energy of the rotated state, so a
+    closed-form product-state expectation of the dressed operator
+    validates the on-device rotation kernels at any qubit count.
+    """
+    from ..ops.dressing import dress_once
+
+    out = op
+    for x, z, theta in reversed(list(rotations)):
+        out = dress_once(out, hermitian_string(int(x), int(z)), 2.0 * float(theta))
+    return out
+
+
 def product_expectation(op, n: int, thetas, alphas) -> float:
     """Closed-form Re <psi| op |psi> for a packed PauliSum, host float64."""
     th = np.asarray(thetas, np.float64)

@@ -56,6 +56,69 @@ def test_planes_match_host():
     )
 
 
+def test_rotated_closed_form_matches_dense(problem_2x3):
+    """U^dag H U dressing + closed form == dense rotate-then-measure."""
+    from qsfh_tpu.engine.gates import pauli_rotation
+    from qsfh_tpu.engine.product_state import (
+        product_expectation as pexp,
+        rotated_hamiltonian,
+    )
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=17)
+    rots = [
+        ((1 << 0) | (1 << (n - 1)), 0, 0.3),           # XX, block-crossing at big n
+        ((1 << 1) | (1 << (n - 2)), (1 << 1) | (1 << (n - 2)), -0.7),  # YY
+        (0, 0b11, 1.1),                                 # ZZ, diagonal
+    ]
+    psi = jnp.asarray(product_state_host(n, th, al))
+    for x, z, t in rots:
+        psi = pauli_rotation(psi, n, x, z, t)
+    obs = Observable(p.qubit_hamiltonian, n)
+    dense = float(obs.expectation(psi))
+    closed = pexp(rotated_hamiltonian(p.qubit_hamiltonian, rots), n, th, al)
+    assert abs(dense - closed) < 1e-9
+
+
+def test_stream_rotation_planes_closed_form(problem_2x3):
+    """Streamed rotations on planes reproduce the dressed closed form."""
+    from qsfh_tpu.engine.pallas_kernels import (
+        expectation_stream_planes,
+        rotation_stream_planes,
+    )
+    from qsfh_tpu.engine.product_state import (
+        product_expectation as pexp,
+        rotated_hamiltonian,
+        stream_rotation_inputs,
+    )
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=19)
+    rots = [
+        ((1 << 0) | (1 << (n - 1)), 0, 0.3),
+        ((1 << 1) | (1 << (n - 2)), (1 << 1) | (1 << (n - 2)), -0.7),
+        (0, 0b11, 1.1),
+    ]
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+    xb, zb, rth, phre, phim = stream_rotation_inputs(n, rots)
+    build = product_planes_fn(n, th, al)
+
+    @jax.jit
+    def run():
+        re, im = build()
+        re, im = rotation_stream_planes(re, im, n, xb, zb, rth, phre, phim)
+        return expectation_stream_planes(
+            re, im, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
+        )
+
+    e = float(run())
+    closed = pexp(rotated_hamiltonian(p.qubit_hamiltonian, rots), n, th, al)
+    assert abs(e - closed) < 1e-4 * max(1.0, abs(closed))
+
+
 def test_stream_planes_closed_form(problem_2x3):
     from qsfh_tpu.engine.pallas_kernels import expectation_stream_planes
 
