@@ -108,7 +108,10 @@ def main() -> int:
             ts.append(time.time() - s0)
         out["eval_fetch_synced_ms"] = round(1e3 * float(np.median(ts)), 2)
 
-        # marginal device time: 3 scaled evals in one program vs 1
+        # marginal device time: 3 scaled evals in one program vs 1.  The
+        # scale rides the term COEFFICIENTS (host-side, E is linear in c),
+        # not the planes: scaled plane copies would add 8.6 GB of peak HBM
+        # at 30q and tip the 16 GB chip into OOM.
         scales = [1.0 + 1e-3 * k for k in range(K_CHAIN)]
 
         @jax.jit
@@ -116,14 +119,14 @@ def main() -> int:
             re, im = build()
             tot = jnp.float32(0.0)
             for s in scales:
-                s32 = np.float32(s)
                 tot = tot + expectation_stream_planes(
-                    re * s32, im * s32, N, xs, zs, cre32, cim32
+                    re, im, N, xs, zs,
+                    cre32 * np.float32(s), cim32 * np.float32(s),
                 )
             return tot
 
         e3 = float(chain())  # compile + warm
-        e3_closed = e_closed * sum(s * s for s in scales)
+        e3_closed = e_closed * sum(scales)
         out["chain_rel_err"] = abs(e3 - e3_closed) / max(abs(e3_closed), 1e-9)
         t3 = []
         for _ in range(5):
@@ -136,38 +139,41 @@ def main() -> int:
 
         # rotated leg: streamed rotations validated via symbolic U^dag H U
         # dressing + closed form (covers the rotation stream kernels, both
-        # block-crossing and diagonal-local paths, at this scale)
-        from qsfh_tpu.engine.pallas_kernels import rotation_stream_planes
-        from qsfh_tpu.engine.product_state import (
-            rotated_hamiltonian,
-            stream_rotation_inputs,
-        )
+        # block-crossing and diagonal-local paths, at this scale).  Skipped
+        # at 30q: each streamed rotation materializes fresh output planes,
+        # so input+output peak (17 GB) exceeds the 16 GB chip there.
+        if N <= 28:
+            from qsfh_tpu.engine.pallas_kernels import rotation_stream_planes
+            from qsfh_tpu.engine.product_state import (
+                rotated_hamiltonian,
+                stream_rotation_inputs,
+            )
 
-        rots = [
-            ((1 << 0) | (1 << (N - 1)), 0, float(rng.uniform(0.2, 1.0))),
-            ((1 << 1) | (1 << (N - 2)), (1 << 1) | (1 << (N - 2)),
-             float(rng.uniform(-1.0, -0.2))),
-            (0, 0b11, float(rng.uniform(0.2, 1.0))),
-        ]
-        dressed = rotated_hamiltonian(p.qubit_hamiltonian, rots)
-        e_rot_closed = product_expectation(dressed, N, th, al)
-        xb, zb, rth, phre, phim = stream_rotation_inputs(N, rots)
+            rots = [
+                ((1 << 0) | (1 << (N - 1)), 0, float(rng.uniform(0.2, 1.0))),
+                ((1 << 1) | (1 << (N - 2)), (1 << 1) | (1 << (N - 2)),
+                 float(rng.uniform(-1.0, -0.2))),
+                (0, 0b11, float(rng.uniform(0.2, 1.0))),
+            ]
+            dressed = rotated_hamiltonian(p.qubit_hamiltonian, rots)
+            e_rot_closed = product_expectation(dressed, N, th, al)
+            xb, zb, rth, phre, phim = stream_rotation_inputs(N, rots)
 
-        @jax.jit
-        def rotated():
-            re, im = build()
-            re, im = rotation_stream_planes(re, im, N, xb, zb, rth, phre, phim)
-            return expectation_stream_planes(re, im, N, xs, zs, cre32, cim32)
+            @jax.jit
+            def rotated():
+                re, im = build()
+                re, im = rotation_stream_planes(re, im, N, xb, zb, rth, phre, phim)
+                return expectation_stream_planes(re, im, N, xs, zs, cre32, cim32)
 
-        e_rot = float(rotated())
-        rot_err = abs(e_rot - e_rot_closed) / max(abs(e_rot_closed), 1e-9)
-        out["rot_energy_closed_form"] = e_rot_closed
-        out["rot_energy_on_device"] = e_rot
-        out["rot_rel_err"] = rot_err
-        out["rot_dressed_terms"] = len(dressed.c)
-        out["rot_correct"] = bool(rot_err < 5e-3)
-        log(f"rotated leg: E = {e_rot:.8f} vs closed {e_rot_closed:.8f} "
-            f"(rel {rot_err:.2e}, dressed {len(dressed.c)} terms)")
+            e_rot = float(rotated())
+            rot_err = abs(e_rot - e_rot_closed) / max(abs(e_rot_closed), 1e-9)
+            out["rot_energy_closed_form"] = e_rot_closed
+            out["rot_energy_on_device"] = e_rot
+            out["rot_rel_err"] = rot_err
+            out["rot_dressed_terms"] = len(dressed.c)
+            out["rot_correct"] = bool(rot_err < 5e-3)
+            log(f"rotated leg: E = {e_rot:.8f} vs closed {e_rot_closed:.8f} "
+                f"(rel {rot_err:.2e}, dressed {len(dressed.c)} terms)")
 
         plane_bytes = 2 * (1 << N) * 4  # re+im f32
         from qsfh_tpu.engine.pallas_kernels import _stream_groups
