@@ -11,8 +11,10 @@ for i in $(seq 1 400); do
   echo "=== cycle $i $(date +%H:%M:%S) ===" >> $LOG
   # health probe: tiny NOVEL program (salted const) + host fetch, 90 s cap
   if ! timeout 90 python - "$i" >> $LOG 2>&1 <<'EOF'
-import sys, numpy as np, jax, jax.numpy as jnp
-salt = float(sys.argv[1]) * 1e-6
+import sys, time, numpy as np, jax, jax.numpy as jnp
+# time-anchored: a restarted campaign's cycle counter would reuse salts
+# whose FAILURES the compile service already cached in a sick window
+salt = float(sys.argv[1]) * 1e-6 + (time.time() % 86400) * 1e-9
 f = jax.jit(lambda x: (x @ x).sum() + salt)
 v = float(f(jnp.ones((256, 256), jnp.float32)))
 assert np.isfinite(v)
