@@ -137,6 +137,43 @@ def main() -> int:
         t3m = float(np.median(t3))
         out["eval_marginal_ms"] = round(1e3 * (t3m - t1) / (K_CHAIN - 1), 2)
 
+        # fused one-call expectation (scalar-prefetch partner indexing):
+        # conj side streams through VMEM once total instead of per group
+        from qsfh_tpu.engine.pallas_kernels import expectation_stream_fused
+
+        @jax.jit
+        def fused_chain():
+            re, im = build()
+            tot = jnp.float32(0.0)
+            for s in scales:
+                tot = tot + expectation_stream_fused(
+                    re, im, N, xs, zs,
+                    cre32 * np.float32(s), cim32 * np.float32(s),
+                )
+            return tot
+
+        try:
+            ef3 = float(fused_chain())
+            out["fused_chain_rel_err"] = abs(ef3 - e3_closed) / max(
+                abs(e3_closed), 1e-9
+            )
+            tf = []
+            for _ in range(5):
+                s0 = time.time()
+                float(fused_chain())
+                tf.append(time.time() - s0)
+            tfm = float(np.median(tf))
+            # same RTT constant as the grouped chain: t(K) = C + K*m, so
+            # m_fused = m_grouped + (t_fused(K) - t_grouped(K)) / K
+            out["fused_marginal_ms"] = round(
+                out["eval_marginal_ms"] + 1e3 * (tfm - t3m) / K_CHAIN, 2
+            )
+            log(f"fused eval: rel {out['fused_chain_rel_err']:.2e}, "
+                f"marginal {out['fused_marginal_ms']} ms")
+        except Exception as exc:  # fused is opt-in until proven on-chip
+            out["fused_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            log(f"fused leg failed: {out['fused_error']}")
+
         # rotated leg: streamed rotations validated via symbolic U^dag H U
         # dressing + closed form (covers the rotation stream kernels, both
         # block-crossing and diagonal-local paths, at this scale).  Skipped

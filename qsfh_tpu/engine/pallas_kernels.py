@@ -1046,6 +1046,102 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
     return total
 
 
+def _expectation_stream_fused_kernel(
+    nhi,
+    xh_ref, start_ref, cnt_ref, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
+    sre_ref, sim_ref, pre_ref, pim_ref, out_ref,
+):
+    """ALL groups in one gridded kernel (grid = (block, group)).
+
+    The group axis is innermost, so the conjugate-side block (index map
+    independent of g) stays VMEM-resident across every group: HBM traffic
+    is (1 + G) state reads per eval instead of the per-group form's 2G.
+    Term metadata arrives via scalar prefetch; each group's terms are a
+    dynamic [start, start+count) slice of the flat SMEM arrays.
+    """
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+    br = sre_ref.shape[0]
+    re = sre_ref[:]
+    im = sim_ref[:]
+    tre0 = pre_ref[:]
+    tim0 = pim_ref[:]
+    s0 = start_ref[g]
+
+    def body(j, acc):
+        t = s0 + j
+        tre = _xor_permute(tre0, xlo_ref[t], br)
+        tim = _xor_permute(tim0, xlo_ref[t], br)
+        s = _parity_sign(zlo_ref[t], br)
+        hi = zhi_ref[t] & i
+        par = jnp.int32(0)
+        for b in range(nhi):
+            par = par ^ ((hi >> np.int32(b)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        vr = jnp.sum(s * (re * tre + im * tim))
+        vi = jnp.sum(s * (re * tim - im * tre))
+        return acc + cre_ref[t] * vr - cim_ref[t] * vi
+
+    acc = jax.lax.fori_loop(0, cnt_ref[g], body, jnp.float32(0.0))
+    first = jnp.logical_and(i == 0, g == 0)
+
+    @pl.when(first)
+    def _init():
+        out_ref[:] = jnp.zeros((8, LANE), jnp.float32) + acc
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        out_ref[:] = out_ref[:] + acc
+
+
+def expectation_stream_fused(re, im, n: int, xs, zs, cre, cim):
+    """Re <psi|sum c_t s_z P_t|psi> on planes, ONE pallas call for all
+    flip groups (scalar-prefetch partner indexing).
+
+    Same contract as expectation_stream_planes; ~2x less HBM traffic for
+    many-group operators because the conjugate side streams through VMEM
+    once total instead of once per group.  Validated against the grouped
+    form + product-state closed forms in tests; opt-in for production
+    paths until timed on-chip (QSFH_STREAM_FUSED=1).
+    """
+    if n < 11:
+        raise ValueError("expectation_stream_fused needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    xs = np.asarray(xs, np.uint32)
+    zs = np.asarray(zs, np.uint32)
+    order = [t for _, idx in sorted(groups.items()) for t in idx]
+    xh_arr = np.asarray(sorted(groups), np.int32)
+    cnt = np.asarray([len(groups[h]) for h in sorted(groups)], np.int32)
+    start = np.asarray(np.concatenate([[0], np.cumsum(cnt)[:-1]]), np.int32)
+    xlo = jnp.asarray(xs[order] & inb)
+    zlo = jnp.asarray(zs[order] & inb)
+    zhi = jnp.asarray((zs[order] >> np.uint32(LANE_BITS + bb)).astype(np.int32))
+    gcre = jnp.asarray(np.asarray(cre, np.float32)[order])
+    gcim = jnp.asarray(np.asarray(cim, np.float32)[order])
+
+    G = len(xh_arr)
+    conj = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i, 0))
+    partner = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i ^ refs[0][g], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(nb, G),
+        in_specs=[conj, conj, partner, partner],
+        out_specs=pl.BlockSpec((8, LANE), lambda i, g, *refs: (0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_expectation_stream_fused_kernel, nhi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(
+        jnp.asarray(xh_arr), jnp.asarray(start), jnp.asarray(cnt),
+        xlo, zlo, zhi, gcre, gcim,
+        re, im, re, im,
+    )
+    return out[0, 0]
+
+
 def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
     """(sum_t c_t s_z P_t)|psi> for states larger than VMEM (same grouping
     as expectation_stream_pallas; XLA sums the per-group planes)."""

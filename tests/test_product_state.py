@@ -56,6 +56,34 @@ def test_planes_match_host():
     )
 
 
+def test_stream_fused_matches_grouped(problem_2x3):
+    """One-call scalar-prefetch expectation == per-group form == closed form."""
+    from qsfh_tpu.engine.pallas_kernels import (
+        expectation_stream_fused,
+        expectation_stream_planes,
+    )
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=23)
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+    cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+    build = product_planes_fn(n, th, al)
+
+    @jax.jit
+    def run():
+        re, im = build()
+        grouped = expectation_stream_planes(re, im, n, xs, zs, cre32, cim32)
+        fused = expectation_stream_fused(re, im, n, xs, zs, cre32, cim32)
+        return grouped, fused
+
+    grouped, fused = (float(v) for v in run())
+    closed = product_expectation(p.qubit_hamiltonian, n, th, al)
+    assert abs(fused - grouped) < 1e-5 * max(1.0, abs(closed))
+    assert abs(fused - closed) < 1e-4 * max(1.0, abs(closed))
+
+
 def test_rotated_closed_form_matches_dense(problem_2x3):
     """U^dag H U dressing + closed form == dense rotate-then-measure."""
     from qsfh_tpu.engine.gates import pauli_rotation
