@@ -1107,20 +1107,9 @@ def expectation_stream_fused(re, im, n: int, xs, zs, cre, cim):
     if n < 11:
         raise ValueError("expectation_stream_fused needs at least 11 qubits")
     rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
-    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
-    xs = np.asarray(xs, np.uint32)
-    zs = np.asarray(zs, np.uint32)
-    order = [t for _, idx in sorted(groups.items()) for t in idx]
-    xh_arr = np.asarray(sorted(groups), np.int32)
-    cnt = np.asarray([len(groups[h]) for h in sorted(groups)], np.int32)
-    start = np.asarray(np.concatenate([[0], np.cumsum(cnt)[:-1]]), np.int32)
-    xlo = jnp.asarray(xs[order] & inb)
-    zlo = jnp.asarray(zs[order] & inb)
-    zhi = jnp.asarray((zs[order] >> np.uint32(LANE_BITS + bb)).astype(np.int32))
-    gcre = jnp.asarray(np.asarray(cre, np.float32)[order])
-    gcim = jnp.asarray(np.asarray(cim, np.float32)[order])
-
-    G = len(xh_arr)
+    (xh_arr, start, cnt, xlo, zlo, zhi, gcre, gcim, G) = _fused_stream_inputs(
+        xs, zs, cre, cim, groups, bb
+    )
     conj = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i, 0))
     partner = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i ^ refs[0][g], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1134,11 +1123,7 @@ def expectation_stream_fused(re, im, n: int, xs, zs, cre, cim):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
         interpret=jax.devices()[0].platform == "cpu",
-    )(
-        jnp.asarray(xh_arr), jnp.asarray(start), jnp.asarray(cnt),
-        xlo, zlo, zhi, gcre, gcim,
-        re, im, re, im,
-    )
+    )(xh_arr, start, cnt, xlo, zlo, zhi, gcre, gcim, re, im, re, im)
     return out[0, 0]
 
 
@@ -1174,6 +1159,107 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
         ore = ore + gre
         oim = oim + gim
     return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
+
+
+def _apply_stream_fused_kernel(
+    nhi,
+    xh_ref, start_ref, cnt_ref, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
+    pre_ref, pim_ref, ore_ref, oim_ref,
+):
+    """ALL groups of (sum c_t s_z P_t)|psi> in one gridded kernel.
+
+    grid = (block, group) with the group axis innermost: the output block
+    (index map independent of g) stays VMEM-resident and accumulates every
+    group's contribution, so HBM sees G partner reads + ONE output write
+    instead of the per-group form's G reads + G writes + an XLA tree-add.
+    """
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+    br = pre_ref.shape[0]
+    tre0 = pre_ref[:]
+    tim0 = pim_ref[:]
+    s0 = start_ref[g]
+
+    def body(j, carry):
+        ar, ai = carry
+        t = s0 + j
+        tre = _xor_permute(tre0, xlo_ref[t], br)
+        tim = _xor_permute(tim0, xlo_ref[t], br)
+        s = _parity_sign(zlo_ref[t], br)
+        hi = zhi_ref[t] & i
+        par = jnp.int32(0)
+        for b in range(nhi):
+            par = par ^ ((hi >> np.int32(b)) & np.int32(1))
+        s = jnp.where(par > 0, -s, s)
+        cr = cre_ref[t]
+        ci = cim_ref[t]
+        ar = ar + s * (cr * tre - ci * tim)
+        ai = ai + s * (cr * tim + ci * tre)
+        return (ar, ai)
+
+    zero = jnp.zeros((br, LANE), jnp.float32)
+    ar, ai = jax.lax.fori_loop(0, cnt_ref[g], body, (zero, zero))
+
+    @pl.when(g == 0)
+    def _init():
+        ore_ref[:] = ar
+        oim_ref[:] = ai
+
+    @pl.when(g > 0)
+    def _accum():
+        ore_ref[:] = ore_ref[:] + ar
+        oim_ref[:] = oim_ref[:] + ai
+
+
+def _fused_stream_inputs(xs, zs, cre, cim, groups, bb):
+    """Flat scalar-prefetch arrays for the fused (block, group) kernels."""
+    xs = np.asarray(xs, np.uint32)
+    zs = np.asarray(zs, np.uint32)
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    order = [t for _, idx in sorted(groups.items()) for t in idx]
+    cnt = np.asarray([len(groups[h]) for h in sorted(groups)], np.int32)
+    start = np.asarray(np.concatenate([[0], np.cumsum(cnt)[:-1]]), np.int32)
+    return (
+        jnp.asarray(np.asarray(sorted(groups), np.int32)),
+        jnp.asarray(start),
+        jnp.asarray(cnt),
+        jnp.asarray(xs[order] & inb),
+        jnp.asarray(zs[order] & inb),
+        jnp.asarray((zs[order] >> np.uint32(LANE_BITS + bb)).astype(np.int32)),
+        jnp.asarray(np.asarray(cre, np.float32)[order]),
+        jnp.asarray(np.asarray(cim, np.float32)[order]),
+        len(cnt),
+    )
+
+
+def apply_stream_fused(re, im, n: int, xs, zs, cre, cim):
+    """(sum_t c_t s_z P_t)|psi> on f32 planes, ONE pallas call for all
+    groups (scalar-prefetch partner indexing; planes in, planes out).
+
+    Opt-in counterpart of apply_stream_pallas until timed on-chip."""
+    if n < 11:
+        raise ValueError("apply_stream_fused needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
+    (xh_arr, start, cnt, xlo, zlo, zhi, gcre, gcim, G) = _fused_stream_inputs(
+        xs, zs, cre, cim, groups, bb
+    )
+    partner = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i ^ refs[0][g], 0))
+    outspec = pl.BlockSpec((br, LANE), lambda i, g, *refs: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(nb, G),
+        in_specs=[partner, partner],
+        out_specs=(outspec, outspec),
+    )
+    return pl.pallas_call(
+        functools.partial(_apply_stream_fused_kernel, nhi),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        ),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(xh_arr, start, cnt, xlo, zlo, zhi, gcre, gcim, re, im)
 
 
 def _adjoint_stream_local_kernel(

@@ -84,6 +84,36 @@ def test_stream_fused_matches_grouped(problem_2x3):
     assert abs(fused - closed) < 1e-4 * max(1.0, abs(closed))
 
 
+def test_apply_stream_fused_matches_grouped(problem_2x3):
+    """One-call fused apply == per-group apply_stream_pallas planes."""
+    from qsfh_tpu.engine.pallas_kernels import (
+        apply_stream_fused,
+        apply_stream_pallas,
+    )
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=29)
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+    cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+    build = product_planes_fn(n, th, al)
+
+    @jax.jit
+    def run():
+        re, im = build()
+        w = apply_stream_pallas(
+            (re + 1j * im).reshape(-1).astype(jnp.complex64),
+            n, xs, zs, cre32, cim32,
+        )
+        fre, fim = apply_stream_fused(re, im, n, xs, zs, cre32, cim32)
+        return jnp.real(w), jnp.imag(w), fre.reshape(-1), fim.reshape(-1)
+
+    wr, wi, fr, fi = run()
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(wr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(wi), atol=1e-6)
+
+
 def test_rotated_closed_form_matches_dense(problem_2x3):
     """U^dag H U dressing + closed form == dense rotate-then-measure."""
     from qsfh_tpu.engine.gates import pauli_rotation
