@@ -20,6 +20,7 @@ TPU-first redesign of the reference's measurement path:
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Dict, Sequence, Tuple
 
@@ -214,11 +215,19 @@ class Observable:
             and rdt == jnp.float32
         ):
             # beyond the VMEM-resident cap: HBM-streaming grouped kernel
+            # (QSFH_STREAM_FUSED=1 selects the one-call scalar-prefetch
+            # variant: conj side read once total instead of once per group)
+            cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+            if os.environ.get("QSFH_STREAM_FUSED") == "1":
+                from .pallas_kernels import expectation_stream_fused
+
+                rows = (1 << n) // 128
+                re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
+                im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
+                return expectation_stream_fused(re, im, n, xs, zs, cre32, cim32)
             from .pallas_kernels import expectation_stream_pallas
 
-            return expectation_stream_pallas(
-                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
-            )
+            return expectation_stream_pallas(psi, n, xs, zs, cre32, cim32)
 
         idx = index_bits(n)
         conj = jnp.conj(psi)
@@ -267,11 +276,18 @@ class Observable:
             and chain_max_qubits() < n <= stream_max_qubits()
             and rdt == jnp.float32
         ):
+            cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+            if os.environ.get("QSFH_STREAM_FUSED") == "1":
+                from .pallas_kernels import apply_stream_fused
+
+                rows = (1 << n) // 128
+                re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
+                im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
+                ore, oim = apply_stream_fused(re, im, n, xs, zs, cre32, cim32)
+                return (ore + 1j * oim).astype(psi.dtype).reshape(psi.shape)
             from .pallas_kernels import apply_stream_pallas
 
-            return apply_stream_pallas(
-                psi, n, xs, zs, cre.astype(np.float32), cim.astype(np.float32)
-            )
+            return apply_stream_pallas(psi, n, xs, zs, cre32, cim32)
 
         idx = index_bits(n)
 

@@ -114,6 +114,29 @@ def test_apply_stream_fused_matches_grouped(problem_2x3):
     np.testing.assert_allclose(np.asarray(fi), np.asarray(wi), atol=1e-6)
 
 
+def test_observable_fused_route(problem_2x3, monkeypatch):
+    """QSFH_STREAM_FUSED=1 routes Observable.*_scan through the fused
+    kernels with identical results to the default XLA scan."""
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=31)
+    psi = jnp.asarray(product_state_host(n, th, al).astype(np.complex64))
+    obs = Observable(p.qubit_hamiltonian, n)
+
+    monkeypatch.delenv("QSFH_PALLAS", raising=False)
+    e_ref = float(obs.expectation_scan(psi))
+    w_ref = np.asarray(obs.apply_scan(psi))
+
+    monkeypatch.setenv("QSFH_PALLAS", "1")
+    monkeypatch.setenv("QSFH_PALLAS_MAX_N", "11")  # force the stream branch
+    monkeypatch.setenv("QSFH_STREAM_FUSED", "1")
+    e_fused = float(obs.expectation_scan(psi))
+    w_fused = np.asarray(obs.apply_scan(psi))
+
+    assert abs(e_fused - e_ref) < 1e-4 * max(1.0, abs(e_ref))
+    np.testing.assert_allclose(w_fused, w_ref, atol=1e-5)
+
+
 def test_rotated_closed_form_matches_dense(problem_2x3):
     """U^dag H U dressing + closed form == dense rotate-then-measure."""
     from qsfh_tpu.engine.gates import pauli_rotation
