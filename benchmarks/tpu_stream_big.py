@@ -212,6 +212,52 @@ def main() -> int:
             log(f"rotated leg: E = {e_rot:.8f} vs closed {e_rot_closed:.8f} "
                 f"(rel {rot_err:.2e}, dressed {len(dressed.c)} terms)")
 
+            # screening leg: per-term 2 Im<w|c P|psi> on two DIFFERENT
+            # product states (the pair matrix element is also closed-form);
+            # covers the streamed screening kernel -- ADAPT's per-epoch hot
+            # op -- at this scale.  w planes add 2x plane bytes: 28q max.
+            from qsfh_tpu.engine.pallas_kernels import (
+                _stream_block_rows,
+                _stream_groups,
+                screen_stream_planes,
+            )
+            from qsfh_tpu.engine.product_state import product_pair_term_values
+
+            thw = rng.uniform(0.4, 2.7, N)
+            alw = rng.uniform(-np.pi, np.pi, N)
+            build_w = product_planes_fn(N, thw, alw)
+
+            @jax.jit
+            def screened():
+                re, im = build()
+                wre, wim = build_w()
+                contribs, _ = screen_stream_planes(
+                    wre, wim, re, im, N, xs, zs, cre32, cim32
+                )
+                return contribs
+
+            contribs = np.asarray(screened())
+            bb = _stream_block_rows((1 << N) // 128).bit_length() - 1
+            sgroups = _stream_groups(xs, bb)
+            perm = np.asarray(
+                [t for _, idx in sorted(sgroups.items()) for t in idx]
+            )
+            vals = product_pair_term_values(
+                p.qubit_hamiltonian, N, (thw, alw), (th, al)
+            )
+            expected = 2.0 * vals.imag
+            scr_scale = max(float(np.abs(expected).max()), 1e-9)
+            scr_err = float(np.abs(contribs - expected[perm]).max()) / scr_scale
+            argmax_ok = bool(
+                perm[int(np.abs(contribs).argmax())]
+                == int(np.abs(expected).argmax())
+            )
+            out["screen_max_rel_err"] = scr_err
+            out["screen_argmax_match"] = argmax_ok
+            out["screen_correct"] = bool(scr_err < 5e-3 and argmax_ok)
+            log(f"screening leg: max rel err {scr_err:.2e}, "
+                f"argmax match {argmax_ok}")
+
         plane_bytes = 2 * (1 << N) * 4  # re+im f32
         from qsfh_tpu.engine.pallas_kernels import _stream_groups
         groups = _stream_groups(xs, 11 if N >= 19 else (N - 8))

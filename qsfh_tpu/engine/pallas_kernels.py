@@ -968,9 +968,22 @@ def screen_stream_pallas(psi, w, n: int, xs, zs, cre, cim):
     """
     if n < 11:
         raise ValueError("screen_stream_pallas needs at least 11 qubits")
-    rows, br, bb, nb, nhi, re, im, groups = _stream_setup(psi, n, xs)
+    rows = (1 << n) // LANE
+    re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
     wre = jnp.real(w).astype(jnp.float32).reshape(rows, LANE)
     wim = jnp.imag(w).astype(jnp.float32).reshape(rows, LANE)
+    return screen_stream_planes(wre, wim, re, im, n, xs, zs, cre, cim)
+
+
+def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
+    """Per-term screening contributions on f32 planes directly (w first,
+    matching <w| ... |psi>; same return contract as screen_stream_pallas)."""
+    if n < 11:
+        raise ValueError("screen_stream_planes needs at least 11 qubits")
+    rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
+    if wre.shape != (rows, LANE) or wim.shape != (rows, LANE):
+        raise ValueError(f"w planes must be ({rows}, {LANE}) for n={n}")
 
     vals = []
     perm = []

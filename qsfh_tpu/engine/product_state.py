@@ -155,31 +155,47 @@ def rotated_hamiltonian(op, rotations):
     return out
 
 
-def product_expectation(op, n: int, thetas, alphas) -> float:
-    """Closed-form Re <psi| op |psi> for a packed PauliSum, host float64."""
+def _qubit_amps(thetas, alphas):
     th = np.asarray(thetas, np.float64)
     al = np.asarray(alphas, np.float64)
-    sin_t = np.sin(th)
-    cos_t = np.cos(th)
-    mx = sin_t * np.cos(al)  # <X_q>
-    my = sin_t * np.sin(al)  # i-coefficient of the (1,1) factor
-    total = 0.0
-    for x, z, c in zip(op.x, op.z, op.c):
+    a = np.cos(th / 2.0).astype(np.complex128)
+    b = np.sin(th / 2.0) * np.exp(1j * al)
+    return a, b
+
+
+def product_pair_term_values(op, n: int, w_angles, psi_angles) -> np.ndarray:
+    """Per-term complex values  c_adj,t * <w| D_z X_x |psi>  (host float64).
+
+    For two (possibly different) product states the matrix element also
+    factorizes per qubit:
+
+        M_q = conj(aw)*a + (-1)^{z_q} conj(bw)*b        if x_q = 0
+        M_q = conj(aw)*b + (-1)^{z_q} conj(bw)*a        if x_q = 1
+
+    The engine consumes these as: expectation = Re(sum_t V_t) when w=psi;
+    screening contribution_t = 2 Im(V_t) with w the cotangent state
+    (pallas_kernels._screen_stream_kernel's 2(cre*vi + cim*vr)).
+    """
+    aw, bw = _qubit_amps(*w_angles)
+    a, b = _qubit_amps(*psi_angles)
+    caw, cbw = np.conj(aw), np.conj(bw)
+    m_x0 = np.stack([caw * a + cbw * b, caw * a - cbw * b])   # [z_q][q]
+    m_x1 = np.stack([caw * b + cbw * a, caw * b - cbw * a])
+    vals = np.empty(len(op.c), np.complex128)
+    for t, (x, z, c) in enumerate(zip(op.x, op.z, op.c)):
         x, z = int(x), int(z)
         m = complex(c) * ((-1.0) ** bin(z & x).count("1"))
-        q = 0
-        mask = x | z
-        while mask and m != 0:
-            if mask & 1:
-                xq = (x >> q) & 1
-                zq = (z >> q) & 1
-                if xq and zq:
-                    m *= 1j * my[q]
-                elif xq:
-                    m *= mx[q]
-                else:
-                    m *= cos_t[q]
-            mask >>= 1
-            q += 1
-        total += m.real
-    return float(total)
+        for q in range(n):  # identity qubits contribute <w_q|psi_q>, not 1
+            xq = (x >> q) & 1
+            zq = (z >> q) & 1
+            m *= m_x1[zq, q] if xq else m_x0[zq, q]
+            if m == 0:
+                break
+        vals[t] = m
+    return vals
+
+
+def product_expectation(op, n: int, thetas, alphas) -> float:
+    """Closed-form Re <psi| op |psi> for a packed PauliSum, host float64."""
+    ang = (thetas, alphas)
+    return float(product_pair_term_values(op, n, ang, ang).sum().real)

@@ -114,6 +114,57 @@ def test_apply_stream_fused_matches_grouped(problem_2x3):
     np.testing.assert_allclose(np.asarray(fi), np.asarray(wi), atol=1e-6)
 
 
+def test_screen_stream_pair_closed_form(problem_2x3):
+    """Streamed screening on two DIFFERENT product states == 2 Im of the
+    pair closed form (the <w|P|psi> matrix element factorizes per qubit)."""
+    from qsfh_tpu.engine.pallas_kernels import screen_stream_planes
+    from qsfh_tpu.engine.product_state import product_pair_term_values
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=37)
+    thw, alw = _angles(n, seed=41)
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+    cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+    build_p = product_planes_fn(n, th, al)
+    build_w = product_planes_fn(n, thw, alw)
+
+    @jax.jit
+    def run():
+        re, im = build_p()
+        wre, wim = build_w()
+        contribs, _ = screen_stream_planes(
+            wre, wim, re, im, n, xs, zs, cre32, cim32
+        )
+        return contribs
+
+    contribs = np.asarray(run())
+    # recover the permutation (static host metadata)
+    from qsfh_tpu.engine.pallas_kernels import _stream_block_rows, _stream_groups
+    bb = _stream_block_rows((1 << n) // 128).bit_length() - 1
+    groups = _stream_groups(xs, bb)
+    perm = np.asarray([t for _, idx in sorted(groups.items()) for t in idx])
+
+    vals = product_pair_term_values(p.qubit_hamiltonian, n, (thw, alw), (th, al))
+    expected = 2.0 * vals.imag
+    scale = max(1.0, float(np.abs(expected).max()))
+    np.testing.assert_allclose(contribs, expected[perm], atol=1e-4 * scale)
+
+
+def test_pair_term_values_reduce_to_expectation(problem_2x3):
+    """w == psi pair values reduce to the validated single-state form."""
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=43)
+    from qsfh_tpu.engine.product_state import product_pair_term_values
+    vals = product_pair_term_values(p.qubit_hamiltonian, n, (th, al), (th, al))
+    psi = product_state_host(n, th, al)
+    obs = Observable(p.qubit_hamiltonian, n)
+    dense = float(obs.expectation(jnp.asarray(psi)))
+    assert abs(float(vals.sum().real) - dense) < 1e-9
+
+
 def test_observable_fused_route(problem_2x3, monkeypatch):
     """QSFH_STREAM_FUSED=1 routes Observable.*_scan through the fused
     kernels with identical results to the default XLA scan."""
