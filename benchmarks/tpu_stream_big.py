@@ -258,6 +258,55 @@ def main() -> int:
             log(f"screening leg: max rel err {scr_err:.2e}, "
                 f"argmax match {argmax_ok}")
 
+            # adjoint leg (26q: the four-plane sweep plus two complex
+            # carriers stays well under HBM): streamed reverse adjoint
+            # gradients vs d/dtheta of the dressed closed form
+            if N <= 26:
+                from qsfh_tpu.engine.pallas_kernels import (
+                    adjoint_stream_pallas,
+                    apply_stream_pallas,
+                )
+
+                ones = np.ones_like(rth)
+
+                @jax.jit
+                def sweep():
+                    re, im = build()
+                    fre, fim = rotation_stream_planes(
+                        re, im, N, xb, zb, rth, phre, phim
+                    )
+                    psi_f = (fre + 1j * fim).reshape(-1).astype(jnp.complex64)
+                    lam = apply_stream_pallas(psi_f, N, xs, zs, cre32, cim32)
+                    _, _, contribs = adjoint_stream_pallas(
+                        psi_f, lam, N,
+                        xb[::-1], zb[::-1],
+                        jnp.asarray(rth[::-1]), jnp.asarray(ones[::-1]),
+                        jnp.asarray(phre[::-1]), jnp.asarray(phim[::-1]),
+                    )
+                    return contribs
+
+                grads_dev = 2.0 * np.asarray(sweep())[::-1]
+                h = 1e-5
+                grads_fd = np.empty(len(rots))
+                for t_i in range(len(rots)):
+                    def e_at(dt, _t=t_i):
+                        shifted = [
+                            (rx, rz, rt + (dt if k == _t else 0.0))
+                            for k, (rx, rz, rt) in enumerate(rots)
+                        ]
+                        return product_expectation(
+                            rotated_hamiltonian(p.qubit_hamiltonian, shifted),
+                            N, th, al,
+                        )
+                    grads_fd[t_i] = (e_at(h) - e_at(-h)) / (2 * h)
+                g_scale = max(float(np.abs(grads_fd).max()), 1e-9)
+                adj_err = float(np.abs(grads_dev - grads_fd).max()) / g_scale
+                out["adjoint_grads_on_device"] = [float(g) for g in grads_dev]
+                out["adjoint_grads_closed_form"] = [float(g) for g in grads_fd]
+                out["adjoint_max_rel_err"] = adj_err
+                out["adjoint_correct"] = bool(adj_err < 5e-3)
+                log(f"adjoint leg: max rel err {adj_err:.2e}")
+
         plane_bytes = 2 * (1 << N) * 4  # re+im f32
         from qsfh_tpu.engine.pallas_kernels import _stream_groups
         groups = _stream_groups(xs, 11 if N >= 19 else (N - 8))

@@ -165,6 +165,66 @@ def test_pair_term_values_reduce_to_expectation(problem_2x3):
     assert abs(float(vals.sum().real) - dense) < 1e-9
 
 
+def test_adjoint_stream_gradient_closed_form(problem_2x3):
+    """Streamed adjoint sweep gradients == d/dtheta of the dressed closed
+    form (finite difference, host float64) for a 3-rotation circuit."""
+    from qsfh_tpu.engine.pallas_kernels import (
+        adjoint_stream_pallas,
+        apply_stream_pallas,
+        rotation_stream_planes,
+    )
+    from qsfh_tpu.engine.product_state import (
+        product_expectation as pexp,
+        rotated_hamiltonian,
+        stream_rotation_inputs,
+    )
+
+    p = problem_2x3
+    n = p.n_qubits
+    th, al = _angles(n, seed=47)
+    rots = [
+        ((1 << 0) | (1 << (n - 1)), 0, 0.31),
+        ((1 << 1) | (1 << (n - 2)), (1 << 1) | (1 << (n - 2)), -0.73),
+        (0, 0b11, 1.13),
+    ]
+    obs = Observable(p.qubit_hamiltonian, n)
+    xs, zs, cre, cim = obs._scan_terms()
+    cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+    xb, zb, rth, phre, phim = stream_rotation_inputs(n, rots)
+    ones = np.ones_like(rth)
+    build = product_planes_fn(n, th, al)
+
+    @jax.jit
+    def sweep():
+        re, im = build()
+        fre, fim = rotation_stream_planes(re, im, n, xb, zb, rth, phre, phim)
+        psi_f = (fre + 1j * fim).reshape(-1).astype(jnp.complex64)
+        lam = apply_stream_pallas(psi_f, n, xs, zs, cre32, cim32)
+        _, _, contribs = adjoint_stream_pallas(
+            psi_f, lam, n,
+            xb[::-1], zb[::-1],
+            jnp.asarray(rth[::-1]), jnp.asarray(ones[::-1]),
+            jnp.asarray(phre[::-1]), jnp.asarray(phim[::-1]),
+        )
+        return contribs
+
+    grads_dev = 2.0 * np.asarray(sweep())[::-1]  # dE/dtheta = 2 Im<lam|P psi>
+
+    h = 1e-5
+    grads_fd = np.empty(len(rots))
+    for t in range(len(rots)):
+        def e_at(dt):
+            shifted = [
+                (x, z, thv + (dt if k == t else 0.0))
+                for k, (x, z, thv) in enumerate(rots)
+            ]
+            return pexp(rotated_hamiltonian(p.qubit_hamiltonian, shifted), n, th, al)
+        grads_fd[t] = (e_at(h) - e_at(-h)) / (2 * h)
+
+    scale = max(1.0, float(np.abs(grads_fd).max()))
+    np.testing.assert_allclose(grads_dev, grads_fd, atol=1e-3 * scale)
+
+
 def test_observable_fused_route(problem_2x3, monkeypatch):
     """QSFH_STREAM_FUSED=1 routes Observable.*_scan through the fused
     kernels with identical results to the default XLA scan."""
