@@ -100,6 +100,17 @@ def main() -> int:
     }
     log(f"rel err: energy {e_err:.2e}, norm {n_err:.2e}")
 
+    dest = HERE if not on_cpu else "/tmp"
+    path = os.path.join(dest, f"tpu_stream_big_{N}.json")
+
+    def flush():
+        # progressive write: a sick-window timeout mid-ladder keeps every
+        # leg already validated instead of discarding the whole rung
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    flush()
+
     if out["correct"]:
         ts = []
         for _ in range(5):
@@ -107,6 +118,7 @@ def main() -> int:
             float(once()[0])
             ts.append(time.time() - s0)
         out["eval_fetch_synced_ms"] = round(1e3 * float(np.median(ts)), 2)
+        flush()
 
         # marginal device time: 3 scaled evals in one program vs 1.  The
         # scale rides the term COEFFICIENTS (host-side, E is linear in c),
@@ -136,6 +148,7 @@ def main() -> int:
         t1 = float(np.median(ts))
         t3m = float(np.median(t3))
         out["eval_marginal_ms"] = round(1e3 * (t3m - t1) / (K_CHAIN - 1), 2)
+        flush()
 
         # fused one-call expectation (scalar-prefetch partner indexing):
         # conj side streams through VMEM once total instead of per group
@@ -170,6 +183,7 @@ def main() -> int:
             )
             log(f"fused eval: rel {out['fused_chain_rel_err']:.2e}, "
                 f"marginal {out['fused_marginal_ms']} ms")
+            flush()
         except Exception as exc:  # fused is opt-in until proven on-chip
             out["fused_error"] = f"{type(exc).__name__}: {exc}"[:200]
             log(f"fused leg failed: {out['fused_error']}")
@@ -211,6 +225,7 @@ def main() -> int:
             out["rot_correct"] = bool(rot_err < 5e-3)
             log(f"rotated leg: E = {e_rot:.8f} vs closed {e_rot_closed:.8f} "
                 f"(rel {rot_err:.2e}, dressed {len(dressed.c)} terms)")
+            flush()
 
             # screening leg: per-term 2 Im<w|c P|psi> on two DIFFERENT
             # product states (the pair matrix element is also closed-form);
@@ -257,6 +272,7 @@ def main() -> int:
             out["screen_correct"] = bool(scr_err < 5e-3 and argmax_ok)
             log(f"screening leg: max rel err {scr_err:.2e}, "
                 f"argmax match {argmax_ok}")
+            flush()
 
             # adjoint leg (26q: the four-plane sweep plus two complex
             # carriers stays well under HBM): streamed reverse adjoint
@@ -306,6 +322,7 @@ def main() -> int:
                 out["adjoint_max_rel_err"] = adj_err
                 out["adjoint_correct"] = bool(adj_err < 5e-3)
                 log(f"adjoint leg: max rel err {adj_err:.2e}")
+                flush()
 
         plane_bytes = 2 * (1 << N) * 4  # re+im f32
         from qsfh_tpu.engine.pallas_kernels import _stream_groups
@@ -318,10 +335,7 @@ def main() -> int:
         log(f"fetch-synced {out['eval_fetch_synced_ms']} ms, "
             f"marginal {out['eval_marginal_ms']} ms over {len(groups)} groups")
 
-    dest = HERE if not on_cpu else "/tmp"
-    path = os.path.join(dest, f"tpu_stream_big_{N}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print("tpu_stream_big:", json.dumps(out))
     return 0 if (out["correct"] and out.get("rot_correct", True)) else 1
 
