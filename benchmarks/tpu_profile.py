@@ -85,14 +85,33 @@ def main() -> int:
     out["energy_eval_amortized_ms"] = round(1e3 * t_many / K_EVAL, 3)
     out["energy_eval_amortized_over"] = K_EVAL
 
-    # traffic model: scan expectation reads the c64 statevector ~3x/term
+    # traffic models, path-aware: the XLA-scan expectation reads the c64
+    # statevector ~3x per Pauli term (pair gather via lane-matmul flip +
+    # phase weight + accumulate); the Pallas CHAIN kernel keeps the state
+    # VMEM-resident across each 256-term chunk, so HBM traffic collapses to
+    # one (2, 2^n) f32 read per chunk.  Both models are recorded, plus
+    # which path the profiled program actually took — if the achieved
+    # bandwidth under the scan model exceeds HBM peak, that is the VMEM
+    # residency showing, not a measurement error.
     from qsfh_tpu.algos.base import HubbardProblem
+    from qsfh_tpu.engine.pallas_kernels import (
+        CHAIN_CHUNK,
+        chain_max_qubits,
+        pallas_enabled,
+    )
 
     problem = HubbardProblem(3, 3, 1.0, 6.0, 9, 5, 4)
     n_terms = len(problem.observables["H"])
-    sv_bytes = (1 << 18) * 8  # complex64
-    model_bytes = 3 * n_terms * sv_bytes
+    sv_bytes = (1 << 18) * 8  # (2, 2^18) float32 planes == complex64 state
+    n_chunks = -(-n_terms // CHAIN_CHUNK)
+    chain_active = pallas_enabled() and 18 <= chain_max_qubits()
+    scan_bytes = 3 * n_terms * sv_bytes
+    chain_bytes = n_chunks * sv_bytes
+    model_bytes = chain_bytes if chain_active else scan_bytes
     out["hamiltonian_terms"] = int(n_terms)
+    out["expectation_path"] = "pallas_chain" if chain_active else "xla_scan"
+    out["model_bytes_xla_scan"] = int(scan_bytes)
+    out["model_bytes_pallas_chain"] = int(chain_bytes)
     out["model_bytes_per_eval"] = int(model_bytes)
     out["achieved_GBps_model"] = round(model_bytes / (t_many / K_EVAL) / 1e9, 1)
     out["v5e_peak_hbm_GBps"] = 819  # v5e HBM peak for reference
