@@ -75,12 +75,23 @@ EOF
     timeout 560 python benchmarks/tpu_stream.py >> $LOG 2>&1 \
       && echo "STREAM OK" >> $LOG
   fi
+  # 20-qubit (2x5) fused train step: past the reference's single-device
+  # ceiling, streaming kernels on-chip vs XLA CPU trace
+  if [ -f benchmarks/step_fused_expected_20q.json ] && \
+      [ ! -f benchmarks/tpu_result_20q.json ]; then
+    salt20="$(python -c "import time; print(3e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
+    QSFH_BENCH_SALT=$salt20 QSFH_FUSED_NX=2 QSFH_FUSED_NY=5 \
+      QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 \
+      timeout 560 python benchmarks/tpu_step_fused.py >> $LOG 2>&1 \
+      && echo "STEP20 OK" >> $LOG
+  fi
   done_all=1
   [ -f benchmarks/tpu_result.json ] || done_all=0
   [ ! -f benchmarks/tpu_profile.py ] || [ -f benchmarks/tpu_profile.json ] || done_all=0
   [ ! -f benchmarks/tpu_pallas.py ] || [ -f benchmarks/tpu_pallas.json ] || done_all=0
   [ ! -f benchmarks/screen_expected.json ] || [ -f benchmarks/tpu_screen.json ] || done_all=0
   [ ! -f benchmarks/stream_expected.json ] || [ -f benchmarks/tpu_stream.json ] || done_all=0
+  [ ! -f benchmarks/step_fused_expected_20q.json ] || [ -f benchmarks/tpu_result_20q.json ] || done_all=0
   if [ "$done_all" = 1 ]; then
     echo "CAMPAIGN COMPLETE $(date +%H:%M:%S)" >> $LOG
     exit 0

@@ -38,10 +38,26 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-NX, NY = 3, 3
-N_ANSATZ = 12
-K1, K2 = 2, 6
-EXPECTED_PATH = os.path.join(HERE, "step_fused_expected.json")
+# Lattice/chain knobs (env-overridable).  The default 3x3 = 18 qubits is
+# the reference's largest configured problem; QSFH_FUSED_NX=2 QSFH_FUSED_NY=5
+# measures a 20-qubit step -- past the reference's single-device ceiling
+# (/root/reference/models/adapt_vqe.py:299-304 switches backends at >=20q),
+# exercising the HBM-streaming Pallas kernels on-chip while the CPU trace
+# takes the XLA path (a genuine cross-implementation parity check).
+NX = int(os.environ.get("QSFH_FUSED_NX", "3"))
+NY = int(os.environ.get("QSFH_FUSED_NY", "3"))
+N_ANSATZ = int(os.environ.get("QSFH_FUSED_ANSATZ", "12"))
+K1 = int(os.environ.get("QSFH_FUSED_K1", "2"))
+K2 = int(os.environ.get("QSFH_FUSED_K2", "6"))
+N_QUBITS = 2 * NX * NY
+# ansatz = first N_ANSATZ pool ops unless an explicit comma list is given
+# (some lattices put the leading pool ops on a symmetry plateau)
+_OPS_ENV = os.environ.get("QSFH_FUSED_OPS", "")
+OPS = tuple(int(s) for s in _OPS_ENV.split(",") if s) or tuple(range(N_ANSATZ))
+# the 18q flagship keeps its historical artifact names
+_SUFFIX = "" if (NX, NY) == (3, 3) else f"_{N_QUBITS}q"
+EXPECTED_PATH = os.path.join(HERE, f"step_fused_expected{_SUFFIX}.json")
+RESULT_NAME = f"tpu_result{_SUFFIX}.json"
 
 
 def build_multi_step():
@@ -60,7 +76,7 @@ def build_multi_step():
         log_metrics=False, circuit_mode="split",
         program_salt=float(os.environ.get("QSFH_BENCH_SALT", "0") or 0),
     )
-    indices = tuple(range(N_ANSATZ))
+    indices = OPS
     optimizer = optax.adam(1e-2)
     raw = vqe._build_step(indices, optimizer).raw_stages
 
@@ -92,7 +108,7 @@ def build_multi_step():
         traj = tuple(jnp.stack(col) for col in zip(*ys))
         return th, opt, traj
 
-    th0 = np.full(N_ANSATZ, 0.05, dtype=np.dtype(vqe._rdt))
+    th0 = np.full(len(OPS), 0.05, dtype=np.dtype(vqe._rdt))
 
     from qsfh_tpu.engine.state import bitpos
 
@@ -221,14 +237,15 @@ def main() -> int:
         "vs_baseline": vs_baseline,
         "how": (
             f"single fused jit ({'zero-arg' if zeroarg else 'arg'} form): {K2} UNROLLED full train steps "
-            "(fwd+energy+cotangent+adjoint+metrics+update, pallas chain "
+            "(fwd+energy+cotangent+adjoint+metrics+update, pallas "
+            f"{'chain' if N_QUBITS <= 18 else 'streaming'} "
             "kernels), marginal between chain lengths "
             f"{K1}/{K2}, energies parity-checked vs CPU trace"
         ),
         "platform": str(jax.devices()[0]),
     }
     dest = HERE if not on_cpu else "/tmp"
-    with open(os.path.join(dest, "tpu_result.json"), "w") as f:
+    with open(os.path.join(dest, RESULT_NAME), "w") as f:
         json.dump(blob, f)
     print("tpu_step_fused:", json.dumps(blob))
     return 0
