@@ -85,6 +85,13 @@ EOF
       timeout 560 python benchmarks/tpu_step_fused.py >> $LOG 2>&1 \
       && echo "STEP20 OK" >> $LOG
   fi
+  # HVA fused train step (second flagship trainer; reference models/hva.py)
+  if [ -f benchmarks/step_hva_expected.json ] && \
+      [ ! -f benchmarks/tpu_result_hva.json ]; then
+    salth="$(python -c "import time; print(11e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
+    QSFH_BENCH_SALT=$salth timeout 560 python benchmarks/tpu_step_hva.py >> $LOG 2>&1 \
+      && echo "STEPHVA OK" >> $LOG
+  fi
   done_all=1
   [ -f benchmarks/tpu_result.json ] || done_all=0
   [ ! -f benchmarks/tpu_profile.py ] || [ -f benchmarks/tpu_profile.json ] || done_all=0
@@ -92,6 +99,7 @@ EOF
   [ ! -f benchmarks/screen_expected.json ] || [ -f benchmarks/tpu_screen.json ] || done_all=0
   [ ! -f benchmarks/stream_expected.json ] || [ -f benchmarks/tpu_stream.json ] || done_all=0
   [ ! -f benchmarks/step_fused_expected_20q.json ] || [ -f benchmarks/tpu_result_20q.json ] || done_all=0
+  [ ! -f benchmarks/step_hva_expected.json ] || [ -f benchmarks/tpu_result_hva.json ] || done_all=0
   if [ "$done_all" = 1 ]; then
     echo "CAMPAIGN COMPLETE $(date +%H:%M:%S)" >> $LOG
     exit 0

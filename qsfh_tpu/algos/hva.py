@@ -318,7 +318,28 @@ class HVA:
             params, opt_state, gnorm = update_jit(flat, grads, params, opt_state)
             return params, opt_state, energy, sz, s2, fid, gnorm
 
-        return step
+        # raw per-stage closures, same contract as ADAPT's step.raw_stages:
+        # benchmarks compose them into one fused program (fwd_from feeds
+        # |psi0> as a host input -- tracing the basis one-hot is expensive
+        # on the remote compile service)
+        step.raw_stages = {
+            "fwd": lambda th: to_reim(cc.apply(from_reim(psi0_reim, dt), th)),
+            "fwd_from": lambda p0_r, th: to_reim(
+                cc.apply(from_reim(p0_r, dt), th)
+            ),
+            "energy": lambda psi_r: obs["H"].expectation_scan(
+                from_reim(psi_r, dt)
+            ),
+            "cotangent": lambda psi_r: to_reim(
+                2.0 * obs["H"].apply_scan(from_reim(psi_r, dt))
+            ),
+            "adjoint": lambda psi_r, lam_r, th: run_rot_adjoint(
+                seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th,
+                self.n_qubits,
+            )[2],
+            "metrics": metrics_fn,
+            "update": update_fn,
+        }
         return step
 
     def _build_step(self):
