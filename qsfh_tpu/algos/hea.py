@@ -81,7 +81,8 @@ class VQE:
         ).astype(rdt)
         self.loss_history = []
 
-        tag = f"HEA-{type(molecule).__name__}-{self.n_qubits}q-reps{reps}"
+        mol_name = getattr(molecule, "name", type(molecule).__name__)
+        tag = f"HEA-{mol_name}-{self.n_qubits}q-reps{reps}"
         self.img_filepath = f"./images/{tag}.png"
         self.result_filepath = os.path.join(results_root, "vqe_results", tag + ".json")
         self.metrics = MetricsLogger(

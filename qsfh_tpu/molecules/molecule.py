@@ -61,6 +61,18 @@ class Molecule:
         self.n_electrons = sum(z for z, _ in charges) - charge
         self.nuclear_repulsion = nuclear_repulsion(charges)
 
+        # display name: element counts by decreasing atomic number plus a
+        # charge marker -- reproduces the factory names (H2, HeH+, LiH,
+        # BeH2, H4, H6) so driver artifact tags identify the molecule
+        zmap = {sym: z for (sym, _), (z, _) in zip(geometry, charges)}
+        counts: dict = {}
+        for sym, _ in geometry:
+            counts[sym] = counts.get(sym, 0) + 1
+        self.name = "".join(
+            f"{el}{counts[el] if counts[el] > 1 else ''}"
+            for el in sorted(counts, key=lambda s: -zmap[s])
+        ) + ("+" * max(charge, 0) + "-" * max(-charge, 0))
+
         S, T, V, eri = build_integrals(funcs, charges)
         self.hf_energy, C, self.orbital_energies = restricted_hartree_fock(
             S, T, V, eri, self.n_electrons, self.nuclear_repulsion

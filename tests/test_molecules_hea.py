@@ -93,3 +93,20 @@ class TestHEA:
         # variational bound + real optimization progress
         assert min(losses) >= m.fci_energy - 1e-6
         assert losses[-1] < m.hf_energy + 0.02  # beats/approaches mean-field
+
+
+def test_molecule_names_match_factories():
+    # artifact tags identify the molecule (algos/hea.py); names reproduce
+    # the factory spellings via decreasing-Z element ordering + charge mark
+    from qsfh_tpu.molecules import Molecule
+
+    def name(geometry, charge=0):
+        return Molecule(geometry, charge=charge, run_fci=False).name
+
+    assert name([("H", (0, 0, 0)), ("H", (0, 0, 0.8))]) == "H2"
+    assert name([("He", (0, 0, 0)), ("H", (0, 0, 1.0))], charge=1) == "HeH+"
+    assert name([("Li", (0, 0, 0)), ("H", (0, 0, 1.6))]) == "LiH"
+    assert name(
+        [("H", (0, 0, -1.3)), ("Be", (0, 0, 0)), ("H", (0, 0, 1.3))]
+    ) == "BeH2"
+    assert name([("H", (0, 0, i * 1.0)) for i in range(4)]) == "H4"
