@@ -22,7 +22,8 @@ def vqe():
         n_epoch=0, reps=2, lr=1e-2,
         x_dimension=2, y_dimension=2, n_electrons=4,
         n_spin_up=2, n_spin_down=2, tunneling=1.0, coulomb=4.0,
-        plot=False, log_metrics=False, circuit_mode="split",
+        ground_truth=False, plot=False, log_metrics=False,
+        circuit_mode="split",
     )
 
 
