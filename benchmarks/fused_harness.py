@@ -1,0 +1,158 @@
+"""Shared measurement core for the fused train-step benchmarks.
+
+benchmarks/tpu_step_fused.py (ADAPT) and benchmarks/tpu_step_hva.py (HVA)
+measure the same way: the whole train step UNROLLED K times inside one
+salted jit, energies AND gradient norms parity-checked against a
+CPU-generated expected trace, and the recorded time taken as the MARGINAL
+between two chain lengths (cancels the tunnel-RTT constant).  This module
+is the single source of truth for that protocol; the scripts supply only
+the program builder and the artifact/metric names.
+
+Expected-trace files embed the generating config: a TPU run whose knobs
+do not match the trace refuses to compare (a K2=6 trace vs a K2=3 program
+would otherwise die in an opaque broadcast error, or worse, silently
+compare the wrong experiment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+def kernel_path_label(n_qubits: int) -> str:
+    """What the engine will actually dispatch for this size (provenance
+    for the recorded artifact -- mirrors engine/compiled.py:365)."""
+    from qsfh_tpu.engine.pallas_kernels import (
+        chain_max_qubits,
+        pallas_enabled,
+        stream_max_qubits,
+    )
+
+    if not pallas_enabled():
+        return "xla scan"
+    if 10 <= n_qubits <= chain_max_qubits():
+        return "pallas chain"
+    if chain_max_qubits() < n_qubits <= stream_max_qubits():
+        return "pallas streaming"
+    return "xla scan"
+
+
+def measure_fused_step(
+    name: str,
+    run_chain: Callable[[int], tuple],
+    k1: int,
+    k2: int,
+    config: Dict,
+    expected_path: str,
+    result_path: str,
+    metric: str,
+    how: str,
+    vs_baseline: Optional[float],
+    e_tol: float = 1e-3,
+    g_tol: float = 1e-2,
+) -> int:
+    """Run the warm/parity/timing protocol; returns a process exit code.
+
+    ``run_chain(k)`` must execute the k-iteration program and return
+    ``(seconds, energies, gnorms)`` with a host fetch that proves the
+    whole chain executed.  On CPU (trace-generation mode) the expected
+    trace is written with ``config`` embedded; on accelerator the trace's
+    config must match exactly before any comparison happens.
+    """
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    if on_cpu and not os.environ.get("QSFH_PROFILE_ALLOW_CPU"):
+        print(f"{name}: no TPU platform; refusing to record", file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+    # compile + warm both chain lengths (first call includes remote compile)
+    for k in (k1, k2):
+        dt, energies, gnorms = run_chain(k)
+        print(
+            f"[{name} +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
+            f"E={energies.tolist()}", file=sys.stderr, flush=True,
+        )
+
+    _, energies, gnorms = run_chain(k2)
+    if on_cpu:
+        with open(expected_path, "w") as f:
+            json.dump(
+                {
+                    "config": config,
+                    "energies": energies.tolist(),
+                    "gnorms": gnorms.tolist(),
+                },
+                f,
+            )
+        print("wrote expected trace (CPU)", file=sys.stderr)
+    else:
+        if not os.path.exists(expected_path):
+            print(
+                f"{name}: no expected trace; run once with JAX_PLATFORMS=cpu "
+                "QSFH_PROFILE_ALLOW_CPU=1 first", file=sys.stderr,
+            )
+            return 1
+        exp = json.load(open(expected_path))
+        exp_cfg = exp.get("config")
+        if exp_cfg is not None and exp_cfg != config:
+            print(
+                f"{name}: expected trace was generated with a different "
+                f"config ({exp_cfg} vs {config}); regenerate it on CPU",
+                file=sys.stderr,
+            )
+            return 1
+        ref_e = np.asarray(exp["energies"])
+        ref_g = np.asarray(exp["gnorms"])
+        if ref_e.shape != energies.shape or ref_g.shape != gnorms.shape:
+            print(f"{name}: trace shape mismatch; regenerate it on CPU",
+                  file=sys.stderr)
+            return 1
+        err = float(np.max(np.abs(energies - ref_e) / np.maximum(np.abs(ref_e), 1e-9)))
+        gerr = float(np.max(np.abs(gnorms - ref_g) / np.maximum(np.abs(ref_g), 1e-9)))
+        print(f"[{name}] max rel err vs CPU trace: energy {err:.2e} gnorm {gerr:.2e}",
+              file=sys.stderr, flush=True)
+        if err > e_tol or gerr > g_tol:
+            print(f"{name}: PARITY FAIL; not recording", file=sys.stderr)
+            return 1
+
+    # marginal timing: median of 3 per chain length
+    ts = {}
+    for k in (k1, k2):
+        samples = [run_chain(k)[0] for _ in range(3)]
+        ts[k] = float(np.median(samples))
+    marginal = (ts[k2] - ts[k1]) / (k2 - k1)
+    print(f"[{name}] t({k2})={ts[k2]:.3f}s t({k1})={ts[k1]:.3f}s "
+          f"-> {marginal*1e3:.1f} ms/iter", file=sys.stderr, flush=True)
+    if marginal <= 0:
+        # RTT jitter swamped the chained work: report the K2 chain's
+        # per-iteration average as an honest upper bound instead
+        marginal = ts[k2] / k2
+        print(f"[{name}] marginal invalid; upper bound {marginal*1e3:.1f} ms/iter",
+              file=sys.stderr)
+
+    blob = {
+        "metric": metric,
+        "value": round(1.0 / marginal, 3),
+        "unit": "iters/sec",
+        "vs_baseline": vs_baseline if vs_baseline is None else round(
+            vs_baseline / marginal, 1
+        ),
+        "how": how,
+        "platform": str(jax.devices()[0]),
+    }
+    dest = result_path if not on_cpu else os.path.join(
+        "/tmp", os.path.basename(result_path)
+    )
+    with open(dest, "w") as f:
+        json.dump(blob, f)
+    print(f"{name}:", json.dumps(blob))
+    return 0

@@ -37,6 +37,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)  # fused_harness, when loaded as a module
 
 # Lattice/chain knobs (env-overridable).  The default 3x3 = 18 qubits is
 # the reference's largest configured problem; QSFH_FUSED_NX=2 QSFH_FUSED_NY=5
@@ -157,14 +158,16 @@ def run_chain(progs, psi0, th0, k, zeroarg):
 def main() -> int:
     import jax
 
+    from fused_harness import kernel_path_label, measure_fused_step
+
     # the axon plugin registers itself regardless of JAX_PLATFORMS; the
     # config knob is the reliable way to force the CPU trace generation
     if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
-    platform = jax.devices()[0].platform
-    on_cpu = platform == "cpu"
-    if on_cpu and not os.environ.get("QSFH_PROFILE_ALLOW_CPU"):
+    if jax.devices()[0].platform == "cpu" and not os.environ.get(
+        "QSFH_PROFILE_ALLOW_CPU"
+    ):
         print("tpu_step_fused: no TPU platform; refusing to record", file=sys.stderr)
         return 1
 
@@ -172,83 +175,30 @@ def main() -> int:
     progs, psi0, th0, zeroarg = build_multi_step()
     print(f"[fused +{time.time()-t0:6.1f}s] built", file=sys.stderr, flush=True)
 
-    # compile + warm both chain lengths (first call includes remote compile)
-    for k in (K1, K2):
-        dt, energies, gnorms = run_chain(progs, psi0, th0, k, zeroarg)
-        print(
-            f"[fused +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
-            f"E={energies.tolist()}", file=sys.stderr, flush=True,
-        )
-
-    # integrity: on-chip energies/gnorms must match the CPU-generated trace
-    _, energies, gnorms = run_chain(progs, psi0, th0, K2, zeroarg)
-    if on_cpu:
-        with open(EXPECTED_PATH, "w") as f:
-            json.dump(
-                {"energies": energies.tolist(), "gnorms": gnorms.tolist()}, f
-            )
-        print("wrote expected trace (CPU)", file=sys.stderr)
-    else:
-        if not os.path.exists(EXPECTED_PATH):
-            print("no expected trace; run once with JAX_PLATFORMS=cpu "
-                  "QSFH_PROFILE_ALLOW_CPU=1 first", file=sys.stderr)
-            return 1
-        exp = json.load(open(EXPECTED_PATH))
-        ref_e = np.asarray(exp["energies"])
-        err = float(np.max(np.abs(energies - ref_e) / np.maximum(np.abs(ref_e), 1e-9)))
-        # gnorms feed straight from the adjoint chain kernel: checking them
-        # validates the on-chip gradient path, not just the forward/energy
-        ref_g = np.asarray(exp["gnorms"])
-        gerr = float(np.max(np.abs(gnorms - ref_g) / np.maximum(np.abs(ref_g), 1e-9)))
-        print(f"[fused] max rel err vs CPU trace: energy {err:.2e} gnorm {gerr:.2e}",
-              file=sys.stderr, flush=True)
-        if err > 1e-3 or gerr > 1e-2:
-            print("tpu_step_fused: PARITY FAIL; not recording", file=sys.stderr)
-            return 1
-
-    # marginal timing: median of 3 per chain length
-    ts = {}
-    for k in (K1, K2):
-        samples = [run_chain(progs, psi0, th0, k, zeroarg)[0] for _ in range(3)]
-        ts[k] = float(np.median(samples))
-    marginal = (ts[K2] - ts[K1]) / (K2 - K1)
-    print(
-        f"[fused] t({K2})={ts[K2]:.3f}s t({K1})={ts[K1]:.3f}s "
-        f"-> {marginal*1e3:.1f} ms/iter", file=sys.stderr, flush=True,
-    )
-    if marginal <= 0:
-        # RTT jitter swamped the chained work: report the K2 chain's
-        # per-iteration average as an honest upper bound instead
-        marginal = ts[K2] / K2
-        print(f"[fused] marginal invalid; upper bound {marginal*1e3:.1f} ms/iter",
-              file=sys.stderr)
-
-    iters_per_sec = 1.0 / marginal
     vs_baseline = None
     bl_path = os.path.join(HERE, "baseline_measurements.json")
     if os.path.exists(bl_path):
-        entry = json.load(open(bl_path)).get(f"adapt_step_{2 * NX * NY}q")
+        entry = json.load(open(bl_path)).get(f"adapt_step_{N_QUBITS}q")
         if entry:
-            vs_baseline = round(iters_per_sec * entry["sec_per_iter"], 1)
-    blob = {
-        "metric": f"adapt_vqe_train_step_{2 * NX * NY}q_iters_per_sec",
-        "value": round(iters_per_sec, 3),
-        "unit": "iters/sec",
-        "vs_baseline": vs_baseline,
-        "how": (
-            f"single fused jit ({'zero-arg' if zeroarg else 'arg'} form): {K2} UNROLLED full train steps "
-            "(fwd+energy+cotangent+adjoint+metrics+update, pallas "
-            f"{'chain' if N_QUBITS <= 18 else 'streaming'} "
-            "kernels), marginal between chain lengths "
-            f"{K1}/{K2}, energies parity-checked vs CPU trace"
+            vs_baseline = entry["sec_per_iter"]
+    return measure_fused_step(
+        name="tpu_step_fused",
+        run_chain=lambda k: run_chain(progs, psi0, th0, k, zeroarg),
+        k1=K1,
+        k2=K2,
+        config={"nx": NX, "ny": NY, "ops": list(OPS), "k1": K1, "k2": K2},
+        expected_path=EXPECTED_PATH,
+        result_path=os.path.join(HERE, RESULT_NAME),
+        metric=f"adapt_vqe_train_step_{N_QUBITS}q_iters_per_sec",
+        how=(
+            f"single fused jit ({'zero-arg' if zeroarg else 'arg'} form): "
+            f"{K2} UNROLLED full train steps (fwd+energy+cotangent+adjoint+"
+            f"metrics+update, {kernel_path_label(N_QUBITS)} kernels), "
+            f"marginal between chain lengths {K1}/{K2}, energies and "
+            "gradient norms parity-checked vs CPU trace"
         ),
-        "platform": str(jax.devices()[0]),
-    }
-    dest = HERE if not on_cpu else "/tmp"
-    with open(os.path.join(dest, RESULT_NAME), "w") as f:
-        json.dump(blob, f)
-    print("tpu_step_fused:", json.dumps(blob))
-    return 0
+        vs_baseline=vs_baseline,
+    )
 
 
 if __name__ == "__main__":

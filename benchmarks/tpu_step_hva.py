@@ -2,12 +2,12 @@
 """On-chip HVA train step, measured as ONE fused multi-iteration program.
 
 Same methodology as benchmarks/tpu_step_fused.py (the ADAPT flagship
-measurement): HVA's raw split stages (algos/hva.py step.raw_stages) are
-composed into a single salted jit with K iterations UNROLLED, |psi0> fed
-as a host (2, 2^n) input, energies AND gradient norms parity-checked
-against a CPU-generated trace before anything is recorded, and timing
-taken as the MARGINAL between two chain lengths to cancel the tunnel-RTT
-constant.
+measurement; shared protocol in benchmarks/fused_harness.py): HVA's raw
+split stages (algos/hva.py step.raw_stages) are composed into a single
+salted jit with K iterations UNROLLED, |psi0> fed as a host (2, 2^n)
+input, energies AND gradient norms parity-checked against a
+CPU-generated trace before anything is recorded, and timing taken as the
+MARGINAL between two chain lengths to cancel the tunnel-RTT constant.
 
 The reference's HVA is models/hva.py (torch backprop through a
 PennyLane CNOT-ladder circuit); its 3x3 experiment is
@@ -21,7 +21,6 @@ headline -- that stays the ADAPT step).
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -31,6 +30,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)  # fused_harness, when loaded as a module
 
 NX = int(os.environ.get("QSFH_HVA_NX", "3"))
 NY = int(os.environ.get("QSFH_HVA_NY", "3"))
@@ -115,12 +115,14 @@ def run_chain(progs, k):
 def main() -> int:
     import jax
 
+    from fused_harness import kernel_path_label, measure_fused_step
+
     if os.environ.get("JAX_PLATFORMS") == "cpu" or "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
-    platform = jax.devices()[0].platform
-    on_cpu = platform == "cpu"
-    if on_cpu and not os.environ.get("QSFH_PROFILE_ALLOW_CPU"):
+    if jax.devices()[0].platform == "cpu" and not os.environ.get(
+        "QSFH_PROFILE_ALLOW_CPU"
+    ):
         print("tpu_step_hva: no TPU platform; refusing to record", file=sys.stderr)
         return 1
 
@@ -128,64 +130,24 @@ def main() -> int:
     progs = build_multi_step()
     print(f"[hva +{time.time()-t0:6.1f}s] built", file=sys.stderr, flush=True)
 
-    for k in (K1, K2):
-        dt, energies, gnorms = run_chain(progs, k)
-        print(
-            f"[hva +{time.time()-t0:6.1f}s] K={k} first call {dt:.1f}s "
-            f"E={energies.tolist()}", file=sys.stderr, flush=True,
-        )
-
-    _, energies, gnorms = run_chain(progs, K2)
-    if on_cpu:
-        with open(EXPECTED_PATH, "w") as f:
-            json.dump({"energies": energies.tolist(), "gnorms": gnorms.tolist()}, f)
-        print("wrote expected trace (CPU)", file=sys.stderr)
-    else:
-        if not os.path.exists(EXPECTED_PATH):
-            print("no expected trace; run once with JAX_PLATFORMS=cpu "
-                  "QSFH_PROFILE_ALLOW_CPU=1 first", file=sys.stderr)
-            return 1
-        exp = json.load(open(EXPECTED_PATH))
-        ref_e = np.asarray(exp["energies"])
-        ref_g = np.asarray(exp["gnorms"])
-        err = float(np.max(np.abs(energies - ref_e) / np.maximum(np.abs(ref_e), 1e-9)))
-        gerr = float(np.max(np.abs(gnorms - ref_g) / np.maximum(np.abs(ref_g), 1e-9)))
-        print(f"[hva] max rel err vs CPU trace: energy {err:.2e} gnorm {gerr:.2e}",
-              file=sys.stderr, flush=True)
-        if err > 1e-3 or gerr > 1e-2:
-            print("tpu_step_hva: PARITY FAIL; not recording", file=sys.stderr)
-            return 1
-
-    ts = {}
-    for k in (K1, K2):
-        samples = [run_chain(progs, k)[0] for _ in range(3)]
-        ts[k] = float(np.median(samples))
-    marginal = (ts[K2] - ts[K1]) / (K2 - K1)
-    print(f"[hva] t({K2})={ts[K2]:.3f}s t({K1})={ts[K1]:.3f}s "
-          f"-> {marginal*1e3:.1f} ms/iter", file=sys.stderr, flush=True)
-    if marginal <= 0:
-        marginal = ts[K2] / K2
-        print(f"[hva] marginal invalid; upper bound {marginal*1e3:.1f} ms/iter",
-              file=sys.stderr)
-
-    blob = {
-        "metric": f"hva_train_step_{N_QUBITS}q_reps{REPS}_iters_per_sec",
-        "value": round(1.0 / marginal, 3),
-        "unit": "iters/sec",
-        "vs_baseline": None,
-        "how": (
+    return measure_fused_step(
+        name="tpu_step_hva",
+        run_chain=lambda k: run_chain(progs, k),
+        k1=K1,
+        k2=K2,
+        config={"nx": NX, "ny": NY, "reps": REPS, "k1": K1, "k2": K2},
+        expected_path=EXPECTED_PATH,
+        result_path=os.path.join(HERE, RESULT_NAME),
+        metric=f"hva_train_step_{N_QUBITS}q_reps{REPS}_iters_per_sec",
+        how=(
             f"single fused jit: {K2} UNROLLED full HVA train steps "
-            "(fwd+energy+cotangent+adjoint+metrics+update), marginal "
-            f"between chain lengths {K1}/{K2}, energies and gradient norms "
+            "(fwd+energy+cotangent+adjoint+metrics+update, "
+            f"{kernel_path_label(N_QUBITS)} kernels), marginal between "
+            f"chain lengths {K1}/{K2}, energies and gradient norms "
             "parity-checked vs CPU trace"
         ),
-        "platform": str(jax.devices()[0]),
-    }
-    dest = HERE if not on_cpu else "/tmp"
-    with open(os.path.join(dest, RESULT_NAME), "w") as f:
-        json.dump(blob, f)
-    print("tpu_step_hva:", json.dumps(blob))
-    return 0
+        vs_baseline=None,
+    )
 
 
 if __name__ == "__main__":

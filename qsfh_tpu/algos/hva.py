@@ -266,18 +266,29 @@ class HVA:
 
         dt = self.dtype
 
-        fwd = jax.jit(lambda th: to_reim(cc.apply(from_reim(psi0_reim, dt), th)))
-        energy_fn = jax.jit(
-            lambda psi_r: obs["H"].expectation_scan(from_reim(psi_r, dt))
-        )
-        cot_fn = jax.jit(
-            lambda psi_r: to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
-        )
-        adj_fn = jax.jit(
-            lambda psi_r, lam_r, th: run_rot_adjoint(
+        def fwd_from_raw(p0_r, th):
+            # |psi0> as a host input: tracing the basis one-hot costs the
+            # remote compile service ~2 min at 18q (tpu_bisect_basis.jsonl)
+            return to_reim(cc.apply(from_reim(p0_r, dt), th))
+
+        def fwd_raw(th):
+            return fwd_from_raw(psi0_reim, th)
+
+        def energy_raw(psi_r):
+            return obs["H"].expectation_scan(from_reim(psi_r, dt))
+
+        def cotangent_raw(psi_r):
+            return to_reim(2.0 * obs["H"].apply_scan(from_reim(psi_r, dt)))
+
+        def adjoint_raw(psi_r, lam_r, th):
+            return run_rot_adjoint(
                 seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th, self.n_qubits
             )[2]
-        )
+
+        fwd = jax.jit(fwd_raw)
+        energy_fn = jax.jit(energy_raw)
+        cot_fn = jax.jit(cotangent_raw)
+        adj_fn = jax.jit(adjoint_raw)
 
         def metrics_fn(psi_r):
             # scan lowering: S^2 has ~150 flip-mask groups at 3x3 and the
@@ -318,25 +329,16 @@ class HVA:
             params, opt_state, gnorm = update_jit(flat, grads, params, opt_state)
             return params, opt_state, energy, sz, s2, fid, gnorm
 
-        # raw per-stage closures, same contract as ADAPT's step.raw_stages:
-        # benchmarks compose them into one fused program (fwd_from feeds
-        # |psi0> as a host input -- tracing the basis one-hot is expensive
-        # on the remote compile service)
+        # raw (unjitted) per-stage closures, same shape as ADAPT's
+        # step.raw_stages (update takes (flat, grads, params, opt_state)
+        # here -- HVA params are a dict): benchmarks compose them into one
+        # fused program (benchmarks/tpu_step_hva.py)
         step.raw_stages = {
-            "fwd": lambda th: to_reim(cc.apply(from_reim(psi0_reim, dt), th)),
-            "fwd_from": lambda p0_r, th: to_reim(
-                cc.apply(from_reim(p0_r, dt), th)
-            ),
-            "energy": lambda psi_r: obs["H"].expectation_scan(
-                from_reim(psi_r, dt)
-            ),
-            "cotangent": lambda psi_r: to_reim(
-                2.0 * obs["H"].apply_scan(from_reim(psi_r, dt))
-            ),
-            "adjoint": lambda psi_r, lam_r, th: run_rot_adjoint(
-                seg, from_reim(psi_r, dt), from_reim(lam_r, dt), th,
-                self.n_qubits,
-            )[2],
+            "fwd": fwd_raw,
+            "fwd_from": fwd_from_raw,
+            "energy": energy_raw,
+            "cotangent": cotangent_raw,
+            "adjoint": adjoint_raw,
             "metrics": metrics_fn,
             "update": update_fn,
         }

@@ -61,17 +61,24 @@ class Molecule:
         self.n_electrons = sum(z for z, _ in charges) - charge
         self.nuclear_repulsion = nuclear_repulsion(charges)
 
-        # display name: element counts by decreasing atomic number plus a
-        # charge marker -- reproduces the factory names (H2, HeH+, LiH,
-        # BeH2, H4, H6) so driver artifact tags identify the molecule
+        # display name: element counts by decreasing atomic number
+        # (electropositive-first heuristic -- reproduces the factory names
+        # H2, HeH+, LiH, BeH2, H4, H6) plus an ion charge marker; a
+        # heuristic, not a full Hill/IUPAC formatter -- assign .name to
+        # override for exotic species.  Feeds driver artifact tags
+        # (algos/hea.py).
         zmap = {sym: z for (sym, _), (z, _) in zip(geometry, charges)}
         counts: dict = {}
         for sym, _ in geometry:
             counts[sym] = counts.get(sym, 0) + 1
+        ion = "" if charge == 0 else (
+            ("+" if charge > 0 else "-") if abs(charge) == 1
+            else f"{abs(charge)}{'+' if charge > 0 else '-'}"
+        )
         self.name = "".join(
             f"{el}{counts[el] if counts[el] > 1 else ''}"
             for el in sorted(counts, key=lambda s: -zmap[s])
-        ) + ("+" * max(charge, 0) + "-" * max(-charge, 0))
+        ) + ion
 
         S, T, V, eri = build_integrals(funcs, charges)
         self.hf_energy, C, self.orbital_energies = restricted_hartree_fock(

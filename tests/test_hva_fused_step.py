@@ -17,13 +17,14 @@ from qsfh_tpu.algos.hva import HVA, flatten_hva_params
 
 
 @pytest.fixture(scope="module")
-def vqe():
+def vqe(tmp_path_factory):
     return HVA(
         n_epoch=0, reps=2, lr=1e-2,
         x_dimension=2, y_dimension=2, n_electrons=4,
         n_spin_up=2, n_spin_down=2, tunneling=1.0, coulomb=4.0,
         ground_truth=False, plot=False, log_metrics=False,
         circuit_mode="split",
+        results_root=str(tmp_path_factory.mktemp("hva_fused")),
     )
 
 

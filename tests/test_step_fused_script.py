@@ -24,6 +24,10 @@ SCRIPT = os.path.join(
 
 
 def _load(monkeypatch, **env):
+    # isolate from ambient campaign/experiment environment
+    for k in list(os.environ):
+        if k.startswith("QSFH_FUSED_") or k == "QSFH_BENCH_SALT":
+            monkeypatch.delenv(k, raising=False)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     spec = importlib.util.spec_from_file_location("tpu_step_fused_test", SCRIPT)
