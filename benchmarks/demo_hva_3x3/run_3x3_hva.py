@@ -21,4 +21,4 @@ vqe = HVA(
 )
 vqe.run()
 print("ED:", vqe.ground_state_energy)
-print("final loss:", vqe.results["epoch loss"][-1])
+print("final loss:", vqe.results["loss"][-1])
