@@ -658,7 +658,7 @@ class ADAPT:
             raise ValueError(f"Please check if the file {self.model_filepath} exists!")
         if not os.path.exists(ckpt.resolve(self.result_filepath)):
             raise ValueError(f"Please check if the file {self.result_filepath} exists!")
-        params, meta = ckpt.load_model(self.model_filepath)
+        params, meta, _ = ckpt.load_model(self.model_filepath)
         if meta and meta.get("pool_size") not in (None, len(self.fermion_pool)):
             raise ValueError("checkpoint was written with a different pool")
         self.params_t = jnp.asarray(params["t"], dtype=self._rdt)

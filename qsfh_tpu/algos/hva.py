@@ -402,11 +402,20 @@ class HVA:
 
     def run(self):
         opt_state = self.optimizer.init(self.params)
+        # resume the optimizer trajectory, not just the params: fresh Adam
+        # moments at a converged iterate cause a large transient excursion
+        opt_state, restored = ckpt.restore_opt_state(
+            opt_state, getattr(self, "_opt_leaves", None)
+        )
+        self._opt_leaves = None
+        if restored:
+            print("resumed optimizer state from checkpoint")
+        self._opt_state = opt_state
         i_epoch = len(self.results["loss"])
 
         while i_epoch < self.n_epoch:
-            self.params, opt_state, e, sz, s2, fid, gnorm = self._step(
-                self.params, opt_state
+            self.params, self._opt_state, e, sz, s2, fid, gnorm = self._step(
+                self.params, self._opt_state
             )
             e, sz, s2, fid, gnorm = map(float, (e, sz, s2, fid, gnorm))
             self.results["loss"].append(e)
@@ -445,6 +454,7 @@ class HVA:
             self.model_filepath,
             {k: np.asarray(v) for k, v in self.params.items()},
             meta={"reps": self.reps, "n_qubits": self.n_qubits},
+            opt_state=getattr(self, "_opt_state", None),
         )
         ckpt.save_results(self.result_filepath, self.results)
 
@@ -453,9 +463,10 @@ class HVA:
             raise ValueError(f"Please check if the file {self.model_filepath} exists!")
         if not os.path.exists(ckpt.resolve(self.result_filepath)):
             raise ValueError(f"Please check if the file {self.result_filepath} exists!")
-        params, _ = ckpt.load_model(self.model_filepath)
+        params, _, opt_leaves = ckpt.load_model(self.model_filepath)
         rdt = real_dtype(self.dtype)
         self.params = {k: jnp.asarray(v, dtype=rdt) for k, v in params.items()}
+        self._opt_leaves = opt_leaves
         self.results = ckpt.load_results(self.result_filepath)
 
 

@@ -305,7 +305,7 @@ class IQCC:
     def load_model(self):
         if not os.path.exists(ckpt.resolve(self.model_filepath)):
             raise ValueError(f"Please check if the file {self.model_filepath} exists!")
-        params, meta = ckpt.load_model(self.model_filepath)
+        params, meta, _ = ckpt.load_model(self.model_filepath)
         self.params = {
             "theta": jnp.asarray(params["theta"], dtype=self._rdt),
             "phi": jnp.asarray(params["phi"], dtype=self._rdt),

@@ -119,26 +119,69 @@ def load_ground_state(path: str):
 # -- model checkpoints -----------------------------------------------------------
 
 
-def save_model(path: str, params: Dict[str, np.ndarray], meta: Dict = None) -> None:
+def save_model(
+    path: str, params: Dict[str, np.ndarray], meta: Dict = None, opt_state=None
+) -> None:
+    """Params + meta + (optionally) the optimizer state's flattened leaves.
+
+    Persisting the optimizer state matters: resuming a long Adam run with
+    fresh first/second moments kicks the iterate off the minimum (the 3x3
+    HVA demo lost ~180 mHa to exactly that on a session restart).  Leaves
+    are stored in ``jax.tree_util`` flattening order; the loader rebuilds
+    the structure from a freshly ``init``-ed state, so no pytree pickling.
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
     arrays = {f"param__{k}": np.asarray(v) for k, v in params.items()}
     if meta:
         arrays["meta_json"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8
         )
+    if opt_state is not None:
+        import jax
+
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            arrays[f"opt__{i:05d}"] = np.asarray(leaf)
     np.savez(path, **arrays)
 
 
 def load_model(path: str):
+    """Returns ``(params, meta, opt_leaves)``; ``opt_leaves`` is ``None``
+    for checkpoints written before optimizer-state persistence."""
     data = np.load(resolve(path), allow_pickle=False)
     params = {}
     meta = {}
+    opt = {}
     for k in data.files:
         if k.startswith("param__"):
             params[k[len("param__"):]] = data[k]
+        elif k.startswith("opt__"):
+            opt[k] = data[k]
         elif k == "meta_json":
             meta = json.loads(bytes(data[k].tobytes()).decode("utf-8"))
-    return params, meta
+    opt_leaves = [opt[k] for k in sorted(opt)] if opt else None
+    return params, meta, opt_leaves
+
+
+def restore_opt_state(init_state, opt_leaves):
+    """Rebuild an optimizer state from saved leaves + a freshly init-ed
+    template.  Falls back to the template (fresh optimizer) when the leaf
+    count/shapes disagree -- e.g. a legacy checkpoint or a changed ansatz."""
+    if opt_leaves is None:
+        return init_state, False
+    import jax
+    import jax.numpy as jnp
+
+    template = jax.tree_util.tree_leaves(init_state)
+    if len(template) != len(opt_leaves) or any(
+        np.shape(t) != np.shape(l) for t, l in zip(template, opt_leaves)
+    ):
+        return init_state, False
+    treedef = jax.tree_util.tree_structure(init_state)
+    leaves = [
+        jnp.asarray(l, dtype=jnp.asarray(t).dtype)
+        for t, l in zip(template, opt_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves), True
 
 
 # -- metric histories --------------------------------------------------------------

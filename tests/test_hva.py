@@ -80,3 +80,27 @@ def test_checkpoint_resume(hva_2x2, tmp_path):
     e1 = float(hva_2x2.problem.observables["H"].expectation(hva_2x2.state()))
     e2 = float(resumed.problem.observables["H"].expectation(resumed.state()))
     assert e1 == pytest.approx(e2, abs=1e-9)
+
+
+def test_resume_continues_optimizer_trajectory(tmp_path_factory):
+    """A split run (N then resume N more) reproduces the straight 2N-epoch
+    trajectory exactly: the checkpoint carries Adam's moments, so resume
+    does not restart the optimizer (the regression that cost the 3x3 HVA
+    demo ~180 mHa on a session restart)."""
+    kw = dict(
+        reps=3, lr=5e-2, x_dimension=2, y_dimension=2,
+        n_electrons=4, n_spin_up=2, n_spin_down=2, tunneling=1.0, coulomb=6.0,
+        plot=False, log_metrics=False,
+    )
+    root_a = str(tmp_path_factory.mktemp("straight"))
+    straight = HVA(n_epoch=16, results_root=root_a, **kw)
+    straight.run()
+
+    root_b = str(tmp_path_factory.mktemp("split"))
+    HVA(n_epoch=8, results_root=root_b, **kw).run()
+    resumed = HVA(n_epoch=16, load_model=True, results_root=root_b, **kw)
+    resumed.run()
+
+    np.testing.assert_allclose(
+        resumed.results["loss"], straight.results["loss"], rtol=0, atol=1e-12
+    )
