@@ -37,12 +37,15 @@ from .exact import jw_get_ground_state
 __all__ = [
     "rot90_site_map",
     "reflect_site_map",
+    "translation_site_map",
     "mode_permutation",
     "permute_modes",
     "c4_irrep_components",
     "symmetry_adapted_states",
     "symmetry_adapted_ground_space",
     "irrep_weights",
+    "momentum_weights",
+    "momentum_project",
 ]
 
 
@@ -78,6 +81,16 @@ def reflect_site_map(nx: int, ny: int, axis: str) -> List[int]:
                 raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
             out.append(xn + yn * nx)
     return out
+
+
+def translation_site_map(nx: int, ny: int, dx: int, dy: int) -> List[int]:
+    """Periodic lattice translation ``(x, y) -> (x+dx, y+dy)`` as a site
+    permutation.  Valid on any periodic lattice; together with
+    :func:`momentum_weights` this labels states by total lattice momentum
+    (quantum numbers the reference never resolves)."""
+    return [
+        ((x + dx) % nx) + ((y + dy) % ny) * nx for y in range(ny) for x in range(nx)
+    ]
 
 
 def mode_permutation(site_map: Sequence[int]) -> np.ndarray:
@@ -193,6 +206,45 @@ def symmetry_adapted_ground_space(
     energy, psi0 = jw_get_ground_state(sparse_operator, particle_number, spin_up, spin_down)
     states, norms = symmetry_adapted_states(psi0, nx, ny, tol=tol)
     return energy, states, norms
+
+
+def momentum_project(
+    psi: np.ndarray, nx: int, ny: int, kx: int, ky: int
+) -> np.ndarray:
+    """Project onto total lattice momentum ``(2*pi*kx/nx, 2*pi*ky/ny)``.
+
+    ``P_k = (1/N) sum_R exp(-i k . R) T_R`` over all ``N = nx*ny``
+    translations, each applied with fermionic signs.  The projected
+    component is an eigenvector of every ``T_R`` with eigenvalue
+    ``exp(+i k . R)``.
+    """
+    psi = np.asarray(psi, dtype=complex)
+    acc = np.zeros_like(psi)
+    tx = mode_permutation(translation_site_map(nx, ny, 1, 0))
+    ty = mode_permutation(translation_site_map(nx, ny, 0, 1))
+    shifted_x = psi
+    for dx in range(nx):
+        shifted = shifted_x
+        for dy in range(ny):
+            phase = np.exp(-2j * np.pi * (kx * dx / nx + ky * dy / ny))
+            acc = acc + phase * shifted
+            if dy + 1 < ny:
+                shifted = permute_modes(shifted, ty)
+        if dx + 1 < nx:
+            shifted_x = permute_modes(shifted_x, tx)
+    return acc / (nx * ny)
+
+
+def momentum_weights(psi: np.ndarray, nx: int, ny: int) -> Dict[Tuple[int, int], float]:
+    """Weight ``||P_k psi||^2`` of a (normalized) state in each momentum
+    sector; the weights sum to ``||psi||^2``.  A translation-invariant-
+    generated ansatz conserves this distribution -- useful for diagnosing
+    symmetry-protected optimization plateaus."""
+    return {
+        (kx, ky): float(np.linalg.norm(momentum_project(psi, nx, ny, kx, ky)) ** 2)
+        for kx in range(nx)
+        for ky in range(ny)
+    }
 
 
 def irrep_weights(psi: np.ndarray, states: Dict[str, np.ndarray]) -> Dict[str, float]:

@@ -180,3 +180,50 @@ class TestSymmetryAdaptedManifold3x3:
         np.testing.assert_allclose(
             sorted(w.values()), sorted(abs(coeffs) ** 2), atol=1e-10
         )
+
+
+class TestTranslations:
+    def test_signed_translations_commute_with_hamiltonian(self):
+        from qsfh_tpu.linalg.symmetry import translation_site_map
+
+        h = _dense_h(2, 3)
+        psi = _rand_state(12, seed=5)
+        for dx, dy in [(1, 0), (0, 1), (1, 2)]:
+            p = mode_permutation(translation_site_map(2, 3, dx, dy))
+            np.testing.assert_allclose(
+                permute_modes(h @ psi, p), h @ permute_modes(psi, p), atol=1e-10
+            )
+
+    def test_momentum_projectors_resolve_identity(self):
+        from qsfh_tpu.linalg.symmetry import momentum_project, momentum_weights
+
+        psi = _rand_state(8, seed=6)
+        total = sum(
+            momentum_project(psi, 2, 2, kx, ky) for kx in range(2) for ky in range(2)
+        )
+        np.testing.assert_allclose(total, psi, atol=1e-12)
+        w = momentum_weights(psi, 2, 2)
+        np.testing.assert_allclose(sum(w.values()), 1.0, atol=1e-12)
+
+    def test_projected_component_is_translation_eigenvector(self):
+        from qsfh_tpu.linalg.symmetry import momentum_project, translation_site_map
+
+        psi = _rand_state(8, seed=7)
+        comp = momentum_project(psi, 2, 2, 1, 0)
+        assert np.linalg.norm(comp) > 1e-3  # generic state hits the sector
+        tx = mode_permutation(translation_site_map(2, 2, 1, 0))
+        np.testing.assert_allclose(
+            permute_modes(comp, tx), np.exp(2j * np.pi * 1 / 2) * comp, atol=1e-12
+        )
+
+    def test_hubbard_ground_state_has_zero_momentum(self):
+        from qsfh_tpu.linalg.symmetry import momentum_weights
+
+        sp = get_sparse_operator(fermi_hubbard(2, 2, 1.0, 6.0), 8)
+        _, psi = __import__(
+            "qsfh_tpu.linalg.exact", fromlist=["jw_get_ground_state"]
+        ).jw_get_ground_state(sp, 4, 2, 2)
+        w = momentum_weights(psi, 2, 2)
+        # the half-filled 2x2 ground state is a non-degenerate pure
+        # k=(0,0) singlet -- same sector as the HVA Slater seed
+        assert w[(0, 0)] > 1 - 1e-10
