@@ -39,9 +39,18 @@ STO3G: Dict[str, List] = {
             [0.15591627, 0.60768372, 0.39195739],
         ),
     ],
+    "O": [
+        ("S", [130.7093200, 23.8088610, 6.4436083], [0.15432897, 0.53532814, 0.44463454]),
+        (
+            "SP",
+            [5.0331513, 1.1695961, 0.3803890],
+            [-0.09996723, 0.39951283, 0.70011547],
+            [0.15591627, 0.60768372, 0.39195739],
+        ),
+    ],
 }
 
-ATOMIC_NUMBER = {"H": 1, "He": 2, "Li": 3, "Be": 4}
+ATOMIC_NUMBER = {"H": 1, "He": 2, "Li": 3, "Be": 4, "O": 8}
 
 P_SHELLS = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
 

@@ -110,3 +110,19 @@ def test_molecule_names_match_factories():
         [("H", (0, 0, -1.3)), ("Be", (0, 0, 0)), ("H", (0, 0, 1.3))]
     ) == "BeH2"
     assert name([("H", (0, 0, i * 1.0)) for i in range(4)]) == "H4"
+
+
+@pytest.mark.slow
+def test_h2o_matches_literature():
+    """First p-block heavy atom (O, STO-3G exponents up to 130.7): RHF at
+    the experimental geometry (r=0.9572 A, 104.52 deg) reproduces the
+    literature STO-3G value -74.962927 (Szabo & Ostlund); FCI adds the
+    expected ~50 mHa of correlation (pinned as a regression golden)."""
+    from qsfh_tpu.molecules import H2O
+
+    m = H2O(r=0.9572, angle_deg=104.52)
+    assert m.name == "OH2"
+    assert m.n_orbitals == 7 and m.n_electrons == 10 and m.n_qubits == 14
+    assert m.hf_energy == pytest.approx(-74.962927, abs=5e-5)
+    assert m.fci_energy == pytest.approx(-75.012404, abs=5e-5)
+    assert -0.065 < m.fci_energy - m.hf_energy < -0.035
