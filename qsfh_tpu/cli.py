@@ -71,7 +71,7 @@ def _make_molecule(name: str, r: float):
     factory = getattr(mols, name, None)
     if factory is None:
         raise SystemExit(
-            f"unknown molecule {name!r}; available: H2 HeH_Ion LiH BeH2 H4 H6"
+            f"unknown molecule {name!r}; available: H2 HeH_Ion LiH BeH2 H2O H4 H6"
         )
     return factory(r)
 
@@ -124,6 +124,13 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=2e-3)
 
     p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
+    _add_lattice_args(p)
+    _add_run_args(p)
+
+    p = sub.add_parser(
+        "symmetry",
+        help="point-group irrep + momentum analysis of the exact ground state",
+    )
     _add_lattice_args(p)
     _add_run_args(p)
 
@@ -219,6 +226,35 @@ def main(argv=None):
         else:
             energy, _ = problem.ground_state()
             print(f"ground energy: {energy}")
+    elif args.command == "symmetry":
+        import json
+
+        import numpy as np
+
+        from .algos.base import HubbardProblem
+        from .linalg.symmetry import momentum_weights, symmetry_adapted_states
+
+        lat = _lattice_kwargs(args)
+        problem = HubbardProblem(results_root=args.results_root, **lat)
+        if args.degenerate_subspace:
+            energy, states = problem.ground_state(
+                degenerate=True, n_states=args.degenerate_subspace
+            )
+            psi0 = np.asarray(states[0])
+        else:
+            energy, psi0 = problem.ground_state()
+            psi0 = np.asarray(psi0)
+        nx, ny = lat["x_dimension"], lat["y_dimension"]
+        out = {"energy": energy}
+        if nx == ny:
+            _, norms = symmetry_adapted_states(psi0, nx, ny)
+            out["c4_irrep_norms"] = {k: round(v, 8) for k, v in norms.items()}
+        out["momentum_weights"] = {
+            f"({kx},{ky})": round(w, 8)
+            for (kx, ky), w in momentum_weights(psi0, nx, ny).items()
+            if w > 1e-10
+        }
+        print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -45,3 +45,22 @@ class TestCLI:
     def test_unknown_molecule_exits(self):
         with pytest.raises(SystemExit):
             main(["hea", "--molecule", "Unobtainium"])
+
+
+class TestSymmetryCLI:
+    def test_symmetry_subcommand(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "symmetry",
+                "--x-dimension", "2",
+                "--y-dimension", "2",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        out = capsys.readouterr().out
+        blob = json.loads(out[out.index("{"):])
+        assert blob["energy"] == pytest.approx(-1.6346, abs=1e-3)
+        # non-degenerate 2x2 ground state: pure d-wave, pure k=(0,0)
+        assert blob["c4_irrep_norms"]["d"] == pytest.approx(1.0, abs=1e-6)
+        assert blob["momentum_weights"]["(0,0)"] == pytest.approx(1.0, abs=1e-8)
