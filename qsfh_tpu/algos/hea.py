@@ -44,6 +44,30 @@ def _u3(rx, ry, rz, dtype):
     return Rz @ Ry @ Rx
 
 
+def hea_circuit(params, n_qubits: int, reps: int, dtype) -> jnp.ndarray:
+    """``reps`` layers of fused per-qubit u3 + ring CNOTs, then a final u3
+    layer using its own parameter row (the reference's off-by-one fixed).
+    Shared by the HEA VQE and the VQD excited-state driver."""
+    n = n_qubits
+    psi = zero_state(n, dtype=dtype)
+    for rep in range(reps):
+        for q in range(n):
+            psi = apply_one_qubit(
+                psi, n,
+                _u3(params[rep, q, 0], params[rep, q, 1], params[rep, q, 2], dtype),
+                q,
+            )
+        for q in range(n):
+            psi = cnot(psi, n, q, (q + 1) % n)
+    for q in range(n):
+        psi = apply_one_qubit(
+            psi, n,
+            _u3(params[reps, q, 0], params[reps, q, 1], params[reps, q, 2], dtype),
+            q,
+        )
+    return psi
+
+
 class VQE:
     def __init__(
         self,
@@ -95,23 +119,7 @@ class VQE:
     # -- circuit ----------------------------------------------------------------
 
     def circuit(self, params) -> jnp.ndarray:
-        n = self.n_qubits
-        psi = zero_state(n, dtype=self.dtype)
-        for rep in range(self.reps):
-            for q in range(n):
-                psi = apply_one_qubit(
-                    psi, n, _u3(params[rep, q, 0], params[rep, q, 1], params[rep, q, 2], self.dtype), q
-                )
-            for q in range(n):
-                psi = cnot(psi, n, q, (q + 1) % n)
-        for q in range(n):
-            psi = apply_one_qubit(
-                psi,
-                n,
-                _u3(params[self.reps, q, 0], params[self.reps, q, 1], params[self.reps, q, 2], self.dtype),
-                q,
-            )
-        return psi
+        return hea_circuit(params, self.n_qubits, self.reps, self.dtype)
 
     # -- training ------------------------------------------------------------------
 

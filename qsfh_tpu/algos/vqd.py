@@ -1,0 +1,153 @@
+"""Variational Quantum Deflation: excited states via overlap penalties.
+
+Beyond the reference (which only ever targets ground states / ground
+manifolds): level ``m`` minimizes
+
+    L_m(theta) = <psi(theta)|H|psi(theta)>
+                 + beta * sum_{i<m} |<psi_i|psi(theta)>|^2
+
+(Higgott, Wang & Brierley, "Variational Quantum Computation of Excited
+States", Quantum 3, 156 (2019)).  For ``beta`` larger than the spectral
+spread the penalized minimum of level ``m`` is the (m+1)-th eigenstate.
+
+Reuses the hardware-efficient ansatz (:func:`qsfh_tpu.algos.hea.hea_circuit`)
+so it applies to molecules and lattice Hamiltonians alike; the exact
+spectrum from :mod:`qsfh_tpu.linalg` is the validation golden
+(tests/test_vqd.py).  Prior states enter the jitted loss as stacked real
+``(2, 2^n)`` planes (no complex captures -- the TPU boundary rule,
+engine/state.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine.expectation import Observable
+from ..engine.state import fidelity, from_reim, real_dtype, to_reim_host
+from ..io import checkpoint as ckpt
+from ..io.metrics import MetricsLogger
+from ..ops.jw import jordan_wigner
+from .base import default_dtype
+from .hea import hea_circuit
+
+
+class VQD:
+    """Sequential deflation over ``n_levels`` eigenstates of a Hamiltonian.
+
+    ``hamiltonian`` may be a FermionOperator, a PauliSum, or anything with
+    ``get_molecular_hamiltonian()`` (a Molecule).  The spectrum is over the
+    FULL Fock space (no sector restriction), matching dense
+    diagonalization order.
+    """
+
+    def __init__(
+        self,
+        hamiltonian,
+        n_qubits: Optional[int] = None,
+        n_levels: int = 2,
+        n_epoch: int = 300,
+        reps: int = 3,
+        lr: float = 1e-1,
+        beta: float = 5.0,
+        threshold: float = 1e-4,
+        dtype=None,
+        seed: int = 0,
+        results_root: str = "./results",
+        tag: str = "VQD",
+        log_metrics: bool = True,
+    ):
+        if hasattr(hamiltonian, "get_molecular_hamiltonian"):
+            if n_qubits is None:
+                n_qubits = hamiltonian.n_qubits
+            hamiltonian = hamiltonian.get_molecular_hamiltonian()
+        qubit_h = jordan_wigner(hamiltonian)
+        if n_qubits is None:
+            n_qubits = qubit_h.n_qubits()
+        self.n_qubits = n_qubits
+        self.observable = Observable(qubit_h, n_qubits)
+        self.n_levels = n_levels
+        self.n_epoch = n_epoch
+        self.reps = reps
+        self.lr = lr
+        self.beta = beta
+        self.threshold = threshold
+        self.dtype = dtype or default_dtype()
+        self.seed = seed
+
+        self.energies: List[float] = []
+        self.states: List[np.ndarray] = []  # converged level states (host)
+        self.histories: List[List[float]] = []
+
+        self.result_filepath = os.path.join(
+            results_root, "vqe_results", f"{tag}-{n_qubits}q-reps{reps}.json"
+        )
+        self.metrics = MetricsLogger(
+            self.result_filepath.replace(".json", ".jsonl") if log_metrics else None
+        )
+
+    # -- per-level training ------------------------------------------------------
+
+    def _build_step(self, prior_reim: List[jnp.ndarray]):
+        optimizer = optax.adam(self.lr)
+        obs = self.observable
+        beta = self.beta
+        dtype = self.dtype
+
+        def loss_fn(params):
+            psi = hea_circuit(params, self.n_qubits, self.reps, dtype)
+            energy = obs.expectation(psi)
+            penalty = 0.0
+            for pr in prior_reim:
+                penalty = penalty + fidelity(psi, from_reim(pr, dtype))
+            return energy + beta * penalty, energy
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(params, opt_state):
+            (loss, energy), grads = grad_fn(params)
+            gnorm = jnp.linalg.norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, energy, gnorm
+
+        return jax.jit(step), optimizer
+
+    def run(self) -> List[float]:
+        for level in range(len(self.energies), self.n_levels):
+            rdt = real_dtype(self.dtype)
+            key = jax.random.PRNGKey(self.seed + level)
+            params = (
+                (2.0 * jax.random.uniform(key, (self.reps + 1, self.n_qubits, 3)) - 1.0)
+                * np.pi
+            ).astype(rdt)
+            prior = [jnp.asarray(to_reim_host(s, self.dtype)) for s in self.states]
+            step, optimizer = self._build_step(prior)
+            opt_state = optimizer.init(params)
+            history: List[float] = []
+            for i_epoch in range(self.n_epoch):
+                params, opt_state, loss, energy, gnorm = step(params, opt_state)
+                loss, energy, gnorm = float(loss), float(energy), float(gnorm)
+                history.append(energy)
+                if (i_epoch + 1) % 25 == 0:
+                    self.metrics.log(
+                        level=level, epoch=i_epoch + 1, loss=loss,
+                        energy=energy, norm=gnorm,
+                    )
+                if gnorm < self.threshold:
+                    break
+            psi = hea_circuit(params, self.n_qubits, self.reps, self.dtype)
+            self.states.append(np.asarray(psi))
+            self.energies.append(history[-1])
+            self.histories.append(history)
+            print(f"VQD level {level}: E = {history[-1]:.8f} ({len(history)} epochs)")
+        ckpt.save_results(
+            self.result_filepath,
+            {"energies": self.energies, "histories": self.histories},
+        )
+        return self.energies

@@ -123,6 +123,17 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-1)
     p.add_argument("--threshold", type=float, default=2e-3)
 
+    p = sub.add_parser("vqd", help="variational quantum deflation (excited states)")
+    _add_run_args(p)
+    p.add_argument("--molecule", default="H2")
+    p.add_argument("--r", type=float, default=0.8)
+    p.add_argument("--n-levels", type=int, default=2)
+    p.add_argument("--n-epoch", type=int, default=300)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-1)
+    p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--threshold", type=float, default=1e-4)
+
     p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
     _add_lattice_args(p)
     _add_run_args(p)
@@ -213,6 +224,23 @@ def main(argv=None):
             plot=not args.no_plot,
         )
         vqe.run()
+    elif args.command == "vqd":
+        from .algos.vqd import VQD
+
+        molecule = _make_molecule(args.molecule, args.r)
+        vqd = VQD(
+            molecule,
+            n_levels=args.n_levels,
+            n_epoch=args.n_epoch,
+            reps=args.reps,
+            lr=args.lr,
+            beta=args.beta,
+            threshold=args.threshold,
+            results_root=args.results_root,
+            tag=f"VQD-{args.molecule}",
+        )
+        energies = vqd.run()
+        print("VQD energies:", energies)
     elif args.command == "ed":
         from .algos.base import HubbardProblem
 
