@@ -61,7 +61,13 @@ class VQD:
         results_root: str = "./results",
         tag: str = "VQD",
         log_metrics: bool = True,
+        penalty_ops=None,
     ):
+        """``penalty_ops``: optional list of ``(operator, target, weight)``
+        adding ``weight * <(O - target)^2>`` to every level's loss --
+        symmetry-sector targeting (e.g. pin particle number and Sz so the
+        deflation walks the excited states of the PHYSICAL sector instead
+        of the full Fock space)."""
         if hasattr(hamiltonian, "get_molecular_hamiltonian"):
             if n_qubits is None:
                 n_qubits = hamiltonian.n_qubits
@@ -71,6 +77,15 @@ class VQD:
             n_qubits = qubit_h.n_qubits()
         self.n_qubits = n_qubits
         self.observable = Observable(qubit_h, n_qubits)
+        self.penalties = []
+        for op, target, weight in penalty_ops or []:
+            ps = jordan_wigner(op)
+            from ..ops.pauli import PauliSum
+
+            shifted = ps - PauliSum.identity(complex(target))
+            self.penalties.append(
+                (Observable((shifted * shifted).simplify(), n_qubits), float(weight))
+            )
         self.n_levels = n_levels
         self.n_epoch = n_epoch
         self.reps = reps
@@ -99,13 +114,17 @@ class VQD:
         beta = self.beta
         dtype = self.dtype
 
+        sector = self.penalties
+
         def loss_fn(params):
             psi = hea_circuit(params, self.n_qubits, self.reps, dtype)
             energy = obs.expectation(psi)
             penalty = 0.0
             for pr in prior_reim:
-                penalty = penalty + fidelity(psi, from_reim(pr, dtype))
-            return energy + beta * penalty, energy
+                penalty = penalty + beta * fidelity(psi, from_reim(pr, dtype))
+            for p_obs, w in sector:
+                penalty = penalty + w * p_obs.expectation(psi)
+            return energy + penalty, energy
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

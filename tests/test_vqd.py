@@ -42,3 +42,26 @@ def test_vqd_recovers_dense_spectrum(h2, tmp_path, monkeypatch):
     np.testing.assert_allclose(energies, evals[:2], atol=5e-4)
     # found states are mutually orthogonal
     assert abs(np.vdot(vqd.states[0], vqd.states[1])) < 1e-2
+
+
+@pytest.mark.slow
+def test_sector_penalty_targets_odd_electron_state(h2, tmp_path, monkeypatch):
+    """penalty_ops pin symmetry sectors: with weight*(N-1)^2 added, VQD
+    converges to the lowest ODD-electron eigenstate -- a state plain
+    deflation would never surface first (the N=2 ground and triplet lie
+    below it)."""
+    monkeypatch.chdir(tmp_path)
+    from qsfh_tpu.ops.fermion import FermionOperator
+
+    h = paulisum_to_dense(jordan_wigner(h2.get_molecular_hamiltonian()), 4)
+    idx = [i for i in range(16) if bin(i).count("1") == 1]
+    ev_n1 = np.linalg.eigvalsh(h[np.ix_(idx, idx)])
+
+    n_op = FermionOperator.zero()
+    for q in range(4):
+        n_op += FermionOperator(((q, 1), (q, 0)))
+    vqd = VQD(h2, n_levels=1, n_epoch=400, reps=3, lr=1e-1, beta=5.0, seed=2,
+              results_root=str(tmp_path), log_metrics=False,
+              penalty_ops=[(n_op, 1.0, 5.0)])
+    energies = vqd.run()
+    np.testing.assert_allclose(energies[0], ev_n1[0], atol=1e-4)
