@@ -44,12 +44,13 @@ def _u3(rx, ry, rz, dtype):
     return Rz @ Ry @ Rx
 
 
-def hea_circuit(params, n_qubits: int, reps: int, dtype) -> jnp.ndarray:
+def hea_circuit(params, n_qubits: int, reps: int, dtype, psi0=None) -> jnp.ndarray:
     """``reps`` layers of fused per-qubit u3 + ring CNOTs, then a final u3
     layer using its own parameter row (the reference's off-by-one fixed).
-    Shared by the HEA VQE and the VQD excited-state driver."""
+    Shared by the HEA VQE and the VQD excited-state driver; ``psi0``
+    overrides the |0...0> start (e.g. a sector basis state)."""
     n = n_qubits
-    psi = zero_state(n, dtype=dtype)
+    psi = zero_state(n, dtype=dtype) if psi0 is None else psi0
     for rep in range(reps):
         for q in range(n):
             psi = apply_one_qubit(

@@ -62,12 +62,21 @@ class VQD:
         tag: str = "VQD",
         log_metrics: bool = True,
         penalty_ops=None,
+        initial_occupied=None,
+        init_scale: Optional[float] = None,
     ):
         """``penalty_ops``: optional list of ``(operator, target, weight)``
         adding ``weight * <(O - target)^2>`` to every level's loss --
         symmetry-sector targeting (e.g. pin particle number and Sz so the
         deflation walks the excited states of the PHYSICAL sector instead
-        of the full Fock space)."""
+        of the full Fock space).
+
+        ``initial_occupied``: qubits set to |1> in the circuit's start
+        state (default |0...0>) -- seeding inside the target sector makes
+        sector-penalized lattice runs converge orders of magnitude faster
+        than a random start from the vacuum.  With a seed the random
+        parameter init shrinks to ``init_scale * pi`` (default 0.2) so the
+        first iterate stays near the sector."""
         if hasattr(hamiltonian, "get_molecular_hamiltonian"):
             if n_qubits is None:
                 n_qubits = hamiltonian.n_qubits
@@ -94,6 +103,12 @@ class VQD:
         self.threshold = threshold
         self.dtype = dtype or default_dtype()
         self.seed = seed
+        self.initial_occupied = (
+            tuple(initial_occupied) if initial_occupied is not None else None
+        )
+        if init_scale is None:
+            init_scale = 0.2 if initial_occupied is not None else 1.0
+        self.init_scale = float(init_scale)
 
         self.energies: List[float] = []
         self.states: List[np.ndarray] = []  # converged level states (host)
@@ -115,9 +130,17 @@ class VQD:
         dtype = self.dtype
 
         sector = self.penalties
+        occupied = self.initial_occupied
+
+        def _psi0():
+            if occupied is None:
+                return None
+            from ..engine.state import basis_state
+
+            return basis_state(self.n_qubits, occupied, dtype=dtype)
 
         def loss_fn(params):
-            psi = hea_circuit(params, self.n_qubits, self.reps, dtype)
+            psi = hea_circuit(params, self.n_qubits, self.reps, dtype, psi0=_psi0())
             energy = obs.expectation(psi)
             penalty = 0.0
             for pr in prior_reim:
@@ -143,7 +166,7 @@ class VQD:
             key = jax.random.PRNGKey(self.seed + level)
             params = (
                 (2.0 * jax.random.uniform(key, (self.reps + 1, self.n_qubits, 3)) - 1.0)
-                * np.pi
+                * np.pi * self.init_scale
             ).astype(rdt)
             prior = [jnp.asarray(to_reim_host(s, self.dtype)) for s in self.states]
             step, optimizer = self._build_step(prior)
@@ -160,7 +183,12 @@ class VQD:
                     )
                 if gnorm < self.threshold:
                     break
-            psi = hea_circuit(params, self.n_qubits, self.reps, self.dtype)
+            psi0 = None
+            if self.initial_occupied is not None:
+                from ..engine.state import basis_state
+
+                psi0 = basis_state(self.n_qubits, self.initial_occupied, dtype=self.dtype)
+            psi = hea_circuit(params, self.n_qubits, self.reps, self.dtype, psi0=psi0)
             self.states.append(np.asarray(psi))
             self.energies.append(history[-1])
             self.histories.append(history)

@@ -65,3 +65,16 @@ def test_sector_penalty_targets_odd_electron_state(h2, tmp_path, monkeypatch):
               penalty_ops=[(n_op, 1.0, 5.0)])
     energies = vqd.run()
     np.testing.assert_allclose(energies[0], ev_n1[0], atol=1e-4)
+
+
+def test_hf_seeded_level_converges_fast(h2, tmp_path, monkeypatch):
+    """initial_occupied seeds the circuit inside the target sector: from
+    the HF determinant (qubits 0,1) a reps=2 ansatz reaches FCI-1e-3 in
+    200 epochs -- far faster than the random vacuum start."""
+    monkeypatch.chdir(tmp_path)
+    vqd = VQD(h2, n_levels=1, n_epoch=200, reps=2, lr=5e-2, seed=0,
+              results_root=str(tmp_path), log_metrics=False,
+              initial_occupied=(0, 1))
+    energies = vqd.run()
+    assert energies[0] == pytest.approx(h2.fci_energy, abs=1e-3)
+    assert energies[0] >= h2.fci_energy - 1e-9
