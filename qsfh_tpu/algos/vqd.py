@@ -64,6 +64,8 @@ class VQD:
         penalty_ops=None,
         initial_occupied=None,
         init_scale: Optional[float] = None,
+        circuit=None,
+        init_params=None,
     ):
         """``penalty_ops``: optional list of ``(operator, target, weight)``
         adding ``weight * <(O - target)^2>`` to every level's loss --
@@ -76,7 +78,15 @@ class VQD:
         sector-penalized lattice runs converge orders of magnitude faster
         than a random start from the vacuum.  With a seed the random
         parameter init shrinks to ``init_scale * pi`` (default 0.2) so the
-        first iterate stays near the sector."""
+        first iterate stays near the sector.
+
+        ``circuit``/``init_params``: ansatz injection -- any traced
+        ``circuit(params) -> psi`` plus its parameter init (a pytree or a
+        ``callable(PRNGKey) -> pytree``) replaces the default HEA.
+        Deflating a physics-aware ansatz (e.g. ``HVA.circuit``) confines
+        the search to its conserved sector by construction, where the
+        generic HEA must fight the full-Fock landscape (the 2x2 Hubbard
+        sector is rough enough that penalized HEA plateaus ~200 mHa off)."""
         if hasattr(hamiltonian, "get_molecular_hamiltonian"):
             if n_qubits is None:
                 n_qubits = hamiltonian.n_qubits
@@ -109,6 +119,8 @@ class VQD:
         if init_scale is None:
             init_scale = 0.2 if initial_occupied is not None else 1.0
         self.init_scale = float(init_scale)
+        self.circuit = circuit
+        self.init_params = init_params
 
         self.energies: List[float] = []
         self.states: List[np.ndarray] = []  # converged level states (host)
@@ -123,24 +135,36 @@ class VQD:
 
     # -- per-level training ------------------------------------------------------
 
+    def _apply_circuit(self, params) -> jnp.ndarray:
+        if self.circuit is not None:
+            return self.circuit(params)
+        psi0 = None
+        if self.initial_occupied is not None:
+            from ..engine.state import basis_state
+
+            psi0 = basis_state(self.n_qubits, self.initial_occupied, dtype=self.dtype)
+        return hea_circuit(params, self.n_qubits, self.reps, self.dtype, psi0=psi0)
+
+    def _initial_params(self, key):
+        if self.init_params is None:
+            rdt = real_dtype(self.dtype)
+            return (
+                (2.0 * jax.random.uniform(key, (self.reps + 1, self.n_qubits, 3)) - 1.0)
+                * np.pi * self.init_scale
+            ).astype(rdt)
+        if callable(self.init_params):
+            return self.init_params(key)
+        return jax.tree_util.tree_map(jnp.asarray, self.init_params)
+
     def _build_step(self, prior_reim: List[jnp.ndarray]):
         optimizer = optax.adam(self.lr)
         obs = self.observable
         beta = self.beta
         dtype = self.dtype
-
         sector = self.penalties
-        occupied = self.initial_occupied
-
-        def _psi0():
-            if occupied is None:
-                return None
-            from ..engine.state import basis_state
-
-            return basis_state(self.n_qubits, occupied, dtype=dtype)
 
         def loss_fn(params):
-            psi = hea_circuit(params, self.n_qubits, self.reps, dtype, psi0=_psi0())
+            psi = self._apply_circuit(params)
             energy = obs.expectation(psi)
             penalty = 0.0
             for pr in prior_reim:
@@ -153,7 +177,7 @@ class VQD:
 
         def step(params, opt_state):
             (loss, energy), grads = grad_fn(params)
-            gnorm = jnp.linalg.norm(grads)
+            gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, energy, gnorm
@@ -162,12 +186,8 @@ class VQD:
 
     def run(self) -> List[float]:
         for level in range(len(self.energies), self.n_levels):
-            rdt = real_dtype(self.dtype)
             key = jax.random.PRNGKey(self.seed + level)
-            params = (
-                (2.0 * jax.random.uniform(key, (self.reps + 1, self.n_qubits, 3)) - 1.0)
-                * np.pi * self.init_scale
-            ).astype(rdt)
+            params = self._initial_params(key)
             prior = [jnp.asarray(to_reim_host(s, self.dtype)) for s in self.states]
             step, optimizer = self._build_step(prior)
             opt_state = optimizer.init(params)
@@ -183,12 +203,7 @@ class VQD:
                     )
                 if gnorm < self.threshold:
                     break
-            psi0 = None
-            if self.initial_occupied is not None:
-                from ..engine.state import basis_state
-
-                psi0 = basis_state(self.n_qubits, self.initial_occupied, dtype=self.dtype)
-            psi = hea_circuit(params, self.n_qubits, self.reps, self.dtype, psi0=psi0)
+            psi = self._apply_circuit(params)
             self.states.append(np.asarray(psi))
             self.energies.append(history[-1])
             self.histories.append(history)
