@@ -124,8 +124,9 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=2e-3)
 
     p = sub.add_parser("vqd", help="variational quantum deflation (excited states)")
+    _add_lattice_args(p)
     _add_run_args(p)
-    p.add_argument("--molecule", default="H2")
+    p.add_argument("--molecule", default=None, help="molecular mode (HEA ansatz)")
     p.add_argument("--r", type=float, default=0.8)
     p.add_argument("--n-levels", type=int, default=2)
     p.add_argument("--n-epoch", type=int, default=300)
@@ -227,18 +228,55 @@ def main(argv=None):
     elif args.command == "vqd":
         from .algos.vqd import VQD
 
-        molecule = _make_molecule(args.molecule, args.r)
-        vqd = VQD(
-            molecule,
-            n_levels=args.n_levels,
-            n_epoch=args.n_epoch,
-            reps=args.reps,
-            lr=args.lr,
-            beta=args.beta,
-            threshold=args.threshold,
-            results_root=args.results_root,
-            tag=f"VQD-{args.molecule}",
-        )
+        if args.molecule:
+            vqd = VQD(
+                _make_molecule(args.molecule, args.r),
+                n_levels=args.n_levels,
+                n_epoch=args.n_epoch,
+                reps=args.reps,
+                lr=args.lr,
+                beta=args.beta,
+                threshold=args.threshold,
+                results_root=args.results_root,
+                tag=f"VQD-{args.molecule}",
+            )
+        else:
+            # lattice mode: deflation over the momentum-conserving HVA
+            # ansatz -- walks the excited states of the symmetric sector
+            import jax as _jax
+            import numpy as _np
+
+            from .algos.hva import HVA
+
+            lat = _lattice_kwargs(args)
+            hva = HVA(
+                n_epoch=0, reps=args.reps, lr=args.lr,
+                results_root=args.results_root, plot=False,
+                log_metrics=False, **lat,
+            )
+
+            def init(key, _p=hva.params):
+                ks = _jax.random.split(key, len(_p))
+                return {
+                    k: 0.05 * _jax.random.normal(
+                        kk, _np.asarray(v).shape, dtype=_np.asarray(v).dtype
+                    )
+                    for kk, (k, v) in zip(ks, _p.items())
+                }
+
+            vqd = VQD(
+                hva.problem.fermion_hamiltonian,
+                n_qubits=hva.n_qubits,
+                n_levels=args.n_levels,
+                n_epoch=args.n_epoch,
+                lr=args.lr,
+                beta=args.beta,
+                threshold=args.threshold,
+                results_root=args.results_root,
+                tag=f"VQD-HVA-{lat['x_dimension']}x{lat['y_dimension']}",
+                circuit=hva.circuit,
+                init_params=init,
+            )
         energies = vqd.run()
         print("VQD energies:", energies)
     elif args.command == "ed":
