@@ -401,16 +401,19 @@ class HVA:
         return jax.jit(step)
 
     def run(self):
-        opt_state = self.optimizer.init(self.params)
         # resume the optimizer trajectory, not just the params: fresh Adam
-        # moments at a converged iterate cause a large transient excursion
-        opt_state, restored = ckpt.restore_opt_state(
-            opt_state, getattr(self, "_opt_leaves", None)
-        )
+        # moments at a converged iterate cause a large transient excursion.
+        # A live in-process state (a second run() call on the same driver)
+        # takes precedence over checkpoint leaves.
+        if getattr(self, "_opt_state", None) is None:
+            opt_state = self.optimizer.init(self.params)
+            opt_state, restored = ckpt.restore_opt_state(
+                opt_state, getattr(self, "_opt_leaves", None)
+            )
+            if restored:
+                print("resumed optimizer state from checkpoint")
+            self._opt_state = opt_state
         self._opt_leaves = None
-        if restored:
-            print("resumed optimizer state from checkpoint")
-        self._opt_state = opt_state
         i_epoch = len(self.results["loss"])
 
         while i_epoch < self.n_epoch:
@@ -467,6 +470,7 @@ class HVA:
         rdt = real_dtype(self.dtype)
         self.params = {k: jnp.asarray(v, dtype=rdt) for k, v in params.items()}
         self._opt_leaves = opt_leaves
+        self._opt_state = None  # loaded leaves supersede any live state
         self.results = ckpt.load_results(self.result_filepath)
 
 

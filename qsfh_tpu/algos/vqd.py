@@ -203,11 +203,16 @@ class VQD:
                     )
                 if gnorm < self.threshold:
                     break
+            # evaluate <H> at the FINAL params: history entries are computed
+            # at pre-update iterates, so history[-1] would be one optimizer
+            # step behind the stored deflation state (and n_epoch=0 would
+            # have no entry at all)
             psi = self._apply_circuit(params)
+            e_final = float(self.observable.expectation(psi))
             self.states.append(np.asarray(psi))
-            self.energies.append(history[-1])
+            self.energies.append(e_final)
             self.histories.append(history)
-            print(f"VQD level {level}: E = {history[-1]:.8f} ({len(history)} epochs)")
+            print(f"VQD level {level}: E = {e_final:.8f} ({len(history)} epochs)")
         ckpt.save_results(
             self.result_filepath,
             {"energies": self.energies, "histories": self.histories},

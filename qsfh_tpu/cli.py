@@ -252,7 +252,7 @@ def main(argv=None):
             hva = HVA(
                 n_epoch=0, reps=args.reps, lr=args.lr,
                 results_root=args.results_root, plot=False,
-                log_metrics=False, **lat,
+                log_metrics=False, ground_truth=False, **lat,
             )
 
             def init(key, _p=hva.params):
@@ -269,6 +269,7 @@ def main(argv=None):
                 n_qubits=hva.n_qubits,
                 n_levels=args.n_levels,
                 n_epoch=args.n_epoch,
+                reps=args.reps,  # identifies the run's artifacts
                 lr=args.lr,
                 beta=args.beta,
                 threshold=args.threshold,
@@ -312,14 +313,19 @@ def main(argv=None):
             psi0 = np.asarray(psi0)
         nx, ny = lat["x_dimension"], lat["y_dimension"]
         out = {"energy": energy}
-        if nx == ny:
-            _, norms = symmetry_adapted_states(psi0, nx, ny)
-            out["c4_irrep_norms"] = {k: round(v, 8) for k, v in norms.items()}
-        out["momentum_weights"] = {
-            f"({kx},{ky})": round(w, 8)
-            for (kx, ky), w in momentum_weights(psi0, nx, ny).items()
-            if w > 1e-10
-        }
+        if args.open_boundary:
+            # the site maps wrap periodically; on an open lattice neither
+            # the wrapped rotation nor the translations commute with H
+            out["note"] = "symmetry analysis requires a periodic lattice"
+        else:
+            if nx == ny:
+                _, norms = symmetry_adapted_states(psi0, nx, ny)
+                out["c4_irrep_norms"] = {k: round(v, 8) for k, v in norms.items()}
+            out["momentum_weights"] = {
+                f"({kx},{ky})": round(w, 8)
+                for (kx, ky), w in momentum_weights(psi0, nx, ny).items()
+                if w > 1e-10
+            }
         print(json.dumps(out, indent=1))
 
 

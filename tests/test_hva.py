@@ -104,3 +104,24 @@ def test_resume_continues_optimizer_trajectory(tmp_path_factory):
     np.testing.assert_allclose(
         resumed.results["loss"], straight.results["loss"], rtol=0, atol=1e-12
     )
+
+
+def test_second_inprocess_run_keeps_optimizer_state(tmp_path_factory):
+    """Calling run() again on the SAME driver (raising n_epoch) must keep
+    the live Adam moments -- a second run used to re-init the optimizer
+    and overwrite the checkpoint's saved moments with zeros."""
+    kw = dict(
+        reps=3, lr=5e-2, x_dimension=2, y_dimension=2,
+        n_electrons=4, n_spin_up=2, n_spin_down=2, tunneling=1.0, coulomb=6.0,
+        plot=False, log_metrics=False,
+    )
+    straight = HVA(n_epoch=16, results_root=str(tmp_path_factory.mktemp("a")), **kw)
+    straight.run()
+
+    twice = HVA(n_epoch=8, results_root=str(tmp_path_factory.mktemp("b")), **kw)
+    twice.run()
+    twice.n_epoch = 16
+    twice.run()
+    np.testing.assert_allclose(
+        twice.results["loss"], straight.results["loss"], rtol=0, atol=1e-12
+    )

@@ -113,3 +113,17 @@ def test_hva_ansatz_deflation_walks_symmetric_sector(tmp_path, monkeypatch):
     np.testing.assert_allclose(energies[1], -0.695604, atol=1e-4)
     for s in vqd.states:
         assert momentum_weights(s, 2, 2)[(0, 0)] > 0.999
+
+
+def test_zero_epoch_level_reports_initial_energy(h2, tmp_path, monkeypatch):
+    """n_epoch=0 must evaluate the init params, not crash on an empty
+    history; the recorded energy is <H> of the stored state exactly."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    vqd = VQD(h2, n_levels=1, n_epoch=0, reps=2, seed=0,
+              results_root=str(tmp_path), log_metrics=False)
+    energies = vqd.run()
+    assert len(energies) == 1 and np.isfinite(energies[0])
+    e_state = float(vqd.observable.expectation(jnp.asarray(vqd.states[0])))
+    assert energies[0] == pytest.approx(e_state, abs=1e-12)
