@@ -135,6 +135,16 @@ def main(argv=None):
     p.add_argument("--beta", type=float, default=5.0)
     p.add_argument("--threshold", type=float, default=1e-4)
 
+    p = sub.add_parser("dynamics", help="real-time Trotter quench dynamics")
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--dt", type=float, default=0.02)
+    p.add_argument("--t-final", type=float, default=2.0)
+    p.add_argument("--order", type=int, default=2, choices=[1, 2])
+    p.add_argument("--initial", choices=["neel", "slater"], default="slater",
+                   help="quench start: Neel product state or the "
+                        "non-interacting Slater determinant")
+
     p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
     _add_lattice_args(p)
     _add_run_args(p)
@@ -280,6 +290,61 @@ def main(argv=None):
             )
         energies = vqd.run()
         print("VQD energies:", energies)
+    elif args.command == "dynamics":
+        import json
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .algos.base import HubbardProblem, default_dtype
+        from .algos.dynamics import TrotterEvolution
+        from .engine.expectation import Observable
+        from .engine.state import basis_state
+        from .ops.jw import jordan_wigner
+
+        lat = _lattice_kwargs(args)
+        problem = HubbardProblem(results_root=args.results_root, **lat)
+        dtype = default_dtype()
+        n = problem.n_qubits
+        if args.initial == "slater":
+            from .engine.circuits import slater_prep_state
+
+            psi0 = slater_prep_state(
+                n,
+                tuple(problem.spin_up_indices + problem.spin_down_indices),
+                problem.diagonal,
+                problem.decomposition,
+                dtype=dtype,
+            )
+        else:
+            # Neel: alternating up/down along row-major sites
+            occ = []
+            nx = lat["x_dimension"]
+            for s in range(problem.n_sites):
+                x, y = s % nx, s // nx
+                occ.append(2 * s if (x + y) % 2 == 0 else 2 * s + 1)
+            psi0 = basis_state(n, tuple(occ), dtype=dtype)
+        ev = TrotterEvolution(problem, dt=args.dt, order=args.order, dtype=dtype)
+        n_steps = int(round(args.t_final / args.dt))
+        obs = {
+            "H": problem.observables["H"],
+            "double_occupancy_U": Observable(jordan_wigner(problem.interacting_term), n),
+            "Sz": problem.observables["Sz"],
+        }
+        _, rec = ev.evolve(psi0, n_steps, obs)
+        out = {
+            "dt": args.dt,
+            "order": args.order,
+            "initial": args.initial,
+            "times": [round((i + 1) * args.dt, 10) for i in range(n_steps)],
+            **{k: [float(v) for v in series] for k, series in rec.items()},
+        }
+        os_path = "dynamics.json"
+        with open(os_path, "w") as fh:
+            json.dump(out, fh)
+        print(json.dumps({k: (v[-1] if isinstance(v, list) else v)
+                          for k, v in out.items() if k != "times"}))
+        print(f"wrote {os_path} ({n_steps} steps)")
     elif args.command == "ed":
         from .algos.base import HubbardProblem
 

@@ -64,3 +64,27 @@ class TestSymmetryCLI:
         # non-degenerate 2x2 ground state: pure d-wave, pure k=(0,0)
         assert blob["c4_irrep_norms"]["d"] == pytest.approx(1.0, abs=1e-6)
         assert blob["momentum_weights"]["(0,0)"] == pytest.approx(1.0, abs=1e-8)
+
+
+class TestDynamicsCLI:
+    def test_dynamics_subcommand(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "dynamics",
+                "--x-dimension", "2",
+                "--y-dimension", "2",
+                "--coulomb", "4",
+                "--dt", "0.05",
+                "--t-final", "0.5",
+                "--initial", "neel",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        out = capsys.readouterr().out
+        blob = json.loads(out.splitlines()[-2])
+        # Neel quench: <H> = 0 exactly; recorded drift is Trotter error
+        assert abs(blob["H"]) < 0.05
+        assert abs(blob["Sz"]) < 1e-8
+        data = json.load(open(tmp_path / "dynamics.json"))
+        assert len(data["times"]) == 10 == len(data["H"])
