@@ -33,9 +33,17 @@ from .base import default_dtype
 
 
 class TrotterEvolution:
-    """Fixed-step real-time propagator for a :class:`HubbardProblem`."""
+    """Fixed-step real-time propagator for a :class:`HubbardProblem`.
 
-    def __init__(self, problem, dt: float, order: int = 2, dtype=None):
+    ``mesh``: optional :class:`jax.sharding.Mesh` -- the statevector is
+    amplitude-sharded over it (parallel/mesh.py) and every Trotter step
+    re-pins the sharding, so the GSPMD partitioner keeps the trajectory
+    distributed and lowers cross-shard bit flips to collective permutes.
+    Real-time dynamics thus scales over the same mesh axis as the
+    variational drivers (the reference has neither).
+    """
+
+    def __init__(self, problem, dt: float, order: int = 2, dtype=None, mesh=None):
         if order not in (1, 2):
             raise ValueError("order must be 1 (Lie) or 2 (Strang)")
         self.problem = problem
@@ -43,6 +51,7 @@ class TrotterEvolution:
         self.order = order
         self.dtype = dtype or default_dtype()
         self.n_qubits = problem.n_qubits
+        self.mesh = mesh
 
         h_rots, v_rots = problem.hva_generators()
         self._groups = [g.rotation_terms() for g in (h_rots + v_rots)]
@@ -86,9 +95,17 @@ class TrotterEvolution:
         One jitted ``lax.scan`` -- program size independent of n_steps.
         """
         obs = observables or {}
+        constrain = None
+        if self.mesh is not None:
+            from ..parallel.mesh import amp_sharding
+
+            sharding = amp_sharding(self.mesh)
+            constrain = lambda psi: jax.lax.with_sharding_constraint(psi, sharding)
 
         def body(psi, _):
             psi = self.step(psi)
+            if constrain is not None:
+                psi = constrain(psi)
             vals = tuple(o.expectation(psi) for o in obs.values())
             return psi, vals
 
@@ -96,7 +113,10 @@ class TrotterEvolution:
         def run(psi):
             return jax.lax.scan(body, psi, None, length=n_steps)
 
-        psi_final, series = run(jnp.asarray(psi0, dtype=self.dtype))
+        psi0 = jnp.asarray(psi0, dtype=self.dtype)
+        if constrain is not None:
+            psi0 = jax.device_put(psi0, sharding)
+        psi_final, series = run(psi0)
         records = {
             name: np.asarray(series[i]) for i, name in enumerate(obs.keys())
         }

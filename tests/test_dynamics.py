@@ -87,3 +87,20 @@ def test_order_validation():
     p = HubbardProblem(2, 2, 1.0, 4.0, 4, 2, 2, results_root="results")
     with pytest.raises(ValueError):
         TrotterEvolution(p, dt=0.1, order=3)
+
+
+def test_sharded_trajectory_matches_single_device(quench):
+    """mesh=... amplitude-shards the trajectory over the virtual 8-device
+    mesh; the GSPMD lowering reproduces the single-device evolution."""
+    from qsfh_tpu.parallel.mesh import amplitude_mesh
+
+    p, psi0, h, t_final, psi_exact = quench
+    obs = {"H": p.observables["H"]}
+    single = TrotterEvolution(p, dt=0.05, order=2, dtype=jnp.complex128)
+    psi_s, rec_s = single.evolve(psi0, 20, obs)
+    sharded = TrotterEvolution(
+        p, dt=0.05, order=2, dtype=jnp.complex128, mesh=amplitude_mesh(8)
+    )
+    psi_m, rec_m = sharded.evolve(psi0, 20, obs)
+    np.testing.assert_allclose(np.asarray(psi_m), np.asarray(psi_s), atol=1e-12)
+    np.testing.assert_allclose(rec_m["H"], rec_s["H"], atol=1e-12)
