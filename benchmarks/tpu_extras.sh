@@ -47,7 +47,13 @@ EOF
       [ $n30 -ge 3 ] && echo "30q attempts exhausted" > benchmarks/tpu_stream_big_30.skip
     fi
   fi
+  if [ -f benchmarks/dynamics_expected.json ] && [ ! -f benchmarks/tpu_dynamics.json ]; then
+    salt="$(python -c "import time; print(11e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
+    QSFH_BENCH_SALT=$salt timeout 560 python benchmarks/tpu_dynamics.py >> $LOG 2>&1 \
+      && echo "DYNAMICS OK salt=$salt" >> $LOG
+  fi
   done_all=1
+  [ ! -f benchmarks/dynamics_expected.json ] || [ -f benchmarks/tpu_dynamics.json ] || done_all=0
   [ ! -f benchmarks/stream_expected_24.json ] || [ -f benchmarks/tpu_stream_24.json ] || done_all=0
   [ -f benchmarks/tpu_stream_big_26.json ] || done_all=0
   [ -f benchmarks/tpu_stream_big_28.json ] || done_all=0
