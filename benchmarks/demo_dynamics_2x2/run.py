@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from qsfh_tpu.algos.base import HubbardProblem
-from qsfh_tpu.algos.dynamics import TrotterEvolution
+from qsfh_tpu.algos.dynamics import TrotterEvolution, neel_occupied
 from qsfh_tpu.engine.expectation import Observable
 from qsfh_tpu.engine.state import basis_state
 from qsfh_tpu.ops.jw import jordan_wigner
@@ -26,7 +26,7 @@ from qsfh_tpu.utils.dense import paulisum_to_dense
 
 p = HubbardProblem(2, 2, 1.0, 4.0, 4, 2, 2, results_root=HERE)
 U = p.coulomb
-psi0 = np.asarray(basis_state(8, (0, 3, 5, 6), dtype=jnp.complex128))
+psi0 = np.asarray(basis_state(8, neel_occupied(2, 2), dtype=jnp.complex128))
 
 dt, T = 0.02, 6.0
 n_steps = int(round(T / dt))

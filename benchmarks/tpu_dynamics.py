@@ -34,20 +34,12 @@ RESULT_NAME = f"tpu_dynamics{_SUFFIX}.json"
 SALT = float(os.environ.get("QSFH_BENCH_SALT", "0") or 0)
 
 
-def neel_occupied(nx, ny):
-    occ = []
-    for s in range(nx * ny):
-        x, y = s % nx, s // nx
-        occ.append(2 * s if (x + y) % 2 == 0 else 2 * s + 1)
-    return tuple(occ)
-
-
 def build_progs():
     import jax
     import jax.numpy as jnp
 
     from qsfh_tpu.algos.base import HubbardProblem, default_dtype
-    from qsfh_tpu.algos.dynamics import TrotterEvolution
+    from qsfh_tpu.algos.dynamics import TrotterEvolution, neel_occupied
     from qsfh_tpu.engine.expectation import Observable
     from qsfh_tpu.engine.state import basis_state, from_reim, to_reim_host
     from qsfh_tpu.ops.jw import jordan_wigner
@@ -69,12 +61,15 @@ def build_progs():
 
     def multi(psi_r, k):
         psi = from_reim(psi_r, dtype)
-        es, uds = [], []
+        uds, es = [], []
         for _ in range(k):  # UNROLLED (scan-over-pallas compiles slowly)
             psi = ev.step(psi)
-            es.append(h_obs.expectation(psi) + SALT * 1e-30)
-            uds.append(ud_obs.expectation(psi))
-        return jnp.stack(es), jnp.stack(uds)
+            # UD is the O(1) parity observable (relative 1e-3 meaningful);
+            # <H> is a pure cancellation residue for the Neel quench
+            # (exact value 0) so it rides the loose sanity slot instead
+            uds.append(ud_obs.expectation(psi) + SALT * 1e-30)
+            es.append(h_obs.expectation(psi))
+        return jnp.stack(uds), jnp.stack(es)
 
     def make(k):
         def prog(p):
@@ -103,13 +98,15 @@ def main() -> int:
 
     def run_chain(k):
         t0 = time.time()
-        es, uds = progs[k](feed)
-        es = np.asarray(es)  # fetch proves the chain executed
-        return time.time() - t0, es, np.asarray(uds)
+        uds, es = progs[k](feed)
+        uds = np.asarray(uds)  # fetch proves the chain executed
+        # "energies" slot = UD (O(1), tight relative gate); "gnorms" slot
+        # = the <H> Trotter drift (a cancellation residue, loose sanity)
+        return time.time() - t0, uds, np.asarray(es)
 
     config = {
         "nx": NX, "ny": NY, "dt": DT, "k1": K1, "k2": K2,
-        "order": 2, "initial": "neel", "u": 4.0,
+        "order": 2, "initial": "neel", "u": 4.0, "gate": "UD/Hdrift",
     }
     return measure_fused_step(
         name="tpu_dynamics",
@@ -126,8 +123,8 @@ def main() -> int:
             + kernel_path_label(N_QUBITS)
         ),
         vs_baseline=None,
-        e_tol=1e-3,
-        g_tol=1e-3,
+        e_tol=1e-3,  # double occupancy, O(1) relative
+        g_tol=1.0,   # <H> drift: cancellation residue, sanity only
     )
 
 

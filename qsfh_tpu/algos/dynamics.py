@@ -29,7 +29,21 @@ import numpy as np
 
 from ..engine.expectation import Observable
 from ..engine.gates import diagonal_rotation, generator_rotation
+from ..engine.state import from_reim, real_dtype, to_reim, to_reim_host
 from .base import default_dtype
+
+
+def neel_occupied(nx: int, ny: int):
+    """Neel (antiferromagnetic) product-state orbitals: spin-up on the
+    (x+y)-even checkerboard sites, spin-down on the odd ones (row-major
+    sites, up on even JW modes).  On odd lattices (e.g. 3x3) this lands
+    exactly in the ceil/floor half-filling sector the flagship demos use.
+    Single source of truth for the CLI, demos, and benchmarks."""
+    occ = []
+    for s in range(nx * ny):
+        x, y = s % nx, s // nx
+        occ.append(2 * s if (x + y) % 2 == 0 else 2 * s + 1)
+    return tuple(occ)
 
 
 class TrotterEvolution:
@@ -55,7 +69,9 @@ class TrotterEvolution:
 
         h_rots, v_rots = problem.hva_generators()
         self._groups = [g.rotation_terms() for g in (h_rots + v_rots)]
-        self._coulomb_diag = problem.coulomb_diagonal(dtype=self.dtype)
+        # REAL dtype: a complex 2^n closure constant would violate the
+        # complex-free jit ABI of the axon TPU backend (engine/state.py)
+        self._coulomb_diag = problem.coulomb_diagonal(dtype=real_dtype(self.dtype))
         self._t = float(problem.tunneling)
 
     # -- single step --------------------------------------------------------------
@@ -91,16 +107,19 @@ class TrotterEvolution:
         """Propagate ``n_steps`` and record observables after every step.
 
         Returns ``(psi_final, records)`` where ``records[name]`` is the
-        length-``n_steps`` time series (f64/f32 real expectation values).
-        One jitted ``lax.scan`` -- program size independent of n_steps.
+        length-``n_steps`` time series (f64/f32 real expectation values)
+        and ``psi_final`` is a host numpy complex vector.  One jitted
+        ``lax.scan`` -- program size independent of n_steps.  The jit
+        boundary is complex-free (stacked real ``(2, 2^n)`` planes in and
+        out -- the axon TPU ABI, engine/state.py); ``psi0`` must therefore
+        be host-fetchable (build initial states on the CPU device).
         """
         obs = observables or {}
         constrain = None
         if self.mesh is not None:
-            from ..parallel.mesh import amp_sharding
+            from ..parallel.mesh import constrain_amp
 
-            sharding = amp_sharding(self.mesh)
-            constrain = lambda psi: jax.lax.with_sharding_constraint(psi, sharding)
+            constrain = lambda psi: constrain_amp(psi, self.mesh)
 
         def body(psi, _):
             psi = self.step(psi)
@@ -110,13 +129,15 @@ class TrotterEvolution:
             return psi, vals
 
         @jax.jit
-        def run(psi):
-            return jax.lax.scan(body, psi, None, length=n_steps)
+        def run(psi_r):
+            psi = from_reim(psi_r, self.dtype)
+            psi_final, series = jax.lax.scan(body, psi, None, length=n_steps)
+            return to_reim(psi_final), series
 
-        psi0 = jnp.asarray(psi0, dtype=self.dtype)
-        if constrain is not None:
-            psi0 = jax.device_put(psi0, sharding)
-        psi_final, series = run(psi0)
+        psi0_r = jnp.asarray(to_reim_host(np.asarray(psi0), self.dtype))
+        psi_final_r, series = run(psi0_r)
+        arr = np.asarray(psi_final_r)
+        psi_final = arr[0] + 1j * arr[1]
         records = {
             name: np.asarray(series[i]) for i, name in enumerate(obs.keys())
         }

@@ -317,13 +317,18 @@ def main(argv=None):
                 dtype=dtype,
             )
         else:
-            # Neel: alternating up/down along row-major sites
-            occ = []
-            nx = lat["x_dimension"]
-            for s in range(problem.n_sites):
-                x, y = s % nx, s // nx
-                occ.append(2 * s if (x + y) % 2 == 0 else 2 * s + 1)
-            psi0 = basis_state(n, tuple(occ), dtype=dtype)
+            from .algos.dynamics import neel_occupied
+
+            occ = neel_occupied(lat["x_dimension"], lat["y_dimension"])
+            n_up = sum(1 for q in occ if q % 2 == 0)
+            if (lat["n_electrons"], lat["n_spin_up"]) != (len(occ), n_up):
+                raise SystemExit(
+                    "--initial neel fixes the sector to half filling with "
+                    f"{n_up} up / {len(occ) - n_up} down on this lattice; "
+                    "pass matching --n-electrons/--n-spin-up/--n-spin-down "
+                    "or use --initial slater"
+                )
+            psi0 = basis_state(n, occ, dtype=dtype)
         ev = TrotterEvolution(problem, dt=args.dt, order=args.order, dtype=dtype)
         n_steps = int(round(args.t_final / args.dt))
         obs = {
