@@ -21,7 +21,7 @@ HVA circuit uses (algos/hva.py:hva_program_rot).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,8 @@ import numpy as np
 from ..engine.expectation import Observable
 from ..engine.gates import diagonal_rotation, generator_rotation
 from ..engine.state import from_reim, real_dtype, to_reim, to_reim_host
+from ..ops.fermion import FermionOperator
+from ..ops.jw import jordan_wigner
 from .base import default_dtype
 
 
@@ -73,6 +75,11 @@ class TrotterEvolution:
         # complex-free jit ABI of the axon TPU backend (engine/state.py)
         self._coulomb_diag = problem.coulomb_diagonal(dtype=real_dtype(self.dtype))
         self._t = float(problem.tunneling)
+        # the Coulomb layer drops JW(H)'s identity component, so the
+        # propagator implements exp(-i (H - energy_shift) t): a GLOBAL
+        # phase, invisible to expectation values but essential when
+        # overlapping against fixed references (Green's functions)
+        self.energy_shift = float(problem.qubit_hamiltonian.constant().real)
 
     # -- single step --------------------------------------------------------------
 
@@ -103,18 +110,26 @@ class TrotterEvolution:
         psi0: jnp.ndarray,
         n_steps: int,
         observables: Optional[Dict[str, Observable]] = None,
+        overlaps: Optional[Dict[str, np.ndarray]] = None,
     ):
         """Propagate ``n_steps`` and record observables after every step.
 
-        Returns ``(psi_final, records)`` where ``records[name]`` is the
-        length-``n_steps`` time series (f64/f32 real expectation values)
-        and ``psi_final`` is a host numpy complex vector.  One jitted
-        ``lax.scan`` -- program size independent of n_steps.  The jit
-        boundary is complex-free (stacked real ``(2, 2^n)`` planes in and
-        out -- the axon TPU ABI, engine/state.py); ``psi0`` must therefore
-        be host-fetchable (build initial states on the CPU device).
+        ``observables`` record real expectation values; ``overlaps`` maps
+        names to FIXED reference vectors and records the complex series
+        ``<ref | psi(t)>`` (the object Green's functions are made of).
+        Returns ``(psi_final, records)`` where each record is the
+        length-``n_steps`` time series and ``psi_final`` is a host numpy
+        complex vector.  One jitted ``lax.scan`` -- program size
+        independent of n_steps.  The jit boundary is complex-free
+        (stacked real ``(2, 2^n)`` planes in and out -- the axon TPU ABI,
+        engine/state.py); ``psi0`` and the overlap references must
+        therefore be host-fetchable (build them on the CPU device).
         """
         obs = observables or {}
+        ovl = {
+            name: jnp.asarray(to_reim_host(np.asarray(v), self.dtype))
+            for name, v in (overlaps or {}).items()
+        }
         constrain = None
         if self.mesh is not None:
             from ..parallel.mesh import constrain_amp
@@ -126,7 +141,11 @@ class TrotterEvolution:
             if constrain is not None:
                 psi = constrain(psi)
             vals = tuple(o.expectation(psi) for o in obs.values())
-            return psi, vals
+            ovals = []
+            for ref_r in ovl.values():
+                amp = jnp.vdot(from_reim(ref_r, self.dtype), psi)
+                ovals.append((jnp.real(amp), jnp.imag(amp)))
+            return psi, (vals, tuple(ovals))
 
         @jax.jit
         def run(psi_r):
@@ -135,10 +154,58 @@ class TrotterEvolution:
             return to_reim(psi_final), series
 
         psi0_r = jnp.asarray(to_reim_host(np.asarray(psi0), self.dtype))
-        psi_final_r, series = run(psi0_r)
+        psi_final_r, (series, oseries) = run(psi0_r)
         arr = np.asarray(psi_final_r)
         psi_final = arr[0] + 1j * arr[1]
         records = {
             name: np.asarray(series[i]) for i, name in enumerate(obs.keys())
         }
+        for i, name in enumerate(ovl.keys()):
+            re, im = oseries[i]
+            records[name] = np.asarray(re) + 1j * np.asarray(im)
         return psi_final, records
+
+
+def greens_function(
+    problem,
+    ground_state: np.ndarray,
+    ground_energy: float,
+    mode: int,
+    dt: float,
+    n_steps: int,
+    kind: str = "particle",
+    order: int = 2,
+    dtype=None,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Retarded single-particle Green's function via real-time evolution.
+
+    ``kind='particle'``: ``G^>(t) = <gs| c_m e^{-i(H - E0) t} c^dag_m |gs>``
+    (photoemission-inverse / electron addition); ``kind='hole'`` swaps the
+    ladder operators (electron removal).  The excited vector
+    ``|phi> = c^(dag)_m |gs>`` is built with one ``Observable.apply``
+    (JW of the ladder operator is two Pauli strings), evolved with the
+    Trotter propagator, and overlapped against itself each step -- the
+    ``e^{+i E0 t}`` rotating frame is folded in on the host.  Peaks of
+    ``-Im FFT[G]`` sit at the (N+-1)-sector excitation energies
+    ``E_n(N+-1) - E0(N)`` (tests/test_dynamics.py pins this against the
+    dense propagator).  Returns ``(times, G)`` (complex, length n_steps).
+
+    Capability context: the reference framework computes ground states
+    only; spectral functions are the standard observable this unlocks.
+    """
+    dtype = dtype or default_dtype()
+    if kind == "particle":
+        ladder = FermionOperator(((mode, 1),))
+    elif kind == "hole":
+        ladder = FermionOperator(((mode, 0),))
+    else:
+        raise ValueError("kind must be 'particle' or 'hole'")
+    op = Observable(jordan_wigner(ladder), problem.n_qubits)
+    phi = np.asarray(op.apply(jnp.asarray(ground_state, dtype=dtype)))
+    ev = TrotterEvolution(problem, dt=dt, order=order, dtype=dtype, mesh=mesh)
+    _, rec = ev.evolve(phi, n_steps, overlaps={"G": phi})
+    times = (np.arange(n_steps) + 1) * dt
+    # the propagator evolves under H - energy_shift (global phase); the
+    # rotating frame therefore uses the same shifted ground energy
+    return times, rec["G"] * np.exp(1j * (ground_energy - ev.energy_shift) * times)

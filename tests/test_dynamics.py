@@ -104,3 +104,31 @@ def test_sharded_trajectory_matches_single_device(quench):
     psi_m, rec_m = sharded.evolve(psi0, 20, obs)
     np.testing.assert_allclose(np.asarray(psi_m), np.asarray(psi_s), atol=1e-12)
     np.testing.assert_allclose(rec_m["H"], rec_s["H"], atol=1e-12)
+
+
+def test_greens_function_matches_dense(quench):
+    """G^>(t) = <gs| c_0 e^{-i(H-E0)t} c0^dag |gs> from the Trotter
+    propagator matches the dense eigendecomposition; its spectral content
+    lives entirely in the (N+1)-sector excitation energies."""
+    from qsfh_tpu.algos.dynamics import greens_function
+    from qsfh_tpu.engine.expectation import Observable
+    from qsfh_tpu.ops.fermion import FermionOperator
+    from qsfh_tpu.ops.jw import jordan_wigner
+
+    p, *_ = quench
+    e0, gs = p.ground_state()
+    gs = np.asarray(gs)
+    times, g = greens_function(p, gs, e0, mode=0, dt=0.02, n_steps=50)
+
+    h = paulisum_to_dense(p.qubit_hamiltonian, 8)
+    cdag = paulisum_to_dense(jordan_wigner(FermionOperator(((0, 1),))), 8)
+    phi = cdag @ gs
+    evals, evecs = np.linalg.eigh(h)
+    c = evecs.conj().T @ phi
+    g_exact = np.array([
+        np.vdot(phi, evecs @ (np.exp(-1j * evals * t) * c)) * np.exp(1j * e0 * t)
+        for t in times
+    ])
+    np.testing.assert_allclose(g, g_exact, atol=2e-3)
+    # G(0+) -> <gs| c c^dag |gs> = 1 - <n_0>, real and in (0, 1)
+    assert 0.0 < g[0].real < 1.0 and abs(g[0].imag) < 0.05
