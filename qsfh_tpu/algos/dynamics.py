@@ -195,7 +195,11 @@ def greens_function(
     only; spectral functions are the standard observable this unlocks.
     """
     dtype = dtype or default_dtype()
-    if kind == "particle":
+    if isinstance(mode, FermionOperator):
+        # arbitrary excitation operator, e.g. a momentum-space ladder
+        # c^dag_k = (1/sqrt(N)) sum_r e^{i k.r} c^dag_r for A(k, omega)
+        ladder = mode
+    elif kind == "particle":
         ladder = FermionOperator(((mode, 1),))
     elif kind == "hole":
         ladder = FermionOperator(((mode, 0),))

@@ -132,3 +132,38 @@ def test_greens_function_matches_dense(quench):
     np.testing.assert_allclose(g, g_exact, atol=2e-3)
     # G(0+) -> <gs| c c^dag |gs> = 1 - <n_0>, real and in (0, 1)
     assert 0.0 < g[0].real < 1.0 and abs(g[0].imag) < 0.05
+
+
+def test_hole_greens_function_initial_value(quench):
+    """kind='hole': G^<(0+) -> <gs| c^dag c |gs> = <n_0>."""
+    from qsfh_tpu.algos.dynamics import greens_function
+    from qsfh_tpu.ops.fermion import FermionOperator
+    from qsfh_tpu.ops.jw import jordan_wigner
+
+    p, *_ = quench
+    e0, gs = p.ground_state()
+    gs = np.asarray(gs)
+    _, g = greens_function(p, gs, e0, mode=0, dt=0.01, n_steps=2, kind="hole")
+    n0 = paulisum_to_dense(
+        jordan_wigner(FermionOperator(((0, 1), (0, 0)))), 8)
+    n0_val = np.vdot(gs, n0 @ gs).real
+    assert g[0].real == pytest.approx(n0_val, abs=5e-3)
+
+
+def test_greens_function_accepts_operator(quench):
+    """A FermionOperator excitation (momentum-space ladder) is accepted
+    directly; for k=(0,0) the t=0+ value is <c_k c_k^dag> computed dense."""
+    from qsfh_tpu.algos.dynamics import greens_function
+    from qsfh_tpu.ops.fermion import FermionOperator
+    from qsfh_tpu.ops.jw import jordan_wigner
+
+    p, *_ = quench
+    e0, gs = p.ground_state()
+    gs = np.asarray(gs)
+    op = FermionOperator.zero()
+    for s in range(4):
+        op += FermionOperator(((2 * s, 1),), 0.5)
+    _, g = greens_function(p, gs, e0, mode=op, dt=0.01, n_steps=2)
+    od = paulisum_to_dense(jordan_wigner(op), 8)
+    phi = od @ gs
+    assert g[0].real == pytest.approx(np.vdot(phi, phi).real, abs=5e-3)
