@@ -1,0 +1,111 @@
+"""Static correlation functions and structure factors.
+
+Equal-time two-point correlators of lattice states -- the standard
+diagnostics (antiferromagnetic structure factor, density-density
+correlations) the reference never computes.  Operators are built once as
+packed Pauli Observables; evaluation is matrix-free over the statevector
+(works for any state the engine can hold, sharded included).
+
+Conventions: row-major sites ``s = x + y*nx``; spin-up on even JW modes
+(SURVEY C12); spin operators per site are
+
+    S_z(s) = (n_up - n_dn)/2,
+    S_+(s) = c^dag_up c_dn,  S_x/S_y from S_+-,
+
+so ``<S_i . S_j>`` sums the three Cartesian components.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.expectation import Observable
+from .fermion import FermionOperator
+from .jw import jordan_wigner
+
+__all__ = [
+    "site_number_operator",
+    "site_spin_z",
+    "spin_spin_operator",
+    "correlation_matrix",
+    "structure_factor",
+]
+
+
+def site_number_operator(site: int) -> FermionOperator:
+    up, dn = 2 * site, 2 * site + 1
+    return FermionOperator(((up, 1), (up, 0))) + FermionOperator(((dn, 1), (dn, 0)))
+
+
+def site_spin_z(site: int) -> FermionOperator:
+    up, dn = 2 * site, 2 * site + 1
+    return 0.5 * (
+        FermionOperator(((up, 1), (up, 0))) - FermionOperator(((dn, 1), (dn, 0)))
+    )
+
+
+def _site_spin_pm(site: int, plus: bool) -> FermionOperator:
+    up, dn = 2 * site, 2 * site + 1
+    return FermionOperator(((up, 1), (dn, 0))) if plus else FermionOperator(((dn, 1), (up, 0)))
+
+
+def spin_spin_operator(i: int, j: int) -> FermionOperator:
+    """``S_i . S_j = Sz_i Sz_j + (S+_i S-_j + S-_i S+_j)/2``."""
+    op = site_spin_z(i) * site_spin_z(j)
+    op += 0.5 * (_site_spin_pm(i, True) * _site_spin_pm(j, False))
+    op += 0.5 * (_site_spin_pm(i, False) * _site_spin_pm(j, True))
+    return op
+
+
+def correlation_matrix(
+    psi, n_sites: int, kind: str = "spin", connected: bool = False
+) -> np.ndarray:
+    """``C[i, j] = <O_i O_j>`` over all site pairs.
+
+    ``kind='spin'``: ``O_i O_j = S_i . S_j`` (full Heisenberg correlator);
+    ``kind='density'``: ``O = n`` (total site density).  ``connected=True``
+    subtracts ``<O_i><O_j>`` (density only; ``<S_i> = 0`` in the Sz-pinned
+    sectors the drivers use).
+    """
+    psi = jnp.asarray(psi)
+    n_qubits = 2 * n_sites
+    c = np.zeros((n_sites, n_sites))
+    for i in range(n_sites):
+        for j in range(i, n_sites):
+            if kind == "spin":
+                op = spin_spin_operator(i, j)
+            elif kind == "density":
+                op = site_number_operator(i) * site_number_operator(j)
+            else:
+                raise ValueError("kind must be 'spin' or 'density'")
+            val = float(Observable(jordan_wigner(op), n_qubits).expectation(psi))
+            c[i, j] = c[j, i] = val
+    if connected and kind == "density":
+        means = np.array([
+            float(Observable(jordan_wigner(site_number_operator(i)), n_qubits).expectation(psi))
+            for i in range(n_sites)
+        ])
+        c = c - np.outer(means, means)
+    return c
+
+
+def structure_factor(corr: np.ndarray, nx: int, ny: int) -> Dict[Tuple[int, int], float]:
+    """``S(q) = (1/N) sum_{ij} e^{i q.(r_i - r_j)} C[i, j]`` on the
+    discrete momentum grid.  For the half-filled Hubbard ground state the
+    spin structure factor peaks at the antiferromagnetic ``q = (pi, pi)``.
+    """
+    n = nx * ny
+    xs = np.arange(n) % nx
+    ys = np.arange(n) // nx
+    out = {}
+    for kx in range(nx):
+        for ky in range(ny):
+            phase = np.exp(
+                2j * np.pi * (kx * (xs[:, None] - xs[None, :]) / nx
+                              + ky * (ys[:, None] - ys[None, :]) / ny)
+            )
+            out[(kx, ky)] = float(np.real(np.sum(phase * corr)) / n)
+    return out
