@@ -32,6 +32,8 @@ __all__ = [
     "spin_spin_operator",
     "correlation_matrix",
     "structure_factor",
+    "one_body_density_matrix",
+    "momentum_distribution",
 ]
 
 
@@ -90,6 +92,65 @@ def correlation_matrix(
         ])
         c = c - np.outer(means, means)
     return c
+
+
+def one_body_density_matrix(psi, n_sites: int, spin: str = "up") -> np.ndarray:
+    """``rho[i, j] = <c^dag_{i,spin} c_{j,spin}>`` (Hermitian, complex).
+
+    Each off-diagonal entry is evaluated from two Hermitian observables,
+    ``A = c^dag_i c_j + h.c.`` and ``B = -i (c^dag_i c_j - h.c.)``, so the
+    engine's real expectation path applies: ``rho_ij = (<A> + i <B>) / 2``.
+    Diagonals are the mode occupations.  ``trace(rho)`` equals the particle
+    number of that spin species.
+    """
+    if spin not in ("up", "down"):
+        raise ValueError("spin must be 'up' or 'down'")
+    off = 0 if spin == "up" else 1
+    psi = jnp.asarray(psi)
+    n_qubits = 2 * n_sites
+    rho = np.zeros((n_sites, n_sites), dtype=np.complex128)
+    for i in range(n_sites):
+        p = 2 * i + off
+        rho[i, i] = float(
+            Observable(
+                jordan_wigner(FermionOperator(((p, 1), (p, 0)))), n_qubits
+            ).expectation(psi)
+        )
+        for j in range(i + 1, n_sites):
+            q = 2 * j + off
+            hop = FermionOperator(((p, 1), (q, 0)))
+            hop_dag = FermionOperator(((q, 1), (p, 0)))
+            a = float(Observable(jordan_wigner(hop + hop_dag), n_qubits).expectation(psi))
+            b = float(
+                Observable(
+                    jordan_wigner(-1j * hop + 1j * hop_dag), n_qubits
+                ).expectation(psi)
+            )
+            rho[i, j] = 0.5 * (a + 1j * b)
+            rho[j, i] = np.conj(rho[i, j])
+    return rho
+
+
+def momentum_distribution(
+    rho: np.ndarray, nx: int, ny: int
+) -> Dict[Tuple[int, int], float]:
+    """``n(k) = <c^dag_k c_k> = (1/N) sum_{ij} e^{i k.(r_i - r_j)} rho[i, j]``
+    on the discrete momentum grid (``c_k = N^{-1/2} sum_j e^{-i k.r_j} c_j``,
+    matching ``ops/fourier.py``).  ``sum_k n(k) = trace(rho)``; for a U=0
+    Slater-determinant ground state every ``n(k)`` is exactly 0 or 1.
+    """
+    n = nx * ny
+    xs = np.arange(n) % nx
+    ys = np.arange(n) // nx
+    out = {}
+    for kx in range(nx):
+        for ky in range(ny):
+            phase = np.exp(
+                2j * np.pi * (kx * (xs[:, None] - xs[None, :]) / nx
+                              + ky * (ys[:, None] - ys[None, :]) / ny)
+            )
+            out[(kx, ky)] = float(np.real(np.sum(phase * rho)) / n)
+    return out
 
 
 def structure_factor(corr: np.ndarray, nx: int, ny: int) -> Dict[Tuple[int, int], float]:

@@ -4,8 +4,11 @@ import numpy as np
 import pytest
 
 from qsfh_tpu.algos.base import HubbardProblem
+from qsfh_tpu.engine.state import basis_state
 from qsfh_tpu.ops.correlations import (
     correlation_matrix,
+    momentum_distribution,
+    one_body_density_matrix,
     site_number_operator,
     site_spin_z,
     spin_spin_operator,
@@ -63,6 +66,44 @@ def test_correlation_matrix_matches_dense(gs_2x2):
     expected = np.vdot(gs, dense @ gs).real
     c = correlation_matrix(gs, 4, kind="spin")
     assert c[0, 2] == pytest.approx(expected, abs=1e-10)
+
+
+def test_one_body_density_matrix_matches_dense(gs_2x2):
+    p, gs = gs_2x2
+    rho = one_body_density_matrix(gs, 4, spin="up")
+    np.testing.assert_allclose(rho, rho.conj().T, atol=1e-10)
+    assert np.trace(rho).real == pytest.approx(2.0, abs=1e-10)  # 2 up electrons
+    op = FermionOperator(((2 * 0 + 0, 1), (2 * 2 + 0, 0)))  # c^dag_{0,up} c_{2,up}
+    dense = paulisum_to_dense(jordan_wigner(op), 8)
+    expected = complex(np.vdot(gs, dense @ gs))
+    assert rho[0, 2] == pytest.approx(expected, abs=1e-10)
+
+
+def test_momentum_distribution_free_fermion():
+    """U=0, one electron per spin on 2x2: the unique single-particle ground
+    state sits at k=(0,0), so n(k) is exactly the one-hot occupation."""
+    p = HubbardProblem(2, 2, 1.0, 0.0, 2, 1, 1, results_root="results")
+    _, gs = p.ground_state()
+    rho = one_body_density_matrix(np.asarray(gs), 4, spin="up")
+    nk = momentum_distribution(rho, 2, 2)
+    assert nk[(0, 0)] == pytest.approx(1.0, abs=1e-8)
+    for k in [(0, 1), (1, 0), (1, 1)]:
+        assert nk[k] == pytest.approx(0.0, abs=1e-8)
+
+
+def test_momentum_distribution_convention():
+    """A particle prepared in the k=(1,0) plane wave has n(k)=delta_{k,(1,0)}
+    under the c_k = N^{-1/2} sum_j e^{-i k.r_j} c_j convention."""
+    n_sites, nx, ny = 4, 2, 2
+    xs = np.arange(n_sites) % nx
+    psi = sum(
+        np.exp(2j * np.pi * 1 * xs[j] / nx) * np.asarray(basis_state(8, [2 * j]))
+        for j in range(n_sites)
+    ) / 2.0
+    rho = one_body_density_matrix(psi, n_sites, spin="up")
+    nk = momentum_distribution(rho, nx, ny)
+    assert nk[(1, 0)] == pytest.approx(1.0, abs=1e-10)
+    assert sum(nk.values()) == pytest.approx(1.0, abs=1e-10)
 
 
 def test_connected_density_correlations(gs_2x2):
