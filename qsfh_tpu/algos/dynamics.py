@@ -83,25 +83,33 @@ class TrotterEvolution:
 
     # -- single step --------------------------------------------------------------
 
-    def _half_sweep(self, psi, dt, reverse: bool):
-        """Coulomb then hopping classes (or the exact reverse order)."""
+    def _half_sweep(self, psi, dt, reverse: bool, t_scale=None, u_scale=None):
+        """Coulomb then hopping classes (or the exact reverse order).
+
+        ``t_scale``/``u_scale`` are optional traced scalars multiplying the
+        hopping/Coulomb couplings (``None`` = 1, the static Hamiltonian) —
+        the hook :class:`ScheduledEvolution` threads per-step schedule
+        values through.
+        """
+        hop_dt = dt if t_scale is None else dt * t_scale
+        cou_dt = dt if u_scale is None else dt * u_scale
         seq = list(range(len(self._groups)))
         if not reverse:
-            psi = diagonal_rotation(psi, self._coulomb_diag, dt)
+            psi = diagonal_rotation(psi, self._coulomb_diag, cou_dt)
             for i in seq:
-                psi = generator_rotation(psi, self.n_qubits, self._groups[i], -self._t * dt)
+                psi = generator_rotation(psi, self.n_qubits, self._groups[i], -self._t * hop_dt)
         else:
             for i in reversed(seq):
-                psi = generator_rotation(psi, self.n_qubits, self._groups[i], -self._t * dt)
-            psi = diagonal_rotation(psi, self._coulomb_diag, dt)
+                psi = generator_rotation(psi, self.n_qubits, self._groups[i], -self._t * hop_dt)
+            psi = diagonal_rotation(psi, self._coulomb_diag, cou_dt)
         return psi
 
-    def step(self, psi: jnp.ndarray) -> jnp.ndarray:
+    def step(self, psi: jnp.ndarray, t_scale=None, u_scale=None) -> jnp.ndarray:
         """One Trotter step of ``dt`` (trace-time; jit via evolve())."""
         if self.order == 1:
-            return self._half_sweep(psi, self.dt, reverse=False)
-        psi = self._half_sweep(psi, self.dt / 2.0, reverse=False)
-        return self._half_sweep(psi, self.dt / 2.0, reverse=True)
+            return self._half_sweep(psi, self.dt, False, t_scale, u_scale)
+        psi = self._half_sweep(psi, self.dt / 2.0, False, t_scale, u_scale)
+        return self._half_sweep(psi, self.dt / 2.0, True, t_scale, u_scale)
 
     # -- trajectory ---------------------------------------------------------------
 
@@ -125,6 +133,9 @@ class TrotterEvolution:
         engine/state.py); ``psi0`` and the overlap references must
         therefore be host-fetchable (build them on the CPU device).
         """
+        return self._evolve(psi0, n_steps, observables, overlaps, scales=None)
+
+    def _evolve(self, psi0, n_steps, observables, overlaps, scales):
         obs = observables or {}
         ovl = {
             name: jnp.asarray(to_reim_host(np.asarray(v), self.dtype))
@@ -136,8 +147,8 @@ class TrotterEvolution:
 
             constrain = lambda psi: constrain_amp(psi, self.mesh)
 
-        def body(psi, _):
-            psi = self.step(psi)
+        def body(psi, xs):
+            psi = self.step(psi) if xs is None else self.step(psi, xs[0], xs[1])
             if constrain is not None:
                 psi = constrain(psi)
             vals = tuple(o.expectation(psi) for o in obs.values())
@@ -148,13 +159,13 @@ class TrotterEvolution:
             return psi, (vals, tuple(ovals))
 
         @jax.jit
-        def run(psi_r):
+        def run(psi_r, xs):
             psi = from_reim(psi_r, self.dtype)
-            psi_final, series = jax.lax.scan(body, psi, None, length=n_steps)
+            psi_final, series = jax.lax.scan(body, psi, xs, length=n_steps)
             return to_reim(psi_final), series
 
         psi0_r = jnp.asarray(to_reim_host(np.asarray(psi0), self.dtype))
-        psi_final_r, (series, oseries) = run(psi0_r)
+        psi_final_r, (series, oseries) = run(psi0_r, scales)
         arr = np.asarray(psi_final_r)
         psi_final = arr[0] + 1j * arr[1]
         records = {
@@ -163,6 +174,80 @@ class TrotterEvolution:
         for i, name in enumerate(ovl.keys()):
             re, im = oseries[i]
             records[name] = np.asarray(re) + 1j * np.asarray(im)
+        return psi_final, records
+
+
+def _schedule_values(schedule, default, times):
+    """Evaluate a coupling schedule: callable tau->value, per-step array,
+    scalar, or None (= the problem's static coupling)."""
+    if schedule is None:
+        return np.full(len(times), float(default))
+    if callable(schedule):
+        return np.array([float(schedule(t)) for t in times])
+    arr = np.asarray(schedule, dtype=np.float64)
+    if arr.ndim == 0:
+        return np.full(len(times), float(arr))
+    if arr.shape != (len(times),):
+        raise ValueError(f"schedule must have one value per step, got {arr.shape}")
+    return arr
+
+
+class ScheduledEvolution(TrotterEvolution):
+    """Real-time evolution under time-dependent couplings t(tau), U(tau).
+
+    Interaction quenches/ramps and Floquet driving: each Trotter step uses
+    the couplings sampled at the step MIDPOINT ``tau_k = (k + 1/2) dt``
+    (the midpoint product formula, second-order accurate for smooth
+    schedules alongside the Strang splitting).  Schedules are callables
+    ``tau -> coupling``, per-step arrays, or scalars, in the same units as
+    the problem's static ``tunneling``/``coulomb``; ``None`` keeps the
+    static value.  The schedule values ride the ``lax.scan`` as traced
+    per-step inputs, so one compiled program serves every ramp shape of
+    the same length — re-ramping costs no recompile (TPU-first: the
+    program hash does not depend on the schedule contents).
+
+    The dropped JW identity constant scales with U, so under a U-schedule
+    the propagator differs from ``exp(-i int H)`` by the time-dependent
+    global phase ``exp(+i shift0 int u_scale)``; ``records['shift_phase']``
+    returns that accumulated integral so overlap records can be unfolded.
+    Expectation-value records are phase-invariant and need nothing.
+    """
+
+    def evolve(
+        self,
+        psi0: jnp.ndarray,
+        n_steps: int,
+        observables: Optional[Dict[str, Observable]] = None,
+        overlaps: Optional[Dict[str, np.ndarray]] = None,
+        tunneling=None,
+        coulomb=None,
+    ):
+        times = (np.arange(n_steps) + 0.5) * self.dt
+        t_vals = _schedule_values(tunneling, self.problem.tunneling, times)
+        u_vals = _schedule_values(coulomb, self.problem.coulomb, times)
+        t0 = float(self.problem.tunneling)
+        u0 = float(self.problem.coulomb)
+        if t0 == 0.0 and np.any(t_vals != 0.0):
+            raise ValueError(
+                "tunneling schedule needs a problem with nonzero static t "
+                "(the hopping layer is scaled relative to it)"
+            )
+        if u0 == 0.0 and np.any(u_vals != 0.0):
+            raise ValueError(
+                "coulomb schedule needs a problem with nonzero static U "
+                "(the Coulomb diagonal is scaled relative to it)"
+            )
+        rdt = real_dtype(self.dtype)
+        t_scales = np.where(t_vals == 0.0, 0.0, t_vals / (t0 if t0 else 1.0))
+        u_scales = np.where(u_vals == 0.0, 0.0, u_vals / (u0 if u0 else 1.0))
+        scales = (
+            jnp.asarray(t_scales, dtype=rdt),
+            jnp.asarray(u_scales, dtype=rdt),
+        )
+        psi_final, records = self._evolve(
+            psi0, n_steps, observables, overlaps, scales
+        )
+        records["shift_phase"] = self.energy_shift * self.dt * np.cumsum(u_scales)
         return psi_final, records
 
 

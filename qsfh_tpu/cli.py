@@ -144,6 +144,10 @@ def main(argv=None):
     p.add_argument("--initial", choices=["neel", "slater"], default="slater",
                    help="quench start: Neel product state or the "
                         "non-interacting Slater determinant")
+    p.add_argument("--u-final", type=float, default=None,
+                   help="linearly ramp U from the static --coulomb to this "
+                        "value over [0, t-final] (midpoint-sampled "
+                        "ScheduledEvolution instead of a fixed-H quench)")
 
     p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
     _add_lattice_args(p)
@@ -329,18 +333,29 @@ def main(argv=None):
                     "or use --initial slater"
                 )
             psi0 = basis_state(n, occ, dtype=dtype)
-        ev = TrotterEvolution(problem, dt=args.dt, order=args.order, dtype=dtype)
         n_steps = int(round(args.t_final / args.dt))
         obs = {
             "H": problem.observables["H"],
             "double_occupancy_U": Observable(jordan_wigner(problem.interacting_term), n),
             "Sz": problem.observables["Sz"],
         }
-        _, rec = ev.evolve(psi0, n_steps, obs)
+        if args.u_final is not None:
+            from .algos.dynamics import ScheduledEvolution
+
+            u0, u1, tf = float(problem.coulomb), args.u_final, args.t_final
+            ev = ScheduledEvolution(problem, dt=args.dt, order=args.order, dtype=dtype)
+            _, rec = ev.evolve(
+                psi0, n_steps, obs, coulomb=lambda tau: u0 + (u1 - u0) * tau / tf
+            )
+            rec.pop("shift_phase")  # no overlap records to unfold
+        else:
+            ev = TrotterEvolution(problem, dt=args.dt, order=args.order, dtype=dtype)
+            _, rec = ev.evolve(psi0, n_steps, obs)
         out = {
             "dt": args.dt,
             "order": args.order,
             "initial": args.initial,
+            "u_final": args.u_final,
             "times": [round((i + 1) * args.dt, 10) for i in range(n_steps)],
             **{k: [float(v) for v in series] for k, series in rec.items()},
         }

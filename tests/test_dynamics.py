@@ -167,3 +167,97 @@ def test_greens_function_accepts_operator(quench):
     od = paulisum_to_dense(jordan_wigner(op), 8)
     phi = od @ gs
     assert g[0].real == pytest.approx(np.vdot(phi, phi).real, abs=5e-3)
+
+
+# ---- time-dependent schedules ---------------------------------------------------
+
+
+def _dense_scheduled_reference(p, psi0, t_fn, u_fn, t_final, n_ref):
+    """Midpoint expm product at fine dt: near-exact time-ordered evolution."""
+    quad = paulisum_to_dense(jordan_wigner(p.quadratic_term), 8)
+    inter = paulisum_to_dense(jordan_wigner(p.interacting_term), 8)
+    dt = t_final / n_ref
+    psi = psi0.copy()
+    for k in range(n_ref):
+        tau = (k + 0.5) * dt
+        h = (t_fn(tau) / p.tunneling) * quad + (u_fn(tau) / p.coulomb) * inter
+        psi = scipy.linalg.expm(-1j * h * dt) @ psi
+    return psi
+
+
+def test_scheduled_constant_matches_static(quench):
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, *_ = quench
+    static = TrotterEvolution(p, dt=0.05, order=2, dtype=jnp.complex128)
+    sched = ScheduledEvolution(p, dt=0.05, order=2, dtype=jnp.complex128)
+    f1, _ = static.evolve(psi0, 20)
+    f2, _ = sched.evolve(psi0, 20)  # None schedules = static couplings
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-12)
+
+
+def test_interaction_ramp_matches_dense(quench):
+    """Linear U ramp 4 -> 8 over t=1: Strang + midpoint sampling tracks the
+    near-exact dense time-ordered propagator."""
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, *_ = quench
+    t_fn = lambda tau: 1.0
+    u_fn = lambda tau: 4.0 + 4.0 * tau
+    n_steps, t_final = 50, 1.0
+    ev = ScheduledEvolution(p, dt=t_final / n_steps, order=2, dtype=jnp.complex128)
+    obs = {"D": Observable(jordan_wigner(p.interacting_term), 8)}
+    psi_f, rec = ev.evolve(psi0, n_steps, obs, coulomb=u_fn)
+    psi_ref = _dense_scheduled_reference(p, psi0, t_fn, u_fn, t_final, 250)
+    psi_f = np.asarray(psi_f)
+    assert np.linalg.norm(psi_f) == pytest.approx(1.0, abs=1e-10)
+    assert abs(np.vdot(psi_ref, psi_f)) ** 2 > 0.9999
+    d_ref = (psi_ref.conj() @ paulisum_to_dense(
+        jordan_wigner(p.interacting_term), 8) @ psi_ref).real
+    # the U0=4 normalization makes the recorded D the U=4 interaction term
+    assert rec["D"][-1] == pytest.approx(d_ref, abs=5e-3)
+
+
+def test_schedule_shift_phase_unfolds_overlaps(quench):
+    """Overlap records times exp(-i shift_phase) equal the dense
+    time-ordered overlap (the U-dependent identity constant is the only
+    phase the propagator drops)."""
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, *_ = quench
+    u_fn = lambda tau: 4.0 * (1.0 + tau)
+    n_steps, t_final = 20, 0.5
+    ev = ScheduledEvolution(p, dt=t_final / n_steps, order=2, dtype=jnp.complex128)
+    _, rec = ev.evolve(psi0, n_steps, overlaps={"L": psi0}, coulomb=u_fn)
+    unfolded = rec["L"] * np.exp(-1j * rec["shift_phase"])
+    psi_ref = _dense_scheduled_reference(
+        p, psi0, lambda tau: 1.0, u_fn, t_final, 400
+    )
+    ref_overlap = np.vdot(psi0, psi_ref)
+    assert abs(unfolded[-1] - ref_overlap) < 2e-3
+
+
+def test_schedule_array_matches_callable(quench):
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, *_ = quench
+    n_steps, dt = 10, 0.05
+    u_fn = lambda tau: 4.0 + np.sin(3.0 * tau)
+    u_arr = np.array([u_fn((k + 0.5) * dt) for k in range(n_steps)])
+    ev = ScheduledEvolution(p, dt=dt, order=2, dtype=jnp.complex128)
+    f1, _ = ev.evolve(psi0, n_steps, coulomb=u_fn)
+    f2, _ = ev.evolve(psi0, n_steps, coulomb=u_arr)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-12)
+
+
+def test_schedule_validation(quench):
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, *_ = quench
+    ev = ScheduledEvolution(p, dt=0.05, dtype=jnp.complex128)
+    with pytest.raises(ValueError):
+        ev.evolve(psi0, 10, coulomb=np.ones(7))  # wrong length
+    p0 = HubbardProblem(2, 2, 1.0, 0.0, 4, 2, 2, results_root="results")
+    ev0 = ScheduledEvolution(p0, dt=0.05, dtype=jnp.complex128)
+    with pytest.raises(ValueError):
+        ev0.evolve(psi0, 10, coulomb=lambda tau: 1.0)  # U0 = 0
