@@ -34,6 +34,7 @@ __all__ = [
     "structure_factor",
     "one_body_density_matrix",
     "momentum_distribution",
+    "pair_correlation_matrix",
 ]
 
 
@@ -129,6 +130,45 @@ def one_body_density_matrix(psi, n_sites: int, spin: str = "up") -> np.ndarray:
             rho[i, j] = 0.5 * (a + 1j * b)
             rho[j, i] = np.conj(rho[i, j])
     return rho
+
+
+def pair_correlation_matrix(psi, n_sites: int) -> np.ndarray:
+    """On-site (s-wave) pair correlator ``P[i, j] = <Delta^dag_i Delta_j>``
+    with ``Delta_i = c_{i,dn} c_{i,up}``.
+
+    Hermitian complex; diagonals are the double occupancies
+    ``<n_{i,up} n_{i,dn}>``.  Long-range order in P (an off-diagonal-long-
+    range-order eigenvalue scaling with N) is the superconducting
+    diagnostic; for repulsive-U ground states it stays short-ranged.
+    Evaluated from Hermitian A/B observable pairs like
+    :func:`one_body_density_matrix`.
+    """
+    psi = jnp.asarray(psi)
+    n_qubits = 2 * n_sites
+    pair = np.zeros((n_sites, n_sites), dtype=np.complex128)
+    for i in range(n_sites):
+        for j in range(i, n_sites):
+            up_i, dn_i = 2 * i, 2 * i + 1
+            up_j, dn_j = 2 * j, 2 * j + 1
+            # Delta^dag_i Delta_j = c^dag_{i,up} c^dag_{i,dn} c_{j,dn} c_{j,up}
+            op = FermionOperator(((up_i, 1), (dn_i, 1), (dn_j, 0), (up_j, 0)))
+            if i == j:
+                pair[i, i] = float(
+                    Observable(jordan_wigner(op), n_qubits).expectation(psi)
+                )
+                continue
+            op_dag = FermionOperator(((up_j, 1), (dn_j, 1), (dn_i, 0), (up_i, 0)))
+            a = float(
+                Observable(jordan_wigner(op + op_dag), n_qubits).expectation(psi)
+            )
+            b = float(
+                Observable(
+                    jordan_wigner(-1j * op + 1j * op_dag), n_qubits
+                ).expectation(psi)
+            )
+            pair[i, j] = 0.5 * (a + 1j * b)
+            pair[j, i] = np.conj(pair[i, j])
+    return pair
 
 
 def momentum_distribution(

@@ -9,6 +9,7 @@ from qsfh_tpu.ops.correlations import (
     correlation_matrix,
     momentum_distribution,
     one_body_density_matrix,
+    pair_correlation_matrix,
     site_number_operator,
     site_spin_z,
     spin_spin_operator,
@@ -104,6 +105,23 @@ def test_momentum_distribution_convention():
     nk = momentum_distribution(rho, nx, ny)
     assert nk[(1, 0)] == pytest.approx(1.0, abs=1e-10)
     assert sum(nk.values()) == pytest.approx(1.0, abs=1e-10)
+
+
+def test_pair_correlation_matrix(gs_2x2):
+    p, gs = gs_2x2
+    pair = pair_correlation_matrix(gs, 4)
+    np.testing.assert_allclose(pair, pair.conj().T, atol=1e-10)
+    # diagonal = double occupancy: positive, suppressed by U=6 below the
+    # uncorrelated value <n_up><n_dn> = 1/4
+    for i in range(4):
+        assert 0.0 < pair[i, i].real < 0.25
+    # dense cross-check of one off-diagonal entry
+    op = FermionOperator(((0, 1), (1, 1), (5, 0), (4, 0)))  # Delta^dag_0 Delta_2
+    dense = paulisum_to_dense(jordan_wigner(op), 8)
+    expected = complex(np.vdot(gs, dense @ gs))
+    assert pair[0, 2] == pytest.approx(expected, abs=1e-10)
+    # eigenvalues of a Hermitian positive-semidefinite correlator
+    assert np.linalg.eigvalsh(pair).min() > -1e-10
 
 
 def test_connected_density_correlations(gs_2x2):
