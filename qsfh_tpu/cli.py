@@ -149,6 +149,20 @@ def main(argv=None):
                         "value over [0, t-final] (midpoint-sampled "
                         "ScheduledEvolution instead of a fixed-H quench)")
 
+    p = sub.add_parser("ite", help="imaginary-time evolution ground-state solver")
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--dbeta", type=float, default=None,
+                   help="imaginary-time step (default: stable choice from "
+                        "the Pauli 1-norm spectral bound)")
+    p.add_argument("--order", type=int, default=4, help="Taylor order")
+    p.add_argument("--n-steps", type=int, default=2000)
+    p.add_argument("--block", type=int, default=50)
+    p.add_argument("--variance-tol", type=float, default=1e-8,
+                   help="stop when the energy variance <H^2>-<H>^2 drops "
+                        "below this (ED-free convergence certificate)")
+    p.add_argument("--initial", choices=["neel", "slater"], default="slater")
+
     p = sub.add_parser("ed", help="exact diagonalization (sector Lanczos)")
     _add_lattice_args(p)
     _add_run_args(p)
@@ -365,6 +379,57 @@ def main(argv=None):
         print(json.dumps({k: (v[-1] if isinstance(v, list) else v)
                           for k, v in out.items() if k != "times"}))
         print(f"wrote {os_path} ({n_steps} steps)")
+    elif args.command == "ite":
+        import json
+
+        import numpy as np
+
+        from .algos.base import HubbardProblem, default_dtype
+        from .algos.ite import ImaginaryTimeEvolution
+        from .engine.state import basis_state
+
+        lat = _lattice_kwargs(args)
+        problem = HubbardProblem(results_root=args.results_root, **lat)
+        dtype = default_dtype()
+        if args.initial == "slater":
+            from .engine.circuits import slater_prep_state
+
+            psi0 = slater_prep_state(
+                problem.n_qubits,
+                tuple(problem.spin_up_indices + problem.spin_down_indices),
+                problem.diagonal,
+                problem.decomposition,
+                dtype=dtype,
+            )
+        else:
+            from .algos.dynamics import neel_occupied
+
+            psi0 = basis_state(
+                problem.n_qubits,
+                neel_occupied(lat["x_dimension"], lat["y_dimension"]),
+                dtype=dtype,
+            )
+        ite = ImaginaryTimeEvolution(
+            problem, dbeta=args.dbeta, order=args.order, dtype=dtype
+        )
+        _, rec = ite.run(
+            psi0,
+            n_steps=args.n_steps,
+            block=args.block,
+            variance_tol=args.variance_tol,
+            verbose=True,
+        )
+        out = {
+            "dbeta": ite.dbeta,
+            "order": args.order,
+            "initial": args.initial,
+            "steps": int(len(rec["energies"])),
+            "energy": float(rec["energies"][-1]),
+            "variance": float(rec["variances"][-1]),
+        }
+        with open("ite.json", "w") as fh:
+            json.dump(out, fh)
+        print(json.dumps(out))
     elif args.command == "ed":
         from .algos.base import HubbardProblem
 

@@ -88,3 +88,26 @@ class TestDynamicsCLI:
         assert abs(blob["Sz"]) < 1e-8
         data = json.load(open(tmp_path / "dynamics.json"))
         assert len(data["times"]) == 10 == len(data["H"])
+
+    def test_ite_subcommand(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "ite",
+                "--x-dimension", "2",
+                "--y-dimension", "2",
+                "--coulomb", "6",
+                "--dbeta", "0.05",
+                "--order", "6",
+                "--n-steps", "800",
+                "--variance-tol", "1e-9",
+                "--initial", "neel",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        out = capsys.readouterr().out
+        blob = json.loads(out.splitlines()[-1])
+        data = json.load(open(tmp_path / "ite.json"))
+        assert data == blob
+        assert blob["variance"] < 1e-9  # hit the certificate, not the cap
+        assert blob["energy"] == pytest.approx(-1.6346030549, abs=1e-5)
