@@ -21,6 +21,7 @@ from qsfh_tpu.ops.correlations import (
     one_body_density_matrix,
     pair_correlation_matrix,
 )
+from qsfh_tpu.ops.entanglement import entanglement_entropy, site_qubits
 
 DEMO = os.path.join(HERE, "demo_3x3")
 os.chdir(DEMO)
@@ -53,6 +54,10 @@ for name, state in [("exact_manifold_projection", target), ("adapt_trained", psi
     entry["pair_max_offsite"] = round(
         float(np.abs(pair - np.diag(np.diag(pair))).max()), 6
     )
+    # bipartite entanglement across the column cut (sites {0,1,2} = x=0..2
+    # of row 0? row-major: first 3 sites are row y=0) and one-site entropy
+    entry["entropy_row0"] = round(entanglement_entropy(state, 18, site_qubits((0, 1, 2))), 6)
+    entry["entropy_site0"] = round(entanglement_entropy(state, 18, site_qubits((0,))), 6)
     out[name] = entry
 
 summary = {
