@@ -52,7 +52,13 @@ EOF
     QSFH_BENCH_SALT=$salt timeout 560 python benchmarks/tpu_dynamics.py >> $LOG 2>&1 \
       && echo "DYNAMICS OK salt=$salt" >> $LOG
   fi
+  if [ -f benchmarks/sampling_expected.json ] && [ ! -f benchmarks/tpu_sampling.json ]; then
+    salt="$(python -c "import time; print(13e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
+    QSFH_BENCH_SALT=$salt timeout 560 python benchmarks/tpu_sampling.py >> $LOG 2>&1 \
+      && echo "SAMPLING OK salt=$salt" >> $LOG
+  fi
   done_all=1
+  [ ! -f benchmarks/sampling_expected.json ] || [ -f benchmarks/tpu_sampling.json ] || done_all=0
   [ ! -f benchmarks/dynamics_expected.json ] || [ -f benchmarks/tpu_dynamics.json ] || done_all=0
   [ ! -f benchmarks/stream_expected_24.json ] || [ -f benchmarks/tpu_stream_24.json ] || done_all=0
   [ -f benchmarks/tpu_stream_big_26.json ] || done_all=0

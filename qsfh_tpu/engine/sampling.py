@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .state import qmask_to_bmask
+from .state import const_complex, qmask_to_bmask, real_dtype
 from .gates import apply_one_qubit
 from ..ops.pauli import PauliSum, _popcount
 
@@ -175,6 +175,132 @@ def _group_estimate(
     return mean, var
 
 
+def _split_identity(op: PauliSum, groups, n: int):
+    """Host-side packing shared by both estimators: the exact identity
+    contribution and, per group, live-term flat bitmasks + real string
+    coefficients + the group's X/Y basis masks."""
+    xm, ym, zm = string_support(op)
+    support = xm | ym | zm
+    # string coefficient: c_str = c_packed * (-i)^{|x&z|}  (pauli.py:17-18)
+    c_str = op.c * np.array([1.0, -1.0j, -1.0, 1.0j])[_popcount(op.x & op.z) % 4]
+    if np.abs(c_str.imag).max(initial=0.0) > 1e-9:
+        raise ValueError("shot estimation requires a Hermitian PauliSum")
+    c_str = c_str.real
+    const = float(c_str[support == 0].sum())
+    packed = []
+    for idx in groups:
+        live = idx[support[idx] != 0]
+        if live.size == 0:
+            continue
+        bmasks = np.array(
+            [qmask_to_bmask(int(m), n) for m in support[live]], dtype=np.uint32
+        )
+        packed.append(
+            (
+                bmasks,
+                c_str[live],
+                int(np.bitwise_or.reduce(xm[live])),
+                int(np.bitwise_or.reduce(ym[live])),
+            )
+        )
+    return const, packed
+
+
+def _rotate_data_driven(psi, n: int, x_bits, y_bits):
+    """Basis change with TRACED per-qubit selections among {I, H, H S^dag}.
+
+    ``x_bits``/``y_bits`` are (n,) 0/1 real vectors; each qubit's 2x2 is a
+    convex selection of the three candidates, so ONE compiled program
+    serves every group's basis setting (the masks ride as data, exactly
+    like the scan-lowered expectation paths ride packed term data)."""
+    rdt = real_dtype(psi.dtype)
+    eye = const_complex(np.eye(2), psi.dtype)
+    rx = const_complex(_ROT_X, psi.dtype)
+    ry = const_complex(_ROT_Y, psi.dtype)
+    for q in range(n):
+        x = x_bits[q].astype(rdt)
+        y = y_bits[q].astype(rdt)
+        u = eye * (1.0 - x - y) + rx * x + ry * y
+        psi = apply_one_qubit(psi, n, u, q)
+    return psi
+
+
+def pack_groups(op: PauliSum, n: int, groups: Sequence[np.ndarray]):
+    """Rectangular host packing of QWC groups for the scan lowering.
+
+    Returns ``(const, masks, coeffs, x_bits, y_bits)``: the exact identity
+    contribution, ``(G, T_max)`` flat bitmasks / real string coefficients
+    (zero-padded — padded terms contribute sign*0), and ``(G, n)`` 0/1
+    per-qubit X/Y basis selectors.
+    """
+    const, packed = _split_identity(op, groups, n)
+    g = len(packed)
+    t_max = max((len(b) for b, *_ in packed), default=0)
+    masks = np.zeros((g, t_max), dtype=np.uint32)
+    coeffs = np.zeros((g, t_max), dtype=np.float64)
+    x_bits = np.zeros((g, n), dtype=np.float64)
+    y_bits = np.zeros((g, n), dtype=np.float64)
+    for i, (b, c, xb, yb) in enumerate(packed):
+        masks[i, : len(b)] = b
+        coeffs[i, : len(b)] = c
+        x_bits[i] = [(xb >> q) & 1 for q in range(n)]
+        y_bits[i] = [(yb >> q) & 1 for q in range(n)]
+    return const, masks, coeffs, x_bits, y_bits
+
+
+def estimate_expectation_scan(
+    psi: jnp.ndarray,
+    n: int,
+    op: PauliSum,
+    shots: int,
+    key: jax.Array,
+    groups: Optional[Sequence[np.ndarray]] = None,
+) -> MeasurementResult:
+    """Scan-lowered grouped estimator: ONE jitted ``lax.scan`` over the QWC
+    groups (terms padded to the widest group with zero coefficients), so
+    the program size is independent of the group count — the TPU form of
+    :func:`estimate_expectation` (whose host loop dispatches one program
+    per group).  Same protocol: ``shots`` fresh samples per group.
+    """
+    if groups is None:
+        groups = qwc_groups(op)
+    const, masks, coeffs, x_bits, y_bits = pack_groups(op, n, groups)
+    rdt = real_dtype(psi.dtype)
+    if masks.shape[0] == 0:
+        return MeasurementResult(const, 0.0, shots, len(groups), np.zeros(0), np.zeros(0))
+    keys = jax.random.split(key, masks.shape[0])
+
+    def body(_, xs):
+        k, m, c, xb, yb = xs
+        rot = _rotate_data_driven(psi, n, xb, yb)
+        samples = sample_bitstrings(rot, n, shots, k)
+        par = jax.lax.population_count(samples[:, None] & m[None, :]) & jnp.uint32(1)
+        signs = 1.0 - 2.0 * par.astype(rdt)
+        per_shot = signs @ c
+        mean = jnp.mean(per_shot)
+        var = jnp.var(per_shot, ddof=1) / shots if shots > 1 else jnp.zeros_like(mean)
+        return None, (mean, var)
+
+    xs = (
+        keys,
+        jnp.asarray(masks),
+        jnp.asarray(coeffs, dtype=rdt),
+        jnp.asarray(x_bits, dtype=rdt),
+        jnp.asarray(y_bits, dtype=rdt),
+    )
+    _, (means, variances) = jax.lax.scan(body, None, xs)
+    g_means = np.asarray(means, dtype=np.float64)
+    g_vars = np.asarray(variances, dtype=np.float64)
+    return MeasurementResult(
+        mean=const + float(g_means.sum()),
+        stderr=float(np.sqrt(g_vars.sum())),
+        shots_per_group=shots,
+        n_groups=len(groups),
+        group_means=g_means,
+        group_stderrs=np.sqrt(g_vars),
+    )
+
+
 def estimate_expectation(
     psi: jnp.ndarray,
     n: int,
@@ -192,29 +318,12 @@ def estimate_expectation(
     """
     if groups is None:
         groups = qwc_groups(op)
-    xm, ym, zm = string_support(op)
-    support = xm | ym | zm
-    # string coefficient: c_str = c_packed * (-i)^{|x&z|}  (pauli.py:17-18)
-    c_str = op.c * np.array([1.0, -1.0j, -1.0, 1.0j])[_popcount(op.x & op.z) % 4]
-    if np.abs(c_str.imag).max(initial=0.0) > 1e-9:
-        raise ValueError("estimate_expectation requires a Hermitian PauliSum")
-    c_str = c_str.real
-
-    const = 0.0
+    const, packed = _split_identity(op, groups, n)
     g_means, g_vars = [], []
-    keys = jax.random.split(key, max(len(groups), 1))
-    for gi, idx in enumerate(groups):
-        live = idx[support[idx] != 0]
-        const += float(c_str[idx[support[idx] == 0]].sum())
-        if live.size == 0:
-            continue
-        bmasks = np.array(
-            [qmask_to_bmask(int(m), n) for m in support[live]], dtype=np.uint32
-        )
-        x_basis = int(np.bitwise_or.reduce(xm[live]))
-        y_basis = int(np.bitwise_or.reduce(ym[live]))
+    keys = jax.random.split(key, max(len(packed), 1))
+    for gi, (bmasks, cs, x_basis, y_basis) in enumerate(packed):
         mean, var = _group_estimate(
-            psi, n, bmasks, c_str[live], x_basis, y_basis, shots, keys[gi]
+            psi, n, bmasks, cs, x_basis, y_basis, shots, keys[gi]
         )
         g_means.append(float(mean))
         g_vars.append(float(var))

@@ -8,6 +8,7 @@ import pytest
 from qsfh_tpu.engine.expectation import Observable
 from qsfh_tpu.engine.sampling import (
     estimate_expectation,
+    estimate_expectation_scan,
     qwc_groups,
     sample_bitstrings,
     sample_counts,
@@ -108,6 +109,47 @@ def test_estimate_hubbard_energy_within_error_bars():
     assert res.stderr > 0
     assert abs(res.mean - exact) < 5 * res.stderr
     assert abs(res.mean - exact) < 0.15  # absolute sanity on the scale
+
+
+def test_scan_estimator_matches_host_loop():
+    """Same key split, same per-group sample streams: the scan lowering
+    reproduces the host-loop estimator (rotations differ only by the
+    traced selection arithmetic)."""
+    ham = jordan_wigner(fermi_hubbard(2, 2, 1.0, 4.0))
+    n = 8
+    h = get_sparse_operator(ham, n)
+    _, vecs = spla.eigsh(h, k=1, which="SA")
+    psi = jnp.asarray(vecs[:, 0].astype(np.complex128))
+    key = jax.random.PRNGKey(9)
+    a = estimate_expectation(psi, n, ham, shots=500, key=key)
+    b = estimate_expectation_scan(psi, n, ham, shots=500, key=key)
+    assert b.mean == pytest.approx(a.mean, abs=1e-9)
+    assert b.stderr == pytest.approx(a.stderr, abs=1e-9)
+    np.testing.assert_allclose(b.group_means, a.group_means, atol=1e-9)
+
+
+def test_scan_estimator_exact_on_stabilizer():
+    psi = jnp.full(4, 0.5, dtype=jnp.complex128)  # |++>
+    op = (
+        qubit_operator("X0", 0.5)
+        + qubit_operator("X0 X1", -2.0)
+        + PauliSum.identity(3.0)
+    )
+    res = estimate_expectation_scan(psi, 2, op, shots=16, key=jax.random.PRNGKey(10))
+    assert res.mean == pytest.approx(0.5 - 2.0 + 3.0, abs=1e-12)
+    assert res.stderr == pytest.approx(0.0, abs=1e-12)
+
+
+def test_scan_estimator_identity_only():
+    res = estimate_expectation_scan(
+        jnp.array([1.0, 0.0], dtype=jnp.complex128),
+        1,
+        PauliSum.identity(2.5),
+        shots=8,
+        key=jax.random.PRNGKey(11),
+    )
+    assert res.mean == pytest.approx(2.5)
+    assert res.stderr == 0.0
 
 
 def test_estimate_rejects_non_hermitian():
