@@ -251,6 +251,24 @@ class ScheduledEvolution(TrotterEvolution):
         return psi_final, records
 
 
+def excitation_operator(mode, kind: str = "particle") -> FermionOperator:
+    """The ladder operator whose action on |gs> seeds a Green's function.
+
+    ``mode`` may be a JW mode index (``kind`` picks ``c^dag_m`` / ``c_m``)
+    or an arbitrary :class:`FermionOperator` (e.g. a momentum-space ladder
+    ``c^dag_k = N^{-1/2} sum_r e^{i k.r} c^dag_r`` for A(k, omega)).
+    Shared by the real-time route below and the Lanczos resolvent route
+    (linalg/spectral.py).
+    """
+    if isinstance(mode, FermionOperator):
+        return mode
+    if kind == "particle":
+        return FermionOperator(((mode, 1),))
+    if kind == "hole":
+        return FermionOperator(((mode, 0),))
+    raise ValueError("kind must be 'particle' or 'hole'")
+
+
 def greens_function(
     problem,
     ground_state: np.ndarray,
@@ -280,17 +298,7 @@ def greens_function(
     only; spectral functions are the standard observable this unlocks.
     """
     dtype = dtype or default_dtype()
-    if isinstance(mode, FermionOperator):
-        # arbitrary excitation operator, e.g. a momentum-space ladder
-        # c^dag_k = (1/sqrt(N)) sum_r e^{i k.r} c^dag_r for A(k, omega)
-        ladder = mode
-    elif kind == "particle":
-        ladder = FermionOperator(((mode, 1),))
-    elif kind == "hole":
-        ladder = FermionOperator(((mode, 0),))
-    else:
-        raise ValueError("kind must be 'particle' or 'hole'")
-    op = Observable(jordan_wigner(ladder), problem.n_qubits)
+    op = Observable(jordan_wigner(excitation_operator(mode, kind)), problem.n_qubits)
     phi = np.asarray(op.apply(jnp.asarray(ground_state, dtype=dtype)))
     ev = TrotterEvolution(problem, dt=dt, order=order, dtype=dtype, mesh=mesh)
     _, rec = ev.evolve(phi, n_steps, overlaps={"G": phi})
