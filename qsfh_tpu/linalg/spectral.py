@@ -53,7 +53,8 @@ def lanczos_tridiagonal(matvec, phi, m: int) -> Tuple[np.ndarray, np.ndarray, fl
     norm2 = float(np.real(np.vdot(phi, phi)))
     if norm2 < 1e-28:
         return np.zeros(0), np.zeros(0), 0.0
-    dtype = jnp.complex128 if phi.dtype == np.complex128 else jnp.complex64
+    wide = phi.dtype in (np.dtype(np.complex128), np.dtype(np.float64))
+    dtype = jnp.complex128 if wide else jnp.complex64
     rdt = real_dtype(dtype)
 
     def body(carry, _):
