@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.expectation import Observable
-from ..engine.state import from_reim, to_reim, to_reim_host
+from ..engine.state import from_reim, real_dtype, to_reim, to_reim_host
 from ..ops.pauli import PauliSum
 from .base import default_dtype
 
@@ -85,10 +85,14 @@ class ImaginaryTimeEvolution:
     # -- one step (trace-time) ------------------------------------------------------
 
     def _step(self, psi):
-        """One normalized Taylor step; returns (psi', energy, variance).
+        """One normalized Taylor step; returns (psi', energy, variance, logw).
 
         The energy/variance reported are those of the INPUT state (they
-        reuse the same H|psi> pass that seeds the polynomial).
+        reuse the same H|psi> pass that seeds the polynomial).  ``logw``
+        is the log-norm of the UNNORMALIZED half-step,
+        ``log || exp(-dbeta H) psi || = log ||acc|| - dbeta * E`` (the
+        polynomial approximates ``exp(-dbeta (H - E))``), which thermal
+        typicality accumulates into Boltzmann weights.
         """
         h_psi = self.observable.apply_auto(psi)
         energy = jnp.real(jnp.vdot(psi, h_psi))
@@ -101,12 +105,14 @@ class ImaginaryTimeEvolution:
             applied = h_psi if j == 1 else self.observable.apply_auto(term)
             term = (-self.dbeta / j) * (applied - energy * term)
             acc = acc + term
-        acc = acc / jnp.sqrt(jnp.real(jnp.vdot(acc, acc)))
+        nrm = jnp.sqrt(jnp.real(jnp.vdot(acc, acc)))
+        logw = jnp.log(nrm) - self.dbeta * energy
+        acc = acc / nrm
         if self.mesh is not None:
             from ..parallel.mesh import constrain_amp
 
             acc = constrain_amp(acc, self.mesh)
-        return acc, energy, variance
+        return acc, energy, variance, logw
 
     # -- driver ---------------------------------------------------------------------
 
@@ -128,7 +134,7 @@ class ImaginaryTimeEvolution:
         """
 
         def body(psi, _):
-            psi, energy, variance = self._step(psi)
+            psi, energy, variance, _logw = self._step(psi)
             return psi, (energy, variance)
 
         @jax.jit
@@ -160,3 +166,108 @@ class ImaginaryTimeEvolution:
             "variances": np.concatenate(variances),
         }
         return psi_final, records
+
+    # -- finite temperature (canonical typicality) -----------------------------------
+
+    def thermal_expectation(
+        self,
+        beta: float,
+        observables,
+        n_samples: int = 16,
+        key=None,
+        sector=None,
+    ):
+        """Canonical thermal averages ``<O>_beta = Tr_S(e^{-beta H} O)/Z_S``
+        by imaginary-time typicality.
+
+        Each random vector ``|r>`` (Haar-Gaussian over the sector ``S``)
+        is evolved to ``beta/2`` with the same Taylor stepper (one jitted
+        scan, reused across samples); the accumulated log-weights
+        ``w_r = ||e^{-beta H/2}|r>||^2`` are the stochastic Boltzmann
+        weights, and
+
+            <O>_beta  ~=  sum_r w_r <psi_r|O|psi_r> / sum_r w_r .
+
+        ``sector`` defaults to the problem's pinned ``(N, N_up)`` sector
+        (pass ``None`` explicitly via ``sector=False`` for the full
+        space).  Returns ``(estimates, diagnostics)``: per-observable
+        means plus jackknife standard errors and the log-weight spread
+        (typicality error shrinks with both ``n_samples`` and the
+        effective sector dimension).  Reference context: the reference
+        framework computes ground states only; this unlocks temperature
+        axes (e.g. double occupancy vs T across the Mott crossover).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n_half = max(int(round((beta / 2.0) / self.dbeta)), 1)
+        beta_eff = 2.0 * n_half * self.dbeta
+        obs = dict(observables)
+
+        def body(carry, _):
+            psi, logw = carry
+            psi, _e, _v, lw = self._step(psi)
+            return (psi, logw + lw), None
+
+        @jax.jit
+        def run_half(psi_r):
+            psi = from_reim(psi_r, self.dtype)
+            (psi, logw), _ = jax.lax.scan(
+                body, (psi, jnp.zeros((), real_dtype(self.dtype))), None, length=n_half
+            )
+            vals = tuple(jnp.real(o.expectation(psi)) for o in obs.values())
+            return to_reim(psi), logw, vals
+
+        if sector is False:
+            def draw(k):
+                kr, ki = jax.random.split(k)
+                dim = 1 << self.n_qubits
+                rdt = real_dtype(self.dtype)
+                rng_r = np.asarray(jax.random.normal(kr, (dim,), dtype=rdt))
+                rng_i = np.asarray(jax.random.normal(ki, (dim,), dtype=rdt))
+                v = rng_r + 1j * rng_i
+                return v / np.linalg.norm(v)
+        else:
+            from ..linalg.sectors import random_sector_state
+
+            if sector is None:
+                p = self.problem
+                sector = (p.n_electrons, p.n_spin_up)
+
+            def draw(k):
+                return np.asarray(
+                    random_sector_state(
+                        self.n_qubits, sector[0], sector[1], key=k, dtype=self.dtype
+                    )
+                )
+
+        logws = np.zeros(n_samples)
+        values = {name: np.zeros(n_samples) for name in obs}
+        for r, k in enumerate(jax.random.split(key, n_samples)):
+            psi0 = draw(k)
+            _, logw, vals = run_half(jnp.asarray(to_reim_host(psi0, self.dtype)))
+            logws[r] = 2.0 * float(logw)  # w_r = ||e^{-beta H/2} r||^2
+            for name, v in zip(obs, vals):
+                values[name][r] = float(v)
+
+        w = np.exp(logws - logws.max())
+        w_sum = w.sum()
+        estimates = {name: float((w * v).sum() / w_sum) for name, v in values.items()}
+        # jackknife standard errors over samples
+        stderrs = {}
+        for name, v in values.items():
+            if n_samples > 1:
+                jk = np.array([
+                    ((w * v).sum() - w[i] * v[i]) / (w_sum - w[i])
+                    for i in range(n_samples)
+                ])
+                stderrs[name] = float(np.sqrt((n_samples - 1) * np.var(jk)))
+            else:
+                stderrs[name] = float("nan")
+        diagnostics = {
+            "beta_effective": beta_eff,
+            "n_samples": n_samples,
+            "stderrs": stderrs,
+            "log_weight_spread": float(logws.max() - logws.min()),
+            "effective_samples": float(w_sum**2 / (w**2).sum()),
+        }
+        return estimates, diagnostics

@@ -80,3 +80,56 @@ def test_sharded_matches_single_device():
     psi_b, rec_b = sharded.run(psi0, n_steps=20, block=10)
     np.testing.assert_allclose(rec_a["energies"], rec_b["energies"], atol=1e-10)
     np.testing.assert_allclose(psi_a, psi_b, atol=1e-10)
+
+
+# ---- finite temperature (typicality) ---------------------------------------------
+
+
+def _dense_sector_thermal(problem, beta, ops_dense, idx):
+    import scipy.linalg
+
+    from qsfh_tpu.utils.dense import paulisum_to_dense
+
+    h = paulisum_to_dense(problem.qubit_hamiltonian, 8)[np.ix_(idx, idx)]
+    evals, evecs = np.linalg.eigh(h)
+    w = np.exp(-beta * (evals - evals.min()))
+    out = []
+    for od in ops_dense:
+        os_ = evecs.conj().T @ od[np.ix_(idx, idx)] @ evecs
+        out.append(float((w * np.diag(os_).real).sum() / w.sum()))
+    return out
+
+
+@pytest.mark.parametrize("beta", [1.0, 4.0])
+def test_thermal_expectation_matches_dense(problem, beta):
+    from qsfh_tpu.engine.expectation import Observable
+    from qsfh_tpu.linalg.sectors import jw_number_spin_indices
+    from qsfh_tpu.utils.dense import paulisum_to_dense
+
+    d_op = jordan_wigner(problem.interacting_term)
+    obs = {"H": problem.observables["H"], "D": Observable(d_op, 8)}
+    ite = ImaginaryTimeEvolution(problem, dbeta=0.02, order=4, dtype=jnp.complex128)
+    est, diag = ite.thermal_expectation(
+        beta, obs, n_samples=48, key=jax.random.PRNGKey(5)
+    )
+    idx = jw_number_spin_indices(4, 2, 2, 8)
+    h_dense = paulisum_to_dense(problem.qubit_hamiltonian, 8)
+    exact_h, exact_d = _dense_sector_thermal(
+        problem, diag["beta_effective"], [h_dense, paulisum_to_dense(d_op, 8)], idx
+    )
+    for name, exact in (("H", exact_h), ("D", exact_d)):
+        err = abs(est[name] - exact)
+        assert err < max(5 * diag["stderrs"][name], 0.02), (name, est[name], exact)
+    assert diag["effective_samples"] > 5
+
+
+def test_thermal_large_beta_is_ground_state(problem):
+    """The in-sector gap is ~0.31, so beta/2 = 20 suppresses the residual
+    excited weight to ~4e-6 and the canonical average collapses onto E0."""
+    e0, _ = problem.ground_state()
+    ite = ImaginaryTimeEvolution(problem, dbeta=0.05, order=6, dtype=jnp.complex128)
+    est, diag = ite.thermal_expectation(
+        40.0, {"H": problem.observables["H"]}, n_samples=4,
+        key=jax.random.PRNGKey(6),
+    )
+    assert est["H"] == pytest.approx(e0, abs=1e-3)
