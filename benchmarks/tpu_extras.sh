@@ -57,7 +57,13 @@ EOF
     QSFH_BENCH_SALT=$salt timeout 560 python benchmarks/tpu_sampling.py >> $LOG 2>&1 \
       && echo "SAMPLING OK salt=$salt" >> $LOG
   fi
+  if [ -f benchmarks/ite_expected.json ] && [ ! -f benchmarks/tpu_ite.json ]; then
+    salt="$(python -c "import time; print(17e-6*$i + (int(time.time()) % 86400) * 1e-9)")"
+    QSFH_BENCH_SALT=$salt timeout 560 python benchmarks/tpu_ite.py >> $LOG 2>&1 \
+      && echo "ITE OK salt=$salt" >> $LOG
+  fi
   done_all=1
+  [ ! -f benchmarks/ite_expected.json ] || [ -f benchmarks/tpu_ite.json ] || done_all=0
   [ ! -f benchmarks/sampling_expected.json ] || [ -f benchmarks/tpu_sampling.json ] || done_all=0
   [ ! -f benchmarks/dynamics_expected.json ] || [ -f benchmarks/tpu_dynamics.json ] || done_all=0
   [ ! -f benchmarks/stream_expected_24.json ] || [ -f benchmarks/tpu_stream_24.json ] || done_all=0
