@@ -70,6 +70,17 @@ def main() -> int:
     def build(pallas: str):
         os.environ["QSFH_PALLAS"] = pallas
 
+        def tree_sum(vals):
+            # explicit pairwise fold: naive f32 reduction of 2^24 positive
+            # values carries ~3% error (round-2 session-7 probe) and was
+            # misread as a kernel defect at 24q; the fold keeps the check
+            # scalar accurate to ~1e-8 at any size
+            v = vals.reshape(-1)
+            while v.size > 1:
+                h = v.size // 2
+                v = v[:h] + v[h:]
+            return v[0]
+
         @jax.jit
         def once(pr):
             psi = from_reim(pr, jnp.complex64)
@@ -77,7 +88,7 @@ def main() -> int:
             w = obs.apply_scan(psi)
             # <w|w> compresses the full H|psi> plane into one checkable
             # scalar without fetching 8 MB through the tunnel
-            return e, jnp.vdot(w, w).real
+            return e, tree_sum(jnp.real(w) ** 2 + jnp.imag(w) ** 2)
 
         @jax.jit
         def chain(pr, scales):

@@ -137,6 +137,12 @@ class TrotterEvolution:
 
     def _evolve(self, psi0, n_steps, observables, overlaps, scales):
         obs = observables or {}
+        clash = set(obs) & set(overlaps or {})
+        if clash:
+            raise ValueError(
+                f"observable and overlap records share one namespace; "
+                f"duplicate name(s): {sorted(clash)}"
+            )
         ovl = {
             name: jnp.asarray(to_reim_host(np.asarray(v), self.dtype))
             for name, v in (overlaps or {}).items()
@@ -222,6 +228,8 @@ class ScheduledEvolution(TrotterEvolution):
         tunneling=None,
         coulomb=None,
     ):
+        if "shift_phase" in (observables or {}) or "shift_phase" in (overlaps or {}):
+            raise ValueError("'shift_phase' is a reserved record name")
         times = (np.arange(n_steps) + 0.5) * self.dt
         t_vals = _schedule_values(tunneling, self.problem.tunneling, times)
         u_vals = _schedule_values(coulomb, self.problem.coulomb, times)
@@ -249,6 +257,29 @@ class ScheduledEvolution(TrotterEvolution):
         )
         records["shift_phase"] = self.energy_shift * self.dt * np.cumsum(u_scales)
         return psi_final, records
+
+
+def apply_on_host(obs: Observable, vec, dtype) -> np.ndarray:
+    """One Observable application pinned to the host CPU backend.
+
+    Building the excited vector ``|phi> = c^(dag)_m |gs>`` is one-time prep
+    on a host-resident ground state; complex arrays must not cross the
+    accelerator jit ABI (engine/state.py), so the application runs on the
+    CPU device and the caller re-uploads via the reim boundary.  Same
+    pattern as engine/circuits.slater_prep_reim.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def _run():
+        return np.asarray(obs.apply(jnp.asarray(np.asarray(vec), dtype=dtype)))
+
+    if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+            return _run()
+    return _run()
 
 
 def excitation_operator(mode, kind: str = "particle") -> FermionOperator:
@@ -299,7 +330,7 @@ def greens_function(
     """
     dtype = dtype or default_dtype()
     op = Observable(jordan_wigner(excitation_operator(mode, kind)), problem.n_qubits)
-    phi = np.asarray(op.apply(jnp.asarray(ground_state, dtype=dtype)))
+    phi = apply_on_host(op, ground_state, dtype)
     ev = TrotterEvolution(problem, dt=dt, order=order, dtype=dtype, mesh=mesh)
     _, rec = ev.evolve(phi, n_steps, overlaps={"G": phi})
     times = (np.arange(n_steps) + 1) * dt

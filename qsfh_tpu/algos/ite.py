@@ -124,9 +124,10 @@ class ImaginaryTimeEvolution:
         variance_tol: Optional[float] = None,
         verbose: bool = False,
     ):
-        """Evolve up to ``n_steps`` (in jitted blocks of ``block`` scan
-        steps, one compiled program reused across blocks), stopping early
-        when the energy variance drops below ``variance_tol``.
+        """Evolve exactly ``n_steps`` steps (in jitted blocks of ``block``
+        scan steps, one compiled program reused across full blocks plus at
+        most one shorter remainder program), stopping early when the energy
+        variance drops below ``variance_tol``.
 
         Returns ``(psi_final, records)`` with host numpy ``energies`` and
         ``variances`` time series (one entry per executed step).  The jit
@@ -137,21 +138,30 @@ class ImaginaryTimeEvolution:
             psi, energy, variance, _logw = self._step(psi)
             return psi, (energy, variance)
 
-        @jax.jit
-        def run_block(psi_r):
-            psi = from_reim(psi_r, self.dtype)
-            psi, series = jax.lax.scan(body, psi, None, length=block)
-            return to_reim(psi), series
+        # at most two programs compile: the full block and one remainder
+        block_fns = {}
+
+        def run_len(psi_r, length):
+            if length not in block_fns:
+                @jax.jit
+                def fn(psi_r):
+                    psi = from_reim(psi_r, self.dtype)
+                    psi, series = jax.lax.scan(body, psi, None, length=length)
+                    return to_reim(psi), series
+
+                block_fns[length] = fn
+            return block_fns[length](psi_r)
 
         psi_r = jnp.asarray(to_reim_host(np.asarray(psi0), self.dtype))
         energies, variances = [], []
         executed = 0
         while executed < n_steps:
-            psi_r, (es, vs) = run_block(psi_r)
+            blk = min(block, n_steps - executed)
+            psi_r, (es, vs) = run_len(psi_r, blk)
             es, vs = np.asarray(es), np.asarray(vs)
             energies.append(es)
             variances.append(vs)
-            executed += block
+            executed += blk
             if verbose:
                 print(
                     f"beta: {executed * self.dbeta:9.4f} | "

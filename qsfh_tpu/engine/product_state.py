@@ -59,16 +59,22 @@ def product_planes_fn(n: int, thetas, alphas):
     al = np.asarray(alphas, np.float64)
     if th.shape != (n,) or al.shape != (n,):
         raise ValueError("thetas/alphas must have shape (n,)")
-    ln_a = np.log(np.cos(th / 2.0))
-    ln_b = np.log(np.sin(th / 2.0))
-    base = float(ln_a.sum())
-    d = ln_b - ln_a
+    # log-weights may be -inf for pinned qubits (theta = 0 or pi); the
+    # per-bit jnp.where below keeps them NaN-free (a multiplicative
+    # bit*delta form would hit 0 * -inf)
+    with np.errstate(divide="ignore"):
+        ln_a = np.log(np.abs(np.cos(th / 2.0)))
+        ln_b = np.log(np.abs(np.sin(th / 2.0)))
+    # cos(th/2) < 0 (th outside [-pi, pi]) flips the |0> amplitude sign;
+    # fold signs into the phase as 0-or-pi additions
+    ph_a = np.where(np.cos(th / 2.0) < 0, np.pi, 0.0)
+    ph_b = al + np.where(np.sin(th / 2.0) < 0, np.pi, 0.0)
     rows = (1 << n) // LANE
 
     def build():
         rowv = lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
         lanev = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-        lnmag = jnp.full((rows, LANE), base, jnp.float32)
+        lnmag = jnp.zeros((rows, LANE), jnp.float32)
         phase = jnp.zeros((rows, LANE), jnp.float32)
         for q in range(n):
             p = n - 1 - q  # flat-index bit of qubit q
@@ -76,9 +82,9 @@ def product_planes_fn(n: int, thetas, alphas):
                 bit = (lanev >> np.int32(p)) & np.int32(1)
             else:
                 bit = (rowv >> np.int32(p - LANE_BITS)) & np.int32(1)
-            b = bit.astype(jnp.float32)
-            lnmag = lnmag + b * np.float32(d[q])
-            phase = phase + b * np.float32(al[q])
+            one = bit == np.int32(1)
+            lnmag = lnmag + jnp.where(one, np.float32(ln_b[q]), np.float32(ln_a[q]))
+            phase = phase + jnp.where(one, np.float32(ph_b[q]), np.float32(ph_a[q]))
         mag = jnp.exp(lnmag)
         return mag * jnp.cos(phase), mag * jnp.sin(phase)
 

@@ -141,7 +141,12 @@ def sample_counts(
 
 @dataclass
 class MeasurementResult:
-    """Shot-estimated expectation with its standard error."""
+    """Shot-estimated expectation with its standard error.
+
+    ``n_groups`` counts the MEASURED groups (groups containing only
+    identity terms are folded into the exact constant and dropped), so it
+    always equals ``len(group_means)`` / ``len(group_stderrs)``.
+    """
 
     mean: float
     stderr: float
@@ -181,11 +186,9 @@ def _split_identity(op: PauliSum, groups, n: int):
     coefficients + the group's X/Y basis masks."""
     xm, ym, zm = string_support(op)
     support = xm | ym | zm
-    # string coefficient: c_str = c_packed * (-i)^{|x&z|}  (pauli.py:17-18)
-    c_str = op.c * np.array([1.0, -1.0j, -1.0, 1.0j])[_popcount(op.x & op.z) % 4]
-    if np.abs(c_str.imag).max(initial=0.0) > 1e-9:
+    if not op.is_hermitian(tol=1e-9):
         raise ValueError("shot estimation requires a Hermitian PauliSum")
-    c_str = c_str.real
+    c_str = op.string_coeffs().real
     const = float(c_str[support == 0].sum())
     packed = []
     for idx in groups:
@@ -267,7 +270,7 @@ def estimate_expectation_scan(
     const, masks, coeffs, x_bits, y_bits = pack_groups(op, n, groups)
     rdt = real_dtype(psi.dtype)
     if masks.shape[0] == 0:
-        return MeasurementResult(const, 0.0, shots, len(groups), np.zeros(0), np.zeros(0))
+        return MeasurementResult(const, 0.0, shots, 0, np.zeros(0), np.zeros(0))
     keys = jax.random.split(key, masks.shape[0])
 
     def body(_, xs):
@@ -295,7 +298,7 @@ def estimate_expectation_scan(
         mean=const + float(g_means.sum()),
         stderr=float(np.sqrt(g_vars.sum())),
         shots_per_group=shots,
-        n_groups=len(groups),
+        n_groups=int(masks.shape[0]),
         group_means=g_means,
         group_stderrs=np.sqrt(g_vars),
     )
@@ -334,7 +337,7 @@ def estimate_expectation(
         mean=mean,
         stderr=stderr,
         shots_per_group=shots,
-        n_groups=len(groups),
+        n_groups=len(packed),
         group_means=np.asarray(g_means),
         group_stderrs=np.sqrt(np.asarray(g_vars)),
     )

@@ -119,13 +119,13 @@ def spectral_function_lanczos(
     ``A(omega) = sum_k w_k * eta/pi / ((omega - pole_k)^2 + eta^2)``.
     """
     from ..algos.base import default_dtype
-    from ..algos.dynamics import excitation_operator
+    from ..algos.dynamics import apply_on_host, excitation_operator
 
     dtype = dtype or default_dtype()
     ladder = Observable(
         jordan_wigner(excitation_operator(mode, kind)), problem.n_qubits
     )
-    phi = np.asarray(ladder.apply(jnp.asarray(ground_state, dtype=dtype)))
+    phi = apply_on_host(ladder, ground_state, dtype)
     ham = Observable(problem.qubit_hamiltonian, problem.n_qubits)
     alphas, betas, norm2 = lanczos_tridiagonal(ham.apply_auto, phi, m)
     theta, weights = resolvent_poles(alphas, betas, norm2)

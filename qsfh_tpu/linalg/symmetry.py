@@ -239,12 +239,35 @@ def momentum_weights(psi: np.ndarray, nx: int, ny: int) -> Dict[Tuple[int, int],
     """Weight ``||P_k psi||^2`` of a (normalized) state in each momentum
     sector; the weights sum to ``||psi||^2``.  A translation-invariant-
     generated ansatz conserves this distribution -- useful for diagnosing
-    symmetry-protected optimization plateaus."""
-    return {
-        (kx, ky): float(np.linalg.norm(momentum_project(psi, nx, ny, kx, ky)) ** 2)
-        for kx in range(nx)
-        for ky in range(ny)
-    }
+    symmetry-protected optimization plateaus.
+
+    ``P_k`` is a Hermitian projector, so ``||P_k psi||^2 = <psi|P_k|psi>
+    = (1/N) sum_R e^{-i k.R} <psi|T_R|psi>``: the ``N`` translated states
+    are built ONCE (N signed permutation passes total) and every momentum
+    weight is a phase-weighted sum of the same N overlaps -- not N full
+    projections of N passes each.
+    """
+    psi = np.asarray(psi, dtype=complex)
+    tx = mode_permutation(translation_site_map(nx, ny, 1, 0))
+    ty = mode_permutation(translation_site_map(nx, ny, 0, 1))
+    overlaps = np.zeros((nx, ny), dtype=complex)  # <psi | T_(dx,dy) psi>
+    shifted_x = psi
+    for dx in range(nx):
+        shifted = shifted_x
+        for dy in range(ny):
+            overlaps[dx, dy] = np.vdot(psi, shifted)
+            if dy + 1 < ny:
+                shifted = permute_modes(shifted, ty)
+        if dx + 1 < nx:
+            shifted_x = permute_modes(shifted_x, tx)
+    dxs = np.arange(nx)[:, None]
+    dys = np.arange(ny)[None, :]
+    out: Dict[Tuple[int, int], float] = {}
+    for kx in range(nx):
+        for ky in range(ny):
+            phases = np.exp(-2j * np.pi * (kx * dxs / nx + ky * dys / ny))
+            out[(kx, ky)] = float(np.real((phases * overlaps).sum()) / (nx * ny))
+    return out
 
 
 def irrep_weights(psi: np.ndarray, states: Dict[str, np.ndarray]) -> Dict[str, float]:

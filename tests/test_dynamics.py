@@ -261,3 +261,19 @@ def test_schedule_validation(quench):
     ev0 = ScheduledEvolution(p0, dt=0.05, dtype=jnp.complex128)
     with pytest.raises(ValueError):
         ev0.evolve(psi0, 10, coulomb=lambda tau: 1.0)  # U0 = 0
+
+
+def test_record_name_collision_raises(quench):
+    """observables and overlaps share the records namespace; a duplicate
+    name (or the reserved 'shift_phase') must fail loudly instead of
+    silently overwriting a series."""
+    from qsfh_tpu.algos.dynamics import ScheduledEvolution
+
+    p, psi0, _, _, _ = quench
+    ev = TrotterEvolution(p, dt=0.1, dtype=jnp.complex128)
+    obs = Observable(p.qubit_hamiltonian, 8)
+    with pytest.raises(ValueError, match="duplicate"):
+        ev.evolve(psi0, 2, observables={"G": obs}, overlaps={"G": psi0})
+    sev = ScheduledEvolution(p, dt=0.1, dtype=jnp.complex128)
+    with pytest.raises(ValueError, match="reserved"):
+        sev.evolve(psi0, 2, observables={"shift_phase": obs})

@@ -133,3 +133,13 @@ def test_thermal_large_beta_is_ground_state(problem):
         key=jax.random.PRNGKey(6),
     )
     assert est["H"] == pytest.approx(e0, abs=1e-3)
+
+
+def test_exact_step_count_with_remainder(problem):
+    """n_steps not a multiple of block: the remainder runs as one shorter
+    block, so exactly n_steps entries are recorded (no overshoot)."""
+    _, gs = problem.ground_state()
+    ite = ImaginaryTimeEvolution(problem, dbeta=0.02, dtype=jnp.complex128)
+    _, rec = ite.run(np.asarray(gs), n_steps=7, block=5)
+    assert len(rec["energies"]) == 7
+    assert len(rec["variances"]) == 7

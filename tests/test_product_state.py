@@ -335,3 +335,18 @@ def test_stream_planes_closed_form(problem_2x3):
     assert abs(norm2 - 1.0) < 1e-5
     closed = product_expectation(p.qubit_hamiltonian, n, th, al)
     assert abs(e - closed) < 1e-4 * max(1.0, abs(closed))
+
+
+def test_planes_pinned_qubits_no_nan():
+    """theta = 0 / pi pins a qubit; the log-magnitude path must select the
+    -inf weight per bit (a multiplicative bit*delta form hits 0 * -inf =
+    NaN) and agree with the exact host kron state."""
+    n = 8
+    th, al = _angles(n, seed=3)
+    th[0], th[3], th[5] = 0.0, np.pi, 0.0
+    psi = product_state_host(n, th, al)
+    re, im = jax.jit(product_planes_fn(n, th, al))()
+    re, im = np.asarray(re).ravel(), np.asarray(im).ravel()
+    assert np.isfinite(re).all() and np.isfinite(im).all()
+    np.testing.assert_allclose(re, psi.real.astype(np.float32), atol=2e-6)
+    np.testing.assert_allclose(im, psi.imag.astype(np.float32), atol=2e-6)

@@ -162,3 +162,26 @@ def test_estimate_rejects_non_hermitian():
             shots=8,
             key=jax.random.PRNGKey(5),
         )
+
+
+def test_n_groups_matches_per_group_arrays():
+    """n_groups counts MEASURED groups; identity-only content is folded
+    into the exact constant, so the per-group arrays always line up."""
+    res = estimate_expectation_scan(
+        jnp.array([1.0, 0.0], dtype=jnp.complex128),
+        1,
+        PauliSum.identity(2.5),
+        shots=8,
+        key=jax.random.PRNGKey(11),
+    )
+    assert res.n_groups == 0 == len(res.group_means)
+    op = qubit_operator("Z0", 0.5) + PauliSum.identity(1.0)
+    res = estimate_expectation(
+        jnp.array([1.0, 0.0], dtype=jnp.complex128),
+        1,
+        op,
+        shots=16,
+        key=jax.random.PRNGKey(12),
+    )
+    assert res.n_groups == len(res.group_means) == len(res.group_stderrs)
+    assert res.mean == pytest.approx(1.5)
