@@ -38,16 +38,24 @@ __all__ = [
     "lanczos_tridiagonal",
     "resolvent_poles",
     "spectral_function_lanczos",
+    "dynamical_structure_factor",
 ]
 
 
-def lanczos_tridiagonal(matvec, phi, m: int) -> Tuple[np.ndarray, np.ndarray, float]:
+def lanczos_tridiagonal(
+    matvec, phi, m: int, mesh=None
+) -> Tuple[np.ndarray, np.ndarray, float]:
     """``m`` Lanczos steps from ``phi`` keeping three vectors.
 
     Returns host ``(alphas, betas, norm2)``: the tridiagonal coefficients
     (``betas[j] = ||w_j||`` produced at step j; the off-diagonals of T are
     ``betas[:-1]``) and ``norm2 = <phi|phi>``.  The recursion is one jitted
     ``lax.scan`` with a complex-free reim boundary (TPU ABI).
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` -- both recursion vectors
+    are amplitude-sharded and re-pinned every step (the same contract as
+    :class:`~qsfh_tpu.algos.ite.ImaginaryTimeEvolution`), so spectroscopy
+    scales over the same mesh axis as the solvers.
     """
     phi = np.asarray(phi)
     norm2 = float(np.real(np.vdot(phi, phi)))
@@ -56,6 +64,11 @@ def lanczos_tridiagonal(matvec, phi, m: int) -> Tuple[np.ndarray, np.ndarray, fl
     wide = phi.dtype in (np.dtype(np.complex128), np.dtype(np.float64))
     dtype = jnp.complex128 if wide else jnp.complex64
     rdt = real_dtype(dtype)
+    constrain = lambda v: v
+    if mesh is not None:
+        from ..parallel.mesh import constrain_amp
+
+        constrain = lambda v: constrain_amp(v, mesh)
 
     def body(carry, _):
         v, v_prev, beta_prev = carry
@@ -64,12 +77,12 @@ def lanczos_tridiagonal(matvec, phi, m: int) -> Tuple[np.ndarray, np.ndarray, fl
         w = w - alpha * v - beta_prev * v_prev
         beta = jnp.linalg.norm(w).astype(rdt)
         v_next = jnp.where(beta > 1e-14, w / jnp.maximum(beta, 1e-30), w * 0)
-        return (v_next, v, beta), (alpha, beta)
+        return (constrain(v_next), v, beta), (alpha, beta)
 
     @jax.jit
     def run(phi_r):
         v0 = from_reim(phi_r, dtype)
-        v0 = v0 / jnp.linalg.norm(v0)
+        v0 = constrain(v0 / jnp.linalg.norm(v0))
         _, (alphas, betas) = jax.lax.scan(
             body, (v0, jnp.zeros_like(v0), jnp.zeros((), rdt)), None, length=m
         )
@@ -108,6 +121,7 @@ def spectral_function_lanczos(
     omegas: Optional[np.ndarray] = None,
     eta: float = 0.05,
     dtype=None,
+    mesh=None,
 ):
     """Single-particle spectral function via the Lanczos resolvent.
 
@@ -127,7 +141,7 @@ def spectral_function_lanczos(
     )
     phi = apply_on_host(ladder, ground_state, dtype)
     ham = Observable(problem.qubit_hamiltonian, problem.n_qubits)
-    alphas, betas, norm2 = lanczos_tridiagonal(ham.apply_auto, phi, m)
+    alphas, betas, norm2 = lanczos_tridiagonal(ham.apply_auto, phi, m, mesh=mesh)
     theta, weights = resolvent_poles(alphas, betas, norm2)
     poles = theta - float(ground_energy)
     out = {"poles": poles, "weights": weights, "norm2": norm2}
@@ -137,3 +151,56 @@ def spectral_function_lanczos(
         out["omegas"] = omegas
         out["A"] = lor @ weights
     return out
+
+
+def dynamical_structure_factor(
+    problem,
+    ground_state: np.ndarray,
+    ground_energy: float,
+    q: Tuple[int, int],
+    kind: str = "spin",
+    m: int = 100,
+    omegas: Optional[np.ndarray] = None,
+    eta: float = 0.05,
+    dtype=None,
+    mesh=None,
+):
+    """Dynamical spin/charge structure factor via the Lanczos resolvent.
+
+    ``S^{zz}(q, omega)`` (``kind='spin'``) or ``N(q, omega)``
+    (``kind='charge'``): the resolvent seeded from ``O_q|gs>`` with
+    ``O_q = S^z_q`` / ``n_q`` (ops/correlations.py momentum-space
+    fluctuation operators) -- two-particle spectroscopy within the SAME
+    ``(N, Sz)`` sector, complementing the single-particle ``A(k, omega)``
+    of :func:`spectral_function_lanczos`.  Capability context: the
+    reference computes ground states only; inelastic-neutron-style
+    observables are the standard diagnostic this unlocks.
+
+    Sum rule: ``sum(weights) = <gs|O_q^dag O_q|gs>``, the static structure
+    factor (for 'spin' in an SU(2)-singlet ground state it equals
+    ``structure_factor(...)/3`` -- tested).  ``q`` indexes the discrete
+    momentum grid (``q_phys = 2 pi (qx/nx, qy/ny)``); the charge operator
+    is mean-subtracted at ``q = 0`` using the problem's filling.
+    """
+    from ..ops.correlations import charge_q_operator, spin_q_operator
+
+    nx, ny = problem.x_dimension, problem.y_dimension
+    if kind == "spin":
+        op = spin_q_operator(nx, ny, q[0], q[1])
+    elif kind == "charge":
+        op = charge_q_operator(
+            nx, ny, q[0], q[1], filling=problem.n_electrons / (nx * ny)
+        )
+    else:
+        raise ValueError("kind must be 'spin' or 'charge'")
+    return spectral_function_lanczos(
+        problem,
+        ground_state,
+        ground_energy,
+        op,
+        m=m,
+        omegas=omegas,
+        eta=eta,
+        dtype=dtype,
+        mesh=mesh,
+    )

@@ -35,6 +35,8 @@ __all__ = [
     "one_body_density_matrix",
     "momentum_distribution",
     "pair_correlation_matrix",
+    "spin_q_operator",
+    "charge_q_operator",
 ]
 
 
@@ -169,6 +171,52 @@ def pair_correlation_matrix(psi, n_sites: int) -> np.ndarray:
             pair[i, j] = 0.5 * (a + 1j * b)
             pair[j, i] = np.conj(pair[i, j])
     return pair
+
+
+def _momentum_sum(nx: int, ny: int, qx: int, qy: int, site_op) -> FermionOperator:
+    n = nx * ny
+    out = FermionOperator.zero()
+    for s in range(n):
+        x, y = s % nx, s // nx
+        phase = np.exp(2j * np.pi * (qx * x / nx + qy * y / ny))
+        out += complex(phase / np.sqrt(n)) * site_op(s)
+    return out.compress()
+
+
+def spin_q_operator(nx: int, ny: int, qx: int, qy: int) -> FermionOperator:
+    """Momentum-space spin-fluctuation operator
+    ``S^z_q = N^{-1/2} sum_s e^{i q.r_s} S^z_s`` (row-major sites, same
+    phase convention as :func:`structure_factor`).
+
+    Non-Hermitian for ``q != 0`` (``(S^z_q)^dag = S^z_{-q}``); its role is
+    seeding dynamical correlation functions: the Lanczos resolvent from
+    ``S^z_q|gs>`` (linalg/spectral.py) yields the dynamical spin structure
+    factor ``S^{zz}(q, omega)``, whose integrated weight is the static
+    ``<gs|S^z_{-q} S^z_q|gs>`` (= S(q)/3 of :func:`structure_factor` in an
+    SU(2)-singlet ground state).
+    """
+    return _momentum_sum(nx, ny, qx, qy, site_spin_z)
+
+
+def charge_q_operator(
+    nx: int, ny: int, qx: int, qy: int, filling: float | None = None
+) -> FermionOperator:
+    """Momentum-space density-fluctuation operator
+    ``n_q = N^{-1/2} sum_s e^{i q.r_s} n_s``.
+
+    For ``q != 0`` this is already the fluctuation (the lattice phases sum
+    to zero against any uniform background).  At ``q = 0`` the operator is
+    the conserved total number over ``sqrt(N)``: a number eigenstate gives
+    a single elastic pole; pass ``filling = N_e / N`` to subtract the mean
+    (``n_q - sqrt(N) * filling``) and obtain the exactly-connected
+    operator (zero seed on a number eigenstate).  Seeding the Lanczos
+    resolvent with ``n_q|gs>`` (linalg/spectral.py) yields the dynamical
+    charge structure factor ``N(q, omega)``.
+    """
+    op = _momentum_sum(nx, ny, qx, qy, site_number_operator)
+    if filling is not None and qx % nx == 0 and qy % ny == 0:
+        op += FermionOperator.identity() * (-np.sqrt(nx * ny) * float(filling))
+    return op
 
 
 def momentum_distribution(

@@ -80,3 +80,74 @@ def test_tridiagonal_breakdown_truncates():
     theta, w = resolvent_poles(alphas, betas, norm2)
     np.testing.assert_allclose(theta, [1.0, 3.0], atol=1e-12)
     np.testing.assert_allclose(w, [0.5, 0.5], atol=1e-12)
+
+
+def test_dynamical_spin_structure_factor(setup):
+    """S^zz(q, omega) at the AFM point q=(1,1)=(pi,pi): pole positions and
+    weights match the dense same-sector spectrum, and the integrated
+    weight reproduces the static structure factor (S(q)/3 for the SU(2)-
+    singlet ground state)."""
+    from qsfh_tpu.linalg.spectral import dynamical_structure_factor
+    from qsfh_tpu.ops.correlations import (
+        correlation_matrix,
+        spin_q_operator,
+        structure_factor,
+    )
+
+    p, e0, gs, evals, evecs = setup
+    omegas = np.linspace(-1, 12, 131)
+    eta = 0.1
+    res = dynamical_structure_factor(
+        p, gs, e0, q=(1, 1), kind="spin", m=120, omegas=omegas, eta=eta,
+        dtype=jnp.complex128,
+    )
+    dense = paulisum_to_dense(jordan_wigner(spin_q_operator(2, 2, 1, 1)), 8)
+    a_ref, norm2 = _dense_spectrum(dense, gs, e0, evals, evecs, omegas, eta)
+    np.testing.assert_allclose(res["A"], a_ref, atol=1e-6)
+    assert res["weights"].sum() == pytest.approx(norm2, abs=1e-9)
+    # sum rule vs the static (vector) structure factor: S(q) = 3 S_zz(q)
+    corr = correlation_matrix(jnp.asarray(gs), 4, kind="spin")
+    s_q = structure_factor(corr, 2, 2)[(1, 1)]
+    assert 3.0 * res["weights"].sum() == pytest.approx(s_q, abs=1e-8)
+
+
+def test_dynamical_charge_structure_factor(setup):
+    """N(q, omega) at q=(1,0); the q=0 mean-subtracted operator
+    annihilates the number eigenstate (zero seed, empty spectrum)."""
+    from qsfh_tpu.linalg.spectral import dynamical_structure_factor
+    from qsfh_tpu.ops.correlations import charge_q_operator
+
+    p, e0, gs, evals, evecs = setup
+    omegas = np.linspace(-1, 14, 151)
+    eta = 0.1
+    res = dynamical_structure_factor(
+        p, gs, e0, q=(1, 0), kind="charge", m=120, omegas=omegas, eta=eta,
+        dtype=jnp.complex128,
+    )
+    dense = paulisum_to_dense(jordan_wigner(charge_q_operator(2, 2, 1, 0)), 8)
+    a_ref, norm2 = _dense_spectrum(dense, gs, e0, evals, evecs, omegas, eta)
+    np.testing.assert_allclose(res["A"], a_ref, atol=1e-6)
+    assert res["weights"].sum() == pytest.approx(norm2, abs=1e-9)
+    res0 = dynamical_structure_factor(
+        p, gs, e0, q=(0, 0), kind="charge", m=20, dtype=jnp.complex128
+    )
+    assert res0["norm2"] == pytest.approx(0.0, abs=1e-12)
+    assert res0["poles"].size == 0
+
+
+def test_lanczos_mesh_matches_single_device(setup):
+    """The mesh-sharded recursion reproduces the unsharded tridiagonal."""
+    from qsfh_tpu.engine.expectation import Observable
+    from qsfh_tpu.parallel import amplitude_mesh
+
+    p, e0, gs, evals, evecs = setup
+    ham = Observable(p.qubit_hamiltonian, 8)
+    rng = np.random.default_rng(5)
+    phi = rng.standard_normal(256) + 1j * rng.standard_normal(256)
+    a_ref, b_ref, n_ref = lanczos_tridiagonal(ham.apply_auto, phi, m=12)
+    mesh = amplitude_mesh(8)
+    with mesh:
+        a_m, b_m, n_m = lanczos_tridiagonal(ham.apply_auto, phi, m=12, mesh=mesh)
+    assert n_m == pytest.approx(n_ref)
+    np.testing.assert_allclose(a_m, a_ref, atol=1e-9)
+    np.testing.assert_allclose(b_m, b_ref, atol=1e-9)
