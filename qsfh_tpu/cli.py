@@ -174,6 +174,26 @@ def main(argv=None):
     _add_lattice_args(p)
     _add_run_args(p)
 
+    p = sub.add_parser(
+        "spectral",
+        help="Lanczos-resolvent spectroscopy: A(k,omega) / S(q,omega) / N(q,omega)",
+    )
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--kind", choices=["particle", "hole", "spin", "charge"],
+                   default="particle",
+                   help="particle/hole: single-particle A(k, omega) from the "
+                        "momentum ladder c(dag)_k,up; spin/charge: dynamical "
+                        "structure factor from S^z_q / n_q")
+    p.add_argument("--kx", type=int, default=0)
+    p.add_argument("--ky", type=int, default=0)
+    p.add_argument("--m", type=int, default=80, help="Krylov depth")
+    p.add_argument("--eta", type=float, default=0.1,
+                   help="Lorentzian broadening of the returned A(omega) grid")
+    p.add_argument("--omega-min", type=float, default=-10.0)
+    p.add_argument("--omega-max", type=float, default=10.0)
+    p.add_argument("--omega-points", type=int, default=201)
+
     args = parser.parse_args(argv)
     _setup_backend(args)
 
@@ -476,6 +496,62 @@ def main(argv=None):
                 for (kx, ky), w in momentum_weights(psi0, nx, ny).items()
                 if w > 1e-10
             }
+        print(json.dumps(out, indent=1))
+    elif args.command == "spectral":
+        import json
+
+        import numpy as np
+
+        from .algos.base import HubbardProblem
+        from .linalg.spectral import (
+            dynamical_structure_factor,
+            spectral_function_lanczos,
+        )
+
+        lat = _lattice_kwargs(args)
+        problem = HubbardProblem(results_root=args.results_root, **lat)
+        if args.degenerate_subspace:
+            energy, states = problem.ground_state(
+                degenerate=True, n_states=args.degenerate_subspace
+            )
+            gs = np.asarray(states[0])
+        else:
+            energy, gs = problem.ground_state()
+            gs = np.asarray(gs)
+        omegas = np.linspace(args.omega_min, args.omega_max, args.omega_points)
+        if args.kind in ("spin", "charge"):
+            res = dynamical_structure_factor(
+                problem, gs, float(energy), q=(args.kx, args.ky),
+                kind=args.kind, m=args.m, omegas=omegas, eta=args.eta,
+            )
+        else:
+            from .ops.correlations import _momentum_sum
+            from .ops.fermion import FermionOperator
+
+            nx, ny = lat["x_dimension"], lat["y_dimension"]
+            dagger = args.kind == "particle"
+
+            def ladder(site):
+                return FermionOperator(((2 * site, 1 if dagger else 0),))
+
+            op = _momentum_sum(nx, ny, -args.kx if not dagger else args.kx,
+                               -args.ky if not dagger else args.ky, ladder)
+            res = spectral_function_lanczos(
+                problem, gs, float(energy), op, m=args.m,
+                omegas=omegas, eta=args.eta,
+            )
+        live = res["weights"] > 1e-8
+        out = {
+            "kind": args.kind,
+            "k": [args.kx, args.ky],
+            "ground_energy": float(energy),
+            "norm2": float(res["norm2"]),
+            "poles": [round(float(x), 8) for x in res["poles"][live]],
+            "weights": [round(float(x), 8) for x in res["weights"][live]],
+        }
+        with open("spectral.json", "w") as fh:
+            json.dump({**out, "omegas": omegas.tolist(),
+                       "A": res["A"].tolist()}, fh)
         print(json.dumps(out, indent=1))
 
 

@@ -109,20 +109,41 @@ def rotate_to_group_basis(
     return psi
 
 
+_SAMPLE_CHUNK = 256
+
+
 def sample_bitstrings(
     psi: jnp.ndarray, n: int, shots: int, key: jax.Array
 ) -> jnp.ndarray:
     """Sample ``shots`` flat basis indices from ``|psi|^2`` (uint32).
 
-    One ``jax.random.categorical`` over the 2^n probability vector — the
-    state never leaves the device and there is no per-shot dispatch.
+    Inverse-CDF counting: one cumulative sum over the 2^n probability
+    vector, ``shots`` uniform draws, and each index is the count of CDF
+    entries strictly below its draw (ties land on the first live entry, so
+    zero-probability states are never selected).  The count is a fused
+    compare-and-reduce streamed over the CDF in shot chunks — O(2^n +
+    shots * 2^n) VPU work with O(shots) random bits.  The previous
+    ``jax.random.categorical`` form drew a (shots, 2^n) Gumbel tensor:
+    537M threefry outputs at 18 qubits / 2048 shots, the dominant cost of
+    the on-chip grouped estimator (benchmarks/tpu_sampling.json round-2:
+    18.3 s marginal).  The state never leaves the device and there is no
+    per-shot dispatch.
     """
     if n > 30:
-        raise ValueError("categorical sampling limited to 30 qubits per shard")
+        raise ValueError("bitstring sampling limited to 30 qubits per shard")
     p = jnp.real(psi) ** 2 + jnp.imag(psi) ** 2
-    logits = jnp.log(p)  # zero-probability entries become -inf: never drawn
-    samples = jax.random.categorical(key, logits, shape=(shots,))
-    return samples.astype(jnp.uint32)
+    cdf = jnp.cumsum(p.reshape(-1))
+    total = cdf[-1]
+    pad = (-shots) % _SAMPLE_CHUNK
+    u = jax.random.uniform(key, (shots + pad,), dtype=cdf.dtype) * total
+
+    def body(_, uc):
+        cnt = jnp.sum((cdf[None, :] < uc[:, None]).astype(jnp.int32), axis=1)
+        return None, cnt
+
+    _, idx = jax.lax.scan(body, None, u.reshape(-1, _SAMPLE_CHUNK))
+    idx = idx.reshape(-1)[:shots]
+    return jnp.minimum(idx, (1 << n) - 1).astype(jnp.uint32)
 
 
 def sample_counts(

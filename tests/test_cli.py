@@ -111,3 +111,27 @@ class TestDynamicsCLI:
         assert data == blob
         assert blob["variance"] < 1e-9  # hit the certificate, not the cap
         assert blob["energy"] == pytest.approx(-1.6346030549, abs=1e-5)
+
+
+class TestSpectralCLI:
+    @pytest.mark.parametrize("kind", ["particle", "spin"])
+    def test_spectral_subcommand(self, tmp_path, capsys, monkeypatch, kind):
+        monkeypatch.chdir(tmp_path)
+        main(
+            [
+                "spectral",
+                "--x-dimension", "2",
+                "--y-dimension", "2",
+                "--kind", kind,
+                "--kx", "1",
+                "--ky", "1",
+                "--m", "40",
+                "--results-root", str(tmp_path),
+            ]
+        )
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == kind
+        assert len(out["poles"]) == len(out["weights"]) > 0
+        assert sum(out["weights"]) == pytest.approx(out["norm2"], abs=1e-6)
+        disk = json.load(open(tmp_path / "spectral.json"))
+        assert len(disk["A"]) == len(disk["omegas"]) == 201
