@@ -129,6 +129,15 @@ def main() -> int:
     out["correct"] = bool(e_err < 1e-3 and w_err < 1e-3)
     log(f"rel err: energy {e_err:.2e}, apply {w_err:.2e}")
 
+    def write():
+        # incremental: a later timing-leg worker crash must not lose the
+        # validation result (the 24q XLA-path chain reproducibly kills the
+        # tunneled worker; the stream validation itself is long since done)
+        with open(os.path.join(HERE, f"tpu_stream{_SUF}.json"), "w") as f:
+            json.dump(out, f, indent=1)
+
+    write()
+
     if out["correct"]:
         def time_chain(prog):
             ts = {}
@@ -144,15 +153,20 @@ def main() -> int:
             return 1e3 * (ts[12] - ts[4]) / 8
 
         out["energy_eval_stream_ms"] = round(time_chain(chain), 3)
-        _, chain_x = build("0")
-        out["energy_eval_xla_ms"] = round(time_chain(chain_x), 3)
+        write()
+        try:
+            _, chain_x = build("0")
+            out["energy_eval_xla_ms"] = round(time_chain(chain_x), 3)
+        except Exception as exc:  # the XLA chain can crash the TPU worker at 24q
+            out["energy_eval_xla_ms"] = None
+            out["xla_timing_note"] = f"XLA-path timing failed: {type(exc).__name__}"
+            log(out["xla_timing_note"])
+        write()
         log(
             f"energy eval {N}q: stream {out['energy_eval_stream_ms']} ms "
             f"vs xla {out['energy_eval_xla_ms']} ms"
         )
 
-    with open(os.path.join(HERE, f"tpu_stream{_SUF}.json"), "w") as f:
-        json.dump(out, f, indent=1)
     print("tpu_stream:", json.dumps(out))
     return 0 if out["correct"] else 1
 
