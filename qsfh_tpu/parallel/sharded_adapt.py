@@ -297,9 +297,11 @@ def build_sharded_screen_fn(
     packed = [pack_generator(engine, rot) for rot in rots]
     network = ShardedGivensNetwork(engine, p.diagonal, p.decomposition)
 
-    # (the 32-qubit uint32-mask cap is enforced by pack_generator above,
-    # which every path through here goes through first)
+    # (mask-width guards are enforced by pack_generator above, which every
+    # path through here goes through first; masks ride as host-split
+    # (local, device) uint32 pairs, so >32 total qubits is fine)
     # flatten every pool term, regroup by the DEVICE part of the flip mask
+    lo_mask = (1 << engine.n_local) - 1
     groups = {}
     for k, g in enumerate(packed_pool.generators):
         for x, z, c in zip(g.x, g.z, g.c):
@@ -311,7 +313,9 @@ def build_sharded_screen_fn(
             # so the packed coefficient carries the REAL sign correction
             # (not the Hermitian-string (-i)^{|x&z|})
             cs = complex(c) * ((-1.0) ** (bin(x & z).count("1") & 1))
-            groups.setdefault(x_hi, []).append((x_lo, zb, cs.real, cs.imag, k))
+            groups.setdefault(x_hi, []).append(
+                (x_lo, zb & lo_mask, zb >> engine.n_local, cs.real, cs.imag, k)
+            )
     host_groups = []
     for x_hi, terms in sorted(groups.items()):
         arr = np.asarray
@@ -320,9 +324,10 @@ def build_sharded_screen_fn(
                 x_hi,
                 arr([t[0] for t in terms], np.uint32),
                 arr([t[1] for t in terms], np.uint32),
-                arr([t[2] for t in terms], np.float64),
+                arr([t[2] for t in terms], np.uint32),
                 arr([t[3] for t in terms], np.float64),
-                arr([t[4] for t in terms], np.int32),
+                arr([t[4] for t in terms], np.float64),
+                arr([t[5] for t in terms], np.int32),
             )
         )
 
@@ -335,13 +340,13 @@ def build_sharded_screen_fn(
         w = network.apply(w, inverse=True)
         wc = jnp.conj(w)
         grads = jnp.zeros(packed_pool.size, dtype=rdt)
-        for (x_hi, x_lo, zb, cre, cim, ks) in host_groups:
+        for (x_hi, x_lo, z_lo, z_hi, cre, cim, ks) in host_groups:
             psi_p = _xor_ppermute(psi, x_hi, engine.n_devices)
 
             def body(acc, term, _pp=psi_p):
-                xl, z, cr, ci, krow = term
+                xl, zl, zh, cr, ci, krow = term
                 t = xor_flip_traced(_pp, engine.n_local, xl)
-                s = _z_signs(engine, z, rdt)
+                s = _z_signs(engine, zl, zh, rdt)
                 ov = jnp.sum(wc * (cr + 1j * ci).astype(t.dtype) * s.astype(t.dtype) * t)
                 # scatter-free: one-hot FMA row (backend rejects scatter)
                 return acc + 2.0 * jnp.imag(ov).astype(rdt) * krow, None
@@ -351,7 +356,8 @@ def build_sharded_screen_fn(
             oh[np.arange(ks_arr.shape[0]), ks_arr] = 1.0
             xs = (
                 jnp.asarray(x_lo),
-                jnp.asarray(zb),
+                jnp.asarray(z_lo),
+                jnp.asarray(z_hi),
                 jnp.asarray(cre, rdt),
                 jnp.asarray(cim, rdt),
                 jnp.asarray(oh, rdt),

@@ -59,14 +59,7 @@ def pack_generator(
     commutes internally; pass ``allow_noncommuting=True`` only for
     forward-only Trotter products that never feed the sharded adjoint.
     """
-    if engine.n > 32:
-        # the scan lowering packs FLAT (local+device-bit) masks as uint32
-        # host arrays; past 32 qubits np.asarray would overflow.  The
-        # unrolled shmap path (per-gate static masks) has no such cap.
-        raise ValueError(
-            f"scan lowering packs flat uint32 masks: {engine.n} qubits > 32. "
-            "Use lowering='unrolled' beyond 32 qubits."
-        )
+    _check_mask_widths(engine)
     terms_list = [(int(x), int(z)) for (x, z, _s) in rot_terms]
     if not allow_noncommuting:
         for i in range(len(terms_list)):
@@ -94,10 +87,13 @@ def pack_generator(
     if cur:
         runs.append((cur_x, cur))
     out = []
+    lo_mask = (1 << engine.n_local) - 1
     for x, terms in runs:
-        zbs, scales, phre, phim = [], [], [], []
+        z_lo, z_hi, scales, phre, phim = [], [], [], [], []
         for (z, scale) in terms:
-            zbs.append(engine._flat(z))
+            zb = engine._flat(z)
+            z_lo.append(zb & lo_mask)
+            z_hi.append(zb >> engine.n_local)
             scales.append(scale)
             ph = (-1j) ** (bin(x & z).count("1") % 4)
             phre.append(ph.real)
@@ -105,13 +101,29 @@ def pack_generator(
         out.append(
             (
                 x,
-                np.asarray(zbs, np.uint32),
+                np.asarray(z_lo, np.uint32),
+                np.asarray(z_hi, np.uint32),
                 np.asarray(scales, np.float64),
                 np.asarray(phre, np.float64),
                 np.asarray(phim, np.float64),
             )
         )
     return out
+
+
+def _check_mask_widths(engine: ShardedPauliEngine):
+    """The scan lowerings ride (local, device) uint32 mask PAIRS, so the
+    qubit count is unbounded as long as each half fits 32 bits: a >2^32-
+    amplitude local shard (32 GB+ of complex64) or a >2^32-device mesh is
+    far beyond any current configuration, but fail loudly rather than
+    silently truncate."""
+    if engine.n_local > 32:
+        raise ValueError(
+            f"scan lowering: local shard index space {engine.n_local} bits "
+            "exceeds the uint32 local masks (shard over more devices)"
+        )
+    if engine.k > 32:
+        raise ValueError("scan lowering: more than 2^32 devices is unsupported")
 
 
 def _static_flip(engine: ShardedPauliEngine, psi_l, x_qmask: int):
@@ -124,14 +136,17 @@ def _static_flip(engine: ShardedPauliEngine, psi_l, x_qmask: int):
     return _xor_ppermute(t, x_hi, engine.n_devices)
 
 
-def _z_signs(engine: ShardedPauliEngine, zb, rdt):
-    """(-1)^{z.b} for a TRACED flat z-mask: local parity x device parity."""
+def _z_signs(engine: ShardedPauliEngine, z_lo, z_hi, rdt):
+    """(-1)^{z.b} for a TRACED (local, device) z-mask pair.
+
+    The pair is split on the HOST (pack_generator/pack_observable), so no
+    flat mask wider than 32 bits ever exists on device -- the scan
+    lowerings scale past 32 total qubits without 64-bit types (which the
+    default TPU config would silently truncate)."""
     idx = jax.lax.iota(jnp.uint32, 1 << engine.n_local)
-    z_lo = (zb & jnp.uint32((1 << engine.n_local) - 1)).astype(jnp.uint32)
-    z_hi = (zb >> jnp.uint32(engine.n_local)).astype(jnp.uint32)
-    par_lo = jax.lax.population_count(idx & z_lo) & jnp.uint32(1)
+    par_lo = jax.lax.population_count(idx & z_lo.astype(jnp.uint32)) & jnp.uint32(1)
     d = jax.lax.axis_index(AMP_AXIS).astype(jnp.uint32)
-    par_hi = jax.lax.population_count(d & z_hi) & jnp.uint32(1)
+    par_hi = jax.lax.population_count(d & z_hi.astype(jnp.uint32)) & jnp.uint32(1)
     par = (par_lo + par_hi) & jnp.uint32(1)
     return 1.0 - 2.0 * par.astype(rdt)
 
@@ -140,11 +155,11 @@ def generator_rotation_scan(engine, psi_l, packed, theta):
     """exp(-i theta G)|psi> as one scan per x-group of the generator."""
     rdt = real_dtype(psi_l.dtype)
     theta = jnp.asarray(theta, dtype=rdt)
-    for (x, zbs, scales, phre, phim) in packed:
+    for (x, z_lo, z_hi, scales, phre, phim) in packed:
         def body(psi, term, _x=x):
-            zb, scale, pr, pi = term
+            zl, zh, scale, pr, pi = term
             t = _static_flip(engine, psi, _x)
-            s = _z_signs(engine, zb, rdt)
+            s = _z_signs(engine, zl, zh, rdt)
             ph = (pr + 1j * pi).astype(psi.dtype)
             ppsi = ph * s.astype(psi.dtype) * t
             th = theta * scale.astype(rdt)
@@ -153,7 +168,8 @@ def generator_rotation_scan(engine, psi_l, packed, theta):
             return c * psi - 1j * sn * ppsi, None
 
         xs = (
-            jnp.asarray(zbs),
+            jnp.asarray(z_lo),
+            jnp.asarray(z_hi),
             jnp.asarray(scales, rdt),
             jnp.asarray(phre, rdt),
             jnp.asarray(phim, rdt),
@@ -169,8 +185,9 @@ def generator_rotation_scan_inverse(engine, psi_l, packed, theta):
         engine,
         psi_l,
         [
-            (x, zbs[::-1].copy(), -scales[::-1], phre[::-1].copy(), phim[::-1].copy())
-            for (x, zbs, scales, phre, phim) in reversed(packed)
+            (x, z_lo[::-1].copy(), z_hi[::-1].copy(), -scales[::-1],
+             phre[::-1].copy(), phim[::-1].copy())
+            for (x, z_lo, z_hi, scales, phre, phim) in reversed(packed)
         ],
         theta,
     )
@@ -180,17 +197,18 @@ def apply_generator_scan(engine, psi_l, packed):
     """G|psi> (the gradient probe) as scans accumulating over terms."""
     rdt = real_dtype(psi_l.dtype)
     out = jnp.zeros_like(psi_l)
-    for (x, zbs, scales, phre, phim) in packed:
+    for (x, z_lo, z_hi, scales, phre, phim) in packed:
         flipped = _static_flip(engine, psi_l, x)
 
         def body(acc, term):
-            zb, scale, pr, pi = term
-            s = _z_signs(engine, zb, rdt)
+            zl, zh, scale, pr, pi = term
+            s = _z_signs(engine, zl, zh, rdt)
             ph = (pr + 1j * pi).astype(acc.dtype)
             return acc + scale.astype(rdt) * ph * s.astype(acc.dtype) * flipped, None
 
         xs = (
-            jnp.asarray(zbs),
+            jnp.asarray(z_lo),
+            jnp.asarray(z_hi),
             jnp.asarray(scales, rdt),
             jnp.asarray(phre, rdt),
             jnp.asarray(phim, rdt),
@@ -210,6 +228,8 @@ def pack_observable(engine: ShardedPauliEngine, op) -> List[tuple]:
     local flips inside a scan.  Coefficients carry the (-1)^{|x&z|} sign the
     flips+signs body reconstruction requires (see build_sharded_screen_fn).
     """
+    _check_mask_widths(engine)
+    lo_mask = (1 << engine.n_local) - 1
     groups = {}
     for x, z, c in zip(op.x, op.z, op.c):
         x, z = int(x), int(z)
@@ -217,7 +237,9 @@ def pack_observable(engine: ShardedPauliEngine, op) -> List[tuple]:
         zb = engine._flat(z)
         x_hi, x_lo = _split_mask_flat(xb, engine.n, engine.k)
         cs = complex(c) * ((-1.0) ** (bin(x & z).count("1") & 1))
-        groups.setdefault(x_hi, []).append((x_lo, zb, cs.real, cs.imag))
+        groups.setdefault(x_hi, []).append(
+            (x_lo, zb & lo_mask, zb >> engine.n_local, cs.real, cs.imag)
+        )
     out = []
     for x_hi, terms in sorted(groups.items()):
         out.append(
@@ -225,8 +247,9 @@ def pack_observable(engine: ShardedPauliEngine, op) -> List[tuple]:
                 x_hi,
                 np.asarray([t[0] for t in terms], np.uint32),
                 np.asarray([t[1] for t in terms], np.uint32),
-                np.asarray([t[2] for t in terms], np.float64),
+                np.asarray([t[2] for t in terms], np.uint32),
                 np.asarray([t[3] for t in terms], np.float64),
+                np.asarray([t[4] for t in terms], np.float64),
             )
         )
     return out
@@ -238,19 +261,20 @@ def expectation_scan_local(engine: ShardedPauliEngine, psi_l, packed_obs):
     rdt = real_dtype(psi_l.dtype)
     wc = jnp.conj(psi_l)
     total = jnp.zeros((), dtype=rdt)
-    for (x_hi, x_lo, zb, cre, cim) in packed_obs:
+    for (x_hi, x_lo, z_lo, z_hi, cre, cim) in packed_obs:
         psi_p = _xor_ppermute(psi_l, x_hi, engine.n_devices)
 
         def body(acc, term, _pp=psi_p):
-            xl, z, cr, ci = term
+            xl, zl, zh, cr, ci = term
             t = xor_flip_traced(_pp, engine.n_local, xl)
-            s = _z_signs(engine, z, rdt)
+            s = _z_signs(engine, zl, zh, rdt)
             ov = jnp.sum(wc * (cr + 1j * ci).astype(t.dtype) * s.astype(t.dtype) * t)
             return acc + jnp.real(ov).astype(rdt), None
 
         xs = (
             jnp.asarray(x_lo),
-            jnp.asarray(zb),
+            jnp.asarray(z_lo),
+            jnp.asarray(z_hi),
             jnp.asarray(cre, rdt),
             jnp.asarray(cim, rdt),
         )

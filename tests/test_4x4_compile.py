@@ -42,3 +42,13 @@ def test_4x4_program_compiles_constant_size():
     big = _compiled_hlo(4, 4)  # 32 qubits: would be 32 GiB of amplitudes
     # scan lowering: program size must not scale with 2^n
     assert len(big) < 2.0 * len(small)
+
+
+@pytest.mark.slow
+def test_beyond_32_qubits_compiles():
+    """34 qubits (1x17): the scan lowerings ride host-split (local, device)
+    uint32 mask pairs, so nothing overflows past 32 total qubits (the old
+    flat-uint32 packing raised here).  Compile-only: 2^34 amplitudes are
+    128 GiB; execution needs a real slice."""
+    hlo = _compiled_hlo(1, 17)
+    assert "all-to-all" in hlo or "collective-permute" in hlo
