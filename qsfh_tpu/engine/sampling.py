@@ -236,16 +236,33 @@ def _rotate_data_driven(psi, n: int, x_bits, y_bits):
     ``x_bits``/``y_bits`` are (n,) 0/1 real vectors; each qubit's 2x2 is a
     convex selection of the three candidates, so ONE compiled program
     serves every group's basis setting (the masks ride as data, exactly
-    like the scan-lowered expectation paths ride packed term data)."""
+    like the scan-lowered expectation paths ride packed term data).
+
+    Each qubit applies as an XOR-flip butterfly -- ``psi' = diag(b) psi +
+    off(b) psi[k ^ bit]`` with the matrix entries selected per amplitude
+    by the bit's parity sign -- instead of the (A, 2, C) reshaped matmul
+    of ``apply_one_qubit``: high qubits make that form's trailing dim tiny
+    and TPU tiling pads it up to 128x (the dominant cost of the round-2
+    on-chip grouped estimator), while ``_xor_flip`` stays lane-shaped.
+    """
+    from .state import parity_signs
+
     rdt = real_dtype(psi.dtype)
     eye = const_complex(np.eye(2), psi.dtype)
     rx = const_complex(_ROT_X, psi.dtype)
     ry = const_complex(_ROT_Y, psi.dtype)
+    from .gates import _xor_flip
+
     for q in range(n):
         x = x_bits[q].astype(rdt)
         y = y_bits[q].astype(rdt)
         u = eye * (1.0 - x - y) + rx * x + ry * y
-        psi = apply_one_qubit(psi, n, u, q)
+        bmask = 1 << (n - 1 - q)
+        t = _xor_flip(psi, n, bmask)
+        s = parity_signs(n, bmask, rdt).astype(psi.dtype)  # +1 where bit = 0
+        diag = 0.5 * ((u[0, 0] + u[1, 1]) + s * (u[0, 0] - u[1, 1]))
+        off = 0.5 * ((u[0, 1] + u[1, 0]) + s * (u[0, 1] - u[1, 0]))
+        psi = diag * psi + off * t
     return psi
 
 
