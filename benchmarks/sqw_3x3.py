@@ -83,5 +83,13 @@ out = {
 }
 with open(os.path.join(DEMO, "sqw.json"), "w") as f:
     json.dump(out, f, indent=1)
+np.savez_compressed(
+    os.path.join(DEMO, "sqw_grid.npz"),
+    omegas=omegas,
+    qs=np.array(sorted(rows, key=lambda s: tuple(map(int, s.split(","))))),
+    A=np.vstack([
+        rows[q]["A"] for q in sorted(rows, key=lambda s: tuple(map(int, s.split(","))))
+    ]),
+)
 print(json.dumps({k: v for k, v in out.items() if k not in ("omegas",)}, indent=1))
 assert out["max_sum_rule_err"] < 1e-6, out["max_sum_rule_err"]
