@@ -256,24 +256,10 @@ def lower_program(ops: Sequence[tuple], n: int) -> List[Segment]:
 
 
 def _rot_body(n, rdt):
-    # opt-in pallas lowering: the whole rotation (XOR gather, parity signs,
-    # string phase, cos/sin combine) as ONE VMEM-resident kernel pass
-    # instead of n conditional flips (engine.pallas_kernels)
-    from .pallas_kernels import chain_max_qubits, pallas_enabled
-
-    # n >= 10 keeps every kernel view at the (8, 128) sublane/lane tile
-    # (rows = 2^(n-7) >= 8); smaller states stay on the XLA path
-    if pallas_enabled() and 10 <= n <= chain_max_qubits() and rdt == jnp.float32:
-        from .pallas_kernels import pauli_rotation_pallas
-
-        def body(psi, term):
-            xb, zb, scale, pidx, phre, phim, thetas = term
-            theta = thetas * scale
-            out = pauli_rotation_pallas(psi, n, xb, zb, theta, phre, phim)
-            return out, None
-
-        return body
-
+    # NOTE: run_segments routes pallas-eligible circuits to the whole-
+    # segment chain/stream kernels BEFORE falling back to this scan body,
+    # so no per-term pallas branch belongs here (one existed and was
+    # unreachable -- its gate condition was identical to the caller's).
     idx = index_bits(n)
 
     def body(psi, term):
@@ -362,7 +348,9 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
                 )
             elif (
                 pallas_enabled()
-                and chain_max_qubits() < n <= stream_max_qubits()
+                # max(..., 11): a lowered chain cap must fall back to the
+                # XLA scan below 11 qubits, the streaming kernels' floor
+                and max(chain_max_qubits(), 10) < n <= stream_max_qubits()
                 and rdt == jnp.float32
             ):
                 # beyond the VMEM cap: HBM-streaming rotations (block-local
@@ -450,7 +438,9 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     )
 
     in_chain = 10 <= n <= adjoint_chain_max_qubits()
-    in_stream = adjoint_chain_max_qubits() < n <= stream_max_qubits()
+    # max(..., 10): with a lowered chain cap, n = 10 must use the XLA
+    # fallback (the streaming kernels raise below 11 qubits)
+    in_stream = max(adjoint_chain_max_qubits(), 10) < n <= stream_max_qubits()
     if pallas_enabled() and (in_chain or in_stream) and rdt == jnp.float32:
         # VMEM-resident chained reverse sweep (or HBM-streaming beyond the
         # VMEM cap); per-term contributions are accumulated by parameter

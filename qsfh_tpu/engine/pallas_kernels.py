@@ -160,6 +160,19 @@ def _parity_sign(zb, rows: int):
     return jnp.where(odd, jnp.float32(-1.0), jnp.float32(1.0))
 
 
+def _block_parity_flip(s, zhi_j, i, nhi):
+    """Flip a sign tile when parity(zhi & block_index) is odd.
+
+    The z mask's block bits contribute one scalar sign per (term, block):
+    the streaming kernels all fold it the same way (this helper replaced
+    nine inline copies)."""
+    hi = zhi_j & i
+    par = jnp.int32(0)
+    for t in range(nhi):
+        par = par ^ ((hi >> np.int32(t)) & np.int32(1))
+    return jnp.where(par > 0, -s, s)
+
+
 def _xor_gather_kernel(mask_ref, re_ref, im_ref, ore_ref, oim_ref):
     """out[b] = in[b ^ mask] on (R, 128) f32 planes; mask is an SMEM scalar."""
     mask = mask_ref[0]
@@ -172,11 +185,18 @@ def _xor_gather_kernel(mask_ref, re_ref, im_ref, ore_ref, oim_ref):
 def xor_gather_pallas(psi: jnp.ndarray, n: int, xb) -> jnp.ndarray:
     """t[b] = psi[b ^ xb] (traced flat mask) via the one-pass VMEM kernel.
 
-    psi: flat (2^n,) complex64/complex128 (planes processed as f32/f64).
-    Requires n >= 10 and the state to fit VMEM (n <= ~20 for c64).
+    psi: flat (2^n,) complex64 ONLY -- the kernel processes f32 planes, so
+    a complex128 input would be silently truncated; it is rejected instead
+    (use the XLA path for f64).  Requires n >= 10 and the state to fit
+    VMEM (n <= ~20 for c64).
     """
     if not HAVE_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
+    if psi.dtype != jnp.complex64:
+        raise ValueError(
+            f"xor_gather_pallas processes f32 planes (complex64 input); "
+            f"got {psi.dtype}"
+        )
     if n < 10:
         # rows = 2^(n-7) >= 8 keeps the (8, 128) sublane/lane tile intact
         raise ValueError("xor_gather_pallas needs at least 10 qubits")
@@ -622,6 +642,9 @@ def adjoint_chain_pallas(psi_final, lam, n: int, xs, zs, angles, scales, phre, p
     """
     if n < 10:
         raise ValueError("adjoint_chain_pallas needs at least 10 qubits")
+    if xs.shape[0] == 0:
+        # empty sweep: nothing to undo, no contributions
+        return psi_final, lam, jnp.zeros((0,), jnp.float32)
     rows = (1 << n) // LANE
     re = jnp.real(psi_final).astype(jnp.float32).reshape(rows, LANE)
     im = jnp.imag(psi_final).astype(jnp.float32).reshape(rows, LANE)
@@ -713,6 +736,8 @@ def screen_chain_pallas(psi, w, n: int, xs, zs, cre, cim):
     index).  Zero-coefficient padding contributes exactly 0."""
     if n < 10:
         raise ValueError("screen_chain_pallas needs at least 10 qubits")
+    if xs.shape[0] == 0:
+        return jnp.zeros((0,), jnp.float32)
     rows = (1 << n) // LANE
     re = jnp.real(psi).astype(jnp.float32).reshape(rows, LANE)
     im = jnp.imag(psi).astype(jnp.float32).reshape(rows, LANE)
@@ -792,6 +817,33 @@ def _stream_block_rows(rows: int) -> int:
     return br
 
 
+def _order_runs(xs: np.ndarray, bb: int):
+    """Order-PRESERVING run partition for rotation-like (non-reorderable)
+    term sequences: consecutive block-local terms (flip bits above
+    LANE_BITS+bb all zero) merge into one chained run; every
+    block-crossing term is its own single-term run.  Returns
+    [(xh, [term indices])]."""
+    xh_all = (np.asarray(xs, np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
+    runs: list = []
+    for t in range(xs.shape[0]):
+        h = int(xh_all[t])
+        if h == 0 and runs and runs[-1][0] == 0:
+            runs[-1][1].append(t)
+        else:
+            runs.append((h, [t]))
+    return runs
+
+
+def _run_chunk_masks(xs: np.ndarray, zs: np.ndarray, part: np.ndarray, bb: int):
+    """(xlo, zlo, zhi) device arrays for one chunk of term indices (the
+    in-block flip/phase masks and the block-bit z mask)."""
+    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
+    xlo = jnp.asarray(xs[part] & inb)
+    zlo = jnp.asarray(zs[part] & inb)
+    zhi = jnp.asarray((zs[part] >> np.uint32(LANE_BITS + bb)).astype(np.int32))
+    return xlo, zlo, zhi
+
+
 def _stream_groups(xs: np.ndarray, bb: int):
     """Group term indices by the block-crossing flip bits xs >> (7 + bb)."""
     xh = (np.asarray(xs, np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
@@ -825,11 +877,7 @@ def _expectation_stream_kernel(
         tre = _xor_permute(tre0, xlo_ref[j], br)
         tim = _xor_permute(tim0, xlo_ref[j], br)
         s = _parity_sign(zlo_ref[j], br)
-        hi = zhi_ref[j] & i  # int32; values < 2^nhi
-        par = jnp.int32(0)
-        for t in range(nhi):
-            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[j], i, nhi)
         vr = jnp.sum(s * (re * tre + im * tim))
         vi = jnp.sum(s * (re * tim - im * tre))
         return acc + cre_ref[j] * vr - cim_ref[j] * vi
@@ -862,11 +910,7 @@ def _apply_stream_kernel(
         tre = _xor_permute(tre0, xlo_ref[j], br)
         tim = _xor_permute(tim0, xlo_ref[j], br)
         s = _parity_sign(zlo_ref[j], br)
-        hi = zhi_ref[j] & i
-        par = jnp.int32(0)
-        for t in range(nhi):
-            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[j], i, nhi)
         cr = cre_ref[j]
         ci = cim_ref[j]
         ar = ar + s * (cr * tre - ci * tim)
@@ -935,11 +979,7 @@ def _screen_stream_kernel(
         tre = _xor_permute(tre0, xlo_ref[j], br)
         tim = _xor_permute(tim0, xlo_ref[j], br)
         s = _parity_sign(zlo_ref[j], br)
-        hi = zhi_ref[j] & i
-        par = jnp.int32(0)
-        for t in range(nhi):
-            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[j], i, nhi)
         vr = jnp.sum(s * (wre * tre + wim * tim))
         vi = jnp.sum(s * (wre * tim - wim * tre))
         contrib = 2.0 * (cre_ref[j] * vi + cim_ref[j] * vr)
@@ -1086,11 +1126,7 @@ def _expectation_stream_fused_kernel(
         tre = _xor_permute(tre0, xlo_ref[t], br)
         tim = _xor_permute(tim0, xlo_ref[t], br)
         s = _parity_sign(zlo_ref[t], br)
-        hi = zhi_ref[t] & i
-        par = jnp.int32(0)
-        for b in range(nhi):
-            par = par ^ ((hi >> np.int32(b)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[t], i, nhi)
         vr = jnp.sum(s * (re * tre + im * tim))
         vi = jnp.sum(s * (re * tim - im * tre))
         return acc + cre_ref[t] * vr - cim_ref[t] * vi
@@ -1199,11 +1235,7 @@ def _apply_stream_fused_kernel(
         tre = _xor_permute(tre0, xlo_ref[t], br)
         tim = _xor_permute(tim0, xlo_ref[t], br)
         s = _parity_sign(zlo_ref[t], br)
-        hi = zhi_ref[t] & i
-        par = jnp.int32(0)
-        for b in range(nhi):
-            par = par ^ ((hi >> np.int32(b)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[t], i, nhi)
         cr = cre_ref[t]
         ci = cim_ref[t]
         ar = ar + s * (cr * tre - ci * tim)
@@ -1298,11 +1330,7 @@ def _adjoint_stream_local_kernel(
     def body(j, carry):
         re, im, lre, lim, acc = carry
         s = _parity_sign(zlo_ref[j], br)
-        hi = zhi_ref[j] & i
-        par = jnp.int32(0)
-        for t in range(nhi):
-            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[j], i, nhi)
         pr = phre_ref[j]
         pi = phim_ref[j]
         tre = _xor_permute(re, xlo_ref[j], br)
@@ -1355,11 +1383,7 @@ def _adjoint_stream_cross_kernel(
     i = pl.program_id(0)
     br = re_ref.shape[0]
     s = _parity_sign(zlo_ref[0], br)
-    hi = zhi_ref[0] & i
-    par = jnp.int32(0)
-    for t in range(nhi):
-        par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-    s = jnp.where(par > 0, -s, s)
+    s = _block_parity_flip(s, zhi_ref[0], i, nhi)
     pr = phre_ref[0]
     pi = phim_ref[0]
     tre = _xor_permute(pre_ref[:], xlo_ref[0], br)
@@ -1418,22 +1442,13 @@ def adjoint_stream_pallas(psi_final, lam, n: int, xs, zs, angles, scales,
     im = jnp.imag(psi_final).astype(jnp.float32).reshape(rows, LANE)
     lre = jnp.real(lam).astype(jnp.float32).reshape(rows, LANE)
     lim = jnp.imag(lam).astype(jnp.float32).reshape(rows, LANE)
-    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
-    xh_all = (xs.astype(np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
-
     cos = jnp.cos(angles).astype(jnp.float32)
     sin = jnp.sin(angles).astype(jnp.float32)
     scales = jnp.asarray(scales, jnp.float32)
     phre = jnp.asarray(phre, jnp.float32)
     phim = jnp.asarray(phim, jnp.float32)
 
-    runs: list = []
-    for t in range(xs.shape[0]):
-        h = int(xh_all[t])
-        if h == 0 and runs and runs[-1][0] == 0:
-            runs[-1][1].append(t)
-        else:
-            runs.append((h, [t]))
+    runs = _order_runs(xs, bb)
 
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
     blk = pl.BlockSpec((br, LANE), lambda i: (i, 0))
@@ -1445,11 +1460,7 @@ def adjoint_stream_pallas(psi_final, lam, n: int, xs, zs, angles, scales,
     for xh, idx in runs:
         for lo in range(0, len(idx), CHAIN_CHUNK):
             part = np.asarray(idx[lo : lo + CHAIN_CHUNK])
-            xlo = jnp.asarray(xs[part] & inb)
-            zlo = jnp.asarray(zs[part] & inb)
-            zhi = jnp.asarray(
-                (zs[part] >> np.uint32(LANE_BITS + bb)).astype(np.int32)
-            )
+            xlo, zlo, zhi = _run_chunk_masks(xs, zs, part, bb)
             args = (xlo, zlo, zhi, cos[part], sin[part], scales[part],
                     phre[part], phim[part])
             if xh == 0:
@@ -1496,11 +1507,7 @@ def _rot_stream_local_kernel(
         tre = _xor_permute(re, xlo_ref[j], br)
         tim = _xor_permute(im, xlo_ref[j], br)
         s = _parity_sign(zlo_ref[j], br)
-        hi = zhi_ref[j] & i
-        par = jnp.int32(0)
-        for t in range(nhi):
-            par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-        s = jnp.where(par > 0, -s, s)
+        s = _block_parity_flip(s, zhi_ref[j], i, nhi)
         pr = phre_ref[j]
         pi = phim_ref[j]
         pre = s * (pr * tre - pi * tim)
@@ -1525,11 +1532,7 @@ def _rot_stream_cross_kernel(
     tre = _xor_permute(pre_ref[:], xlo_ref[0], br)
     tim = _xor_permute(pim_ref[:], xlo_ref[0], br)
     s = _parity_sign(zlo_ref[0], br)
-    hi = zhi_ref[0] & i
-    par = jnp.int32(0)
-    for t in range(nhi):
-        par = par ^ ((hi >> np.int32(t)) & np.int32(1))
-    s = jnp.where(par > 0, -s, s)
+    s = _block_parity_flip(s, zhi_ref[0], i, nhi)
     pr = phre_ref[0]
     pi = phim_ref[0]
     ppre = s * (pr * tre - pi * tim)
@@ -1570,21 +1573,13 @@ def rotation_stream_planes(re, im, n: int, xs, zs, thetas, phre, phim):
     xs = np.asarray(xs, np.uint32)
     zs = np.asarray(zs, np.uint32)
     rows, br, bb, nb, nhi, re, im, _ = _stream_setup_planes(re, im, n, xs)
-    inb = np.uint32((1 << (LANE_BITS + bb)) - 1)
-    xh_all = (xs.astype(np.uint64) >> np.uint64(LANE_BITS + bb)).astype(np.int64)
 
     cos = jnp.cos(thetas).astype(jnp.float32)
     sin = jnp.sin(thetas).astype(jnp.float32)
     phre = jnp.asarray(phre, jnp.float32)
     phim = jnp.asarray(phim, jnp.float32)
 
-    runs: list = []  # (xh, [term indices]); xh == 0 -> local chain
-    for t in range(xs.shape[0]):
-        h = int(xh_all[t])
-        if h == 0 and runs and runs[-1][0] == 0:
-            runs[-1][1].append(t)
-        else:
-            runs.append((h, [t]))
+    runs = _order_runs(xs, bb)  # xh == 0 -> local chain
 
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
     blk = pl.BlockSpec((br, LANE), lambda i: (i, 0))
@@ -1592,11 +1587,7 @@ def rotation_stream_planes(re, im, n: int, xs, zs, thetas, phre, phim):
     for xh, idx in runs:
         for lo in range(0, len(idx), CHAIN_CHUNK):
             part = np.asarray(idx[lo : lo + CHAIN_CHUNK])
-            xlo = jnp.asarray(xs[part] & inb)
-            zlo = jnp.asarray(zs[part] & inb)
-            zhi = jnp.asarray(
-                (zs[part] >> np.uint32(LANE_BITS + bb)).astype(np.int32)
-            )
+            xlo, zlo, zhi = _run_chunk_masks(xs, zs, part, bb)
             args = (xlo, zlo, zhi, cos[part], sin[part], phre[part], phim[part])
             if xh == 0:
                 re, im = pl.pallas_call(

@@ -281,9 +281,22 @@ class ShardedPauliEngine:
     def shard_spec(self):
         return NamedSharding(self.mesh, P(AMP_AXIS))
 
-    def wrap(self, fn, n_state_args: int = 1, out_replicated: bool = True):
-        """shard_map a function of (state..., *scalars) over the amp axis."""
-        in_specs = tuple([P(AMP_AXIS)] * n_state_args)
+    def wrap(
+        self,
+        fn,
+        n_state_args: int = 1,
+        out_replicated: bool = True,
+        n_scalar_args: int = 0,
+    ):
+        """shard_map a function of (state..., *scalars) over the amp axis.
+
+        The first ``n_state_args`` arguments are amplitude-sharded; the
+        following ``n_scalar_args`` (replicated scalars/parameter arrays)
+        get ``P()`` specs -- previously the spec tuple covered only the
+        state args, so any wrapped function with scalar args failed at
+        call time with a specs/args structure mismatch.
+        """
+        in_specs = tuple([P(AMP_AXIS)] * n_state_args + [P()] * n_scalar_args)
         out_spec = P() if out_replicated else P(AMP_AXIS)
         return shard_map(
             fn,

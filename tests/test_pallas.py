@@ -403,3 +403,59 @@ class TestChainInverse:
         psi32 = psi.astype(jnp.complex64)
         out = jax.jit(lambda p: cc.apply_inverse(cc.apply(p, th), th))(psi32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(psi32), atol=2e-6)
+
+
+class TestRoutingAndEdgeGuards:
+    """Round-2 session-7 review fixes: lowered-cap routing floors, the
+    xor_gather dtype contract, and empty-term chain calls."""
+
+    def test_lowered_cap_10q_falls_back_to_xla(self, monkeypatch):
+        """QSFH_PALLAS_MAX_N=9 with a 10-qubit circuit must use the XLA
+        scan (the streaming kernels raise below 11 qubits), not crash."""
+        import jax
+
+        from qsfh_tpu.algos.base import HubbardProblem
+        from qsfh_tpu.engine.compiled import CompiledCircuit
+        from qsfh_tpu.engine.state import basis_state
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_simplified
+
+        p = HubbardProblem(1, 5, 1.0, 4.0, 5, 3, 2)
+        g = jordan_wigner(hubbard_interaction_pool_simplified(1, 5)[0])
+        prog = [("rot", g.rotation_terms(), 0)]
+        psi0 = basis_state(10, (0, 2, 4, 1, 3), dtype=jnp.complex64)
+
+        monkeypatch.delenv("QSFH_PALLAS", raising=False)
+        ref = np.asarray(
+            CompiledCircuit(prog, 10).apply(psi0, jnp.asarray([0.3], jnp.float32))
+        )
+        monkeypatch.setenv("QSFH_PALLAS", "1")
+        monkeypatch.setenv("QSFH_PALLAS_MAX_N", "9")
+        got = np.asarray(
+            CompiledCircuit(prog, 10).apply(psi0, jnp.asarray([0.3], jnp.float32))
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_xor_gather_rejects_complex128(self):
+        psi = jnp.zeros(1 << 10, jnp.complex128).at[0].set(1.0)
+        with pytest.raises(ValueError, match="complex64"):
+            xor_gather_pallas(psi, 10, jnp.uint32(3))
+
+    def test_empty_term_chains_return_empty(self):
+        from qsfh_tpu.engine.pallas_kernels import (
+            adjoint_chain_pallas,
+            screen_chain_pallas,
+        )
+
+        psi = jnp.zeros(1 << 10, jnp.complex64).at[0].set(1.0)
+        empty_u = np.zeros(0, np.uint32)
+        empty_f = np.zeros(0, np.float32)
+        contribs = screen_chain_pallas(
+            psi, psi, 10, empty_u, empty_u, empty_f, empty_f
+        )
+        assert np.asarray(contribs).shape == (0,)
+        p0, l0, c = adjoint_chain_pallas(
+            psi, psi, 10, empty_u, empty_u, empty_f, empty_f, empty_f, empty_f
+        )
+        assert np.asarray(c).shape == (0,)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(psi))
