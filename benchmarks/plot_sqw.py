@@ -18,8 +18,9 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-d = json.load(open(os.path.join(HERE, "demo_3x3", "sqw.json")))
-g = np.load(os.path.join(HERE, "demo_3x3", "sqw_grid.npz"))
+TAG = os.environ.get("QSFH_SQW_TAG", "sqw")  # 'sqw' (spin) or 'nqw' (charge)
+d = json.load(open(os.path.join(HERE, "demo_3x3", f"{TAG}.json")))
+g = np.load(os.path.join(HERE, "demo_3x3", f"{TAG}_grid.npz"))
 omegas = np.asarray(g["omegas"])
 qs = [str(q) for q in g["qs"]]
 grid = np.asarray(g["A"])  # (9, n_omega)
@@ -37,9 +38,12 @@ ax.set_yticks(range(len(qs)))
 ax.set_yticklabels([f"({q.replace(',', ',')})" for q in qs], fontsize=9)
 ax.set_xlabel(r"$\omega$  (units of $t$)", fontsize=10)
 ax.set_ylabel(r"$q = 2\pi(q_x/3,\ q_y/3)$", fontsize=10)
+label = r"$S^{zz}(q,\omega)$" if TAG == "sqw" else r"$N(q,\omega)$"
+kindname = "spin" if TAG == "sqw" else "charge"
 ax.set_title(
-    r"3x3 Hubbard $S^{zz}(q,\omega)$ via Lanczos resolvent"
-    "\n(18 qubits, sum rules exact to 2.5e-16)",
+    f"3x3 Hubbard {label} via Lanczos resolvent"
+    f"\n(18 qubits, {kindname} sector, per-q sum rules "
+    f"exact to {d['max_sum_rule_err']:.1e})",
     fontsize=10,
 )
 for i, q in enumerate(qs):
@@ -49,10 +53,10 @@ for i, q in enumerate(qs):
         fontsize=8, color="#444444",
     )
 cb = fig.colorbar(im, ax=ax, pad=0.02)
-cb.set_label(r"$S^{zz}(q,\omega)$", fontsize=9)
+cb.set_label(label, fontsize=9)
 cb.ax.tick_params(labelsize=8)
 ax.tick_params(labelsize=9)
 fig.tight_layout()
-out = os.path.join(HERE, "demo_3x3", "sqw.png")
+out = os.path.join(HERE, "demo_3x3", f"{TAG}.png")
 fig.savefig(out, dpi=150)
 print("wrote", out)

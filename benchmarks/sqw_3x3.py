@@ -29,31 +29,36 @@ os.chdir(DEMO)
 from qsfh_tpu.algos.base import HubbardProblem
 from qsfh_tpu.engine.expectation import Observable
 from qsfh_tpu.linalg.spectral import dynamical_structure_factor
-from qsfh_tpu.ops.correlations import spin_q_operator
+from qsfh_tpu.ops.correlations import charge_q_operator, spin_q_operator
 from qsfh_tpu.ops.fermion import hermitian_conjugated
 from qsfh_tpu.ops.jw import jordan_wigner
 
 NX = NY = 3
 M = int(os.environ.get("QSFH_SQW_M", "80"))
+KIND = os.environ.get("QSFH_SQW_KIND", "spin")  # 'spin' -> sqw.json, 'charge' -> nqw.json
+TAG = "sqw" if KIND == "spin" else "nqw"
 p = HubbardProblem(NX, NY, 1.0, 6.0, 9, 5, 4, results_root=DEMO)
 e0, manifold = p.ground_state(degenerate=True, n_states=4)
 gs = np.asarray(manifold[0])
 e0 = float(e0)
 
 t0 = time.time()
-omegas = np.linspace(0.0, 10.0, 201)
+omegas = np.linspace(0.0, 10.0, 201) if KIND == "spin" else np.linspace(0.0, 16.0, 321)
 rows = {}
 import jax.numpy as jnp
 psi = jnp.asarray(gs)
 for qx in range(NX):
     for qy in range(NY):
         res = dynamical_structure_factor(
-            p, gs, e0, q=(qx, qy), kind="spin", m=M,
+            p, gs, e0, q=(qx, qy), kind=KIND, m=M,
             omegas=omegas, eta=0.1, dtype=jnp.complex128,
         )
-        # independent sum rule: <gs| S^z_{-q} S^z_q |gs> as one symbolic
+        # independent sum rule: <gs| O_{-q} O_q |gs> as one symbolic
         # operator product evaluated matrix-free
-        sq = spin_q_operator(NX, NY, qx, qy)
+        if KIND == "spin":
+            sq = spin_q_operator(NX, NY, qx, qy)
+        else:
+            sq = charge_q_operator(NX, NY, qx, qy, filling=p.n_electrons / 9)
         stat = float(
             Observable(jordan_wigner(hermitian_conjugated(sq) * sq), 18).expectation(psi)
         )
@@ -79,12 +84,13 @@ out = {
     "omegas": omegas.tolist(),
     "q_rows": {k: {kk: vv for kk, vv in v.items() if kk != "A"} for k, v in rows.items()},
     "peak_q": peak_q,
+    "kind": KIND,
     "max_sum_rule_err": max(v["sum_rule_abs_err"] for v in rows.values()),
 }
-with open(os.path.join(DEMO, "sqw.json"), "w") as f:
+with open(os.path.join(DEMO, f"{TAG}.json"), "w") as f:
     json.dump(out, f, indent=1)
 np.savez_compressed(
-    os.path.join(DEMO, "sqw_grid.npz"),
+    os.path.join(DEMO, f"{TAG}_grid.npz"),
     omegas=omegas,
     qs=np.array(sorted(rows, key=lambda s: tuple(map(int, s.split(","))))),
     A=np.vstack([
