@@ -194,6 +194,24 @@ def main(argv=None):
     p.add_argument("--omega-max", type=float, default=10.0)
     p.add_argument("--omega-points", type=int, default=201)
 
+    p = sub.add_parser(
+        "multistart",
+        help="batched multistart HVA: B random inits trained concurrently "
+             "in one jitted scan (batch axis mesh-shardable)",
+    )
+    _add_lattice_args(p)
+    _add_run_args(p)
+    p.add_argument("--n-starts", type=int, default=8)
+    p.add_argument("--n-epoch", type=int, default=300)
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--lr", type=float, default=3e-2)
+    p.add_argument("--init-scale", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="shard the start axis over this many devices (data parallelism)",
+    )
+
     args = parser.parse_args(argv)
     _setup_backend(args)
 
@@ -229,6 +247,37 @@ def main(argv=None):
             **_lattice_kwargs(args),
         )
         vqe.run()
+    elif args.command == "multistart":
+        import numpy as np
+
+        from .algos.multistart import MultistartHVA
+
+        ms = MultistartHVA(
+            n_starts=args.n_starts,
+            n_epoch=args.n_epoch,
+            reps=args.reps,
+            lr=args.lr,
+            init_scale=args.init_scale,
+            seed=args.seed,
+            mesh_devices=args.mesh_devices or None,
+            results_root=args.results_root,
+            **_lattice_kwargs(args),
+        )
+        out = ms.run()
+        print(
+            f"multistart: {args.n_starts} starts x {args.n_epoch} epochs | "
+            f"best start {out['best_index']} energy {out['best_energy']:.8f}"
+            + (
+                f" (gap {out['best_gap']:.3e} vs ED {out['ground_state_energy']:.8f})"
+                if "best_gap" in out
+                else ""
+            )
+        )
+        spread = out["final_energies"]
+        print(
+            f"final energies: min {spread.min():.8f} median "
+            f"{float(np.median(spread)):.8f} max {spread.max():.8f}"
+        )
     elif args.command == "iqcc":
         from .algos.iqcc import IQCC
 
