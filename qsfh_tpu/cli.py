@@ -211,6 +211,10 @@ def main(argv=None):
         "--mesh-devices", type=int, default=0,
         help="shard the start axis over this many devices (data parallelism)",
     )
+    p.add_argument("--molecule", default=None,
+                   help="run a B-start HEA on this molecule instead of the "
+                        "lattice HVA")
+    p.add_argument("--r", type=float, default=0.8, help="bond length [angstrom]")
 
     args = parser.parse_args(argv)
     _setup_backend(args)
@@ -250,25 +254,38 @@ def main(argv=None):
     elif args.command == "multistart":
         import numpy as np
 
-        from .algos.multistart import MultistartHVA
+        from .algos.multistart import MultistartHEA, MultistartHVA
 
-        ms = MultistartHVA(
-            n_starts=args.n_starts,
-            n_epoch=args.n_epoch,
-            reps=args.reps,
-            lr=args.lr,
-            init_scale=args.init_scale,
-            seed=args.seed,
-            mesh_devices=args.mesh_devices or None,
-            results_root=args.results_root,
-            **_lattice_kwargs(args),
-        )
+        if args.molecule:
+            ms = MultistartHEA(
+                _make_molecule(args.molecule, args.r),
+                n_starts=args.n_starts,
+                n_epoch=args.n_epoch,
+                reps=args.reps,
+                lr=args.lr,
+                seed=args.seed,
+                mesh_devices=args.mesh_devices or None,
+            )
+            ref_key, ref_label = "fci_energy", "FCI"
+        else:
+            ms = MultistartHVA(
+                n_starts=args.n_starts,
+                n_epoch=args.n_epoch,
+                reps=args.reps,
+                lr=args.lr,
+                init_scale=args.init_scale,
+                seed=args.seed,
+                mesh_devices=args.mesh_devices or None,
+                results_root=args.results_root,
+                **_lattice_kwargs(args),
+            )
+            ref_key, ref_label = "ground_state_energy", "ED"
         out = ms.run()
         print(
             f"multistart: {args.n_starts} starts x {args.n_epoch} epochs | "
             f"best start {out['best_index']} energy {out['best_energy']:.8f}"
             + (
-                f" (gap {out['best_gap']:.3e} vs ED {out['ground_state_energy']:.8f})"
+                f" (gap {out['best_gap']:.3e} vs {ref_label} {out[ref_key]:.8f})"
                 if "best_gap" in out
                 else ""
             )

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-from qsfh_tpu.algos.multistart import MultistartHVA, batched_train, start_mesh
+from qsfh_tpu.algos.multistart import (
+    MultistartHEA,
+    MultistartHVA,
+    batched_train,
+    start_mesh,
+)
 
 
 def _make(n_starts, mesh_devices=None, n_epoch=25, seed=3):
@@ -116,6 +121,24 @@ def test_batched_train_generic_loss():
     np.testing.assert_allclose(np.asarray(final["x"]),
                                np.tile(np.asarray(target), (5, 1)), atol=1e-2)
     assert (np.asarray(final_e) < 1e-3).all()
+
+
+def test_multistart_hea_h2():
+    """Best-of-B HEA on H2 reaches FCI where the batch parity holds."""
+    from qsfh_tpu.molecules import H2
+
+    mol = H2(0.8)
+    ms = MultistartHEA(mol, n_starts=6, n_epoch=150, reps=2, lr=0.1, seed=2)
+    vals = jax.vmap(ms.loss)(ms.batch_params)
+    for b in range(3):
+        np.testing.assert_allclose(
+            float(ms.loss(ms.batch_params[b])), float(vals[b]), rtol=1e-12
+        )
+    out = ms.run()
+    assert out["fci_energy"] == pytest.approx(mol.fci_energy)
+    assert out["best_gap"] < 5e-3
+    # the spread across starts is real: the worst start is measurably above
+    assert out["final_energies"].max() > out["best_energy"] + 1e-6
 
 
 def test_validation_errors():
