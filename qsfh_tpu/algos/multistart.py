@@ -26,6 +26,7 @@ TPU rationale
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -211,7 +212,18 @@ def _run_batched(loss, batch_params, lr, n_epoch, mesh,
     )
     e = np.asarray(final_e)
     traj = np.asarray(traj)
-    best = int(e.argmin())
+    finite = np.isfinite(e)
+    if not finite.any():
+        raise RuntimeError(
+            f"all {e.size} starts diverged to non-finite final energies"
+        )
+    if not finite.all():
+        warnings.warn(
+            f"{int((~finite).sum())}/{e.size} starts ended non-finite; "
+            "selecting best among finite starts",
+            stacklevel=2,
+        )
+    best = int(np.nanargmin(np.where(finite, e, np.inf)))
     result = {
         "energies": traj,
         "final_energies": e,

@@ -205,7 +205,11 @@ def main(argv=None):
     p.add_argument("--n-epoch", type=int, default=300)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-2)
-    p.add_argument("--init-scale", type=float, default=0.1)
+    p.add_argument(
+        "--init-scale", type=float, default=0.1,
+        help="HVA-only init stddev; ignored with --molecule (HEA always "
+             "draws uniform(-pi,pi) like the reference)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--mesh-devices", type=int, default=0,

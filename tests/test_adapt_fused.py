@@ -1,0 +1,114 @@
+"""FusedAdaptRunner: chunked fused train loop == sequential ADAPT loop.
+
+The chunked runner (qsfh_tpu/algos/adapt_fused.py) exists so the flagship
+convergence run can execute K iterations per device program; these tests
+pin its semantics to the sequential driver on CPU before it is trusted
+on the chip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from qsfh_tpu.algos.adapt import ADAPT
+from qsfh_tpu.algos.adapt_fused import FusedAdaptRunner, initial_state_reim
+
+
+def _mk(tmp_path, sub, **kw):
+    cfg = dict(
+        n_epoch=2,
+        threshold1=1e-2,
+        threshold2=1e-2,
+        x_dimension=2,
+        y_dimension=2,
+        n_electrons=4,
+        n_spin_up=2,
+        n_spin_down=2,
+        tunneling=1,
+        coulomb=6,
+        results_root=str(tmp_path / sub),
+        plot=False,
+        log_metrics=False,
+        max_inner_iterations=40,
+    )
+    cfg.update(kw)
+    os.makedirs(cfg["results_root"], exist_ok=True)
+    return ADAPT(**cfg)
+
+
+def test_chunked_matches_sequential(tmp_path):
+    seq = _mk(tmp_path, "seq")
+    seq.run()
+
+    fused = _mk(tmp_path, "fused")
+    runner = FusedAdaptRunner(fused, chunk_iters=4, metrics_every_iter=True)
+    runner.run()
+
+    # same selections, same growth
+    assert fused.selected_indices == seq.selected_indices
+    assert fused.results["n_params"] == seq.results["n_params"]
+
+    # identical math while both are mid-epoch; trajectories may part only
+    # after the sequential loop breaks mid-chunk (the chunked runner
+    # finishes its K-block).  Epoch 1's first min(len) iterations must
+    # agree to float-assoc noise.
+    a = np.asarray(seq.results["iteration loss"])
+    b = np.asarray(fused.results["iteration loss"])
+    m = min(40, len(a), len(b))
+    np.testing.assert_allclose(a[:m], b[:m], rtol=1e-9, atol=1e-10)
+
+    sa = np.asarray(seq.results["Sz"])[:m]
+    sb = np.asarray(fused.results["Sz"])[:m]
+    np.testing.assert_allclose(sa, sb, atol=1e-8)
+
+    # chunk overshoot is bounded by K-1 iterations per epoch
+    assert len(b) <= len(a) + 2 * (4 - 1)
+
+    # epoch checkpoints cleaned up the in-flight file
+    assert not os.path.exists(runner.inflight_path)
+
+
+def test_inflight_roundtrip(tmp_path):
+    vqe = _mk(tmp_path, "infl")
+    runner = FusedAdaptRunner(vqe, chunk_iters=2)
+    import optax
+
+    vqe.selected_indices = [3, 1]
+    th = np.asarray([0.1, -0.2], dtype=np.dtype(vqe._rdt))
+    vqe.params_t = th
+    opt = optax.adam(1e-2)
+    state = opt.init(th)
+    runner._save_inflight(th, state, epoch=5, lr=1e-2)
+
+    got = runner.load_inflight()
+    assert got is not None
+    assert got["epoch"] == 5
+    assert got["selected_indices"] == [3, 1]
+    np.testing.assert_array_equal(got["t"], th)
+    # moments round-trip positionally
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    assert len(got["opt_leaves"]) == len(leaves)
+    for a, b in zip(got["opt_leaves"], leaves):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # a mismatching ansatz prefix refuses to resume
+    vqe.selected_indices = [2, 1]
+    assert runner.load_inflight() is None
+
+
+def test_initial_state_matches_driver(tmp_path):
+    vqe = _mk(tmp_path, "psi0")
+    arr = initial_state_reim(vqe)
+    assert arr.shape == (2, 1 << vqe.n_qubits)
+    # exactly one real amplitude set
+    assert arr[0].sum() == 1.0 and np.count_nonzero(arr) == 1
+    from qsfh_tpu.engine.state import basis_state, to_reim_host
+
+    ref = to_reim_host(
+        np.asarray(basis_state(vqe.n_qubits, vqe._occupied_modes, dtype=vqe.dtype)),
+        vqe.dtype,
+    )
+    np.testing.assert_array_equal(arr, np.asarray(ref))
