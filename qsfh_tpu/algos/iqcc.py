@@ -71,6 +71,7 @@ class IQCC:
         ratio: float = 0.1,
         max_inner_iterations: int = 10000,
         max_terms: Optional[int] = None,
+        compaction_eps: Optional[float] = None,
         reference_energy: Optional[float] = None,
         ground_truth: bool = True,
         dtype=None,
@@ -113,6 +114,12 @@ class IQCC:
         self.ratio = ratio
         self.max_inner_iterations = max_inner_iterations
         self.max_terms = max_terms
+        # per-epoch operator-norm budget for dropping small dressed terms
+        # (ops/dressing.py compact); the cumulative bound is tracked in
+        # self.compaction_bound and rigorously bounds the total eigenvalue
+        # shift introduced by compaction across all epochs
+        self.compaction_eps = compaction_eps
+        self.compaction_bound = 0.0
         self.plot = plot
         self.dtype = dtype or default_dtype()
         rdt = real_dtype(self.dtype)
@@ -258,13 +265,18 @@ class IQCC:
             # fold the optimized rotations into the Hamiltonian and discard
             # the gates (iqcc.py:172-180)
             taus = np.asarray(self.params["tau"])
-            self.current_hamiltonian, dropped = dress_hamiltonian(
-                self.current_hamiltonian, gens, taus, max_terms=self.max_terms
+            self.current_hamiltonian, dropped, dweight = dress_hamiltonian(
+                self.current_hamiltonian, gens, taus,
+                max_terms=self.max_terms,
+                compaction_eps=self.compaction_eps,
             )
             if dropped:
+                self.compaction_bound += dweight
                 print(
-                    f"term cap: dropped {dropped} smallest terms "
-                    f"({len(self.current_hamiltonian)} kept)"
+                    f"compaction: dropped {dropped} smallest terms "
+                    f"({len(self.current_hamiltonian)} kept), epoch bound "
+                    f"{dweight:.3e}, cumulative eigenvalue-shift bound "
+                    f"{self.compaction_bound:.3e}"
                 )
             i_epoch += 1
             print(
@@ -298,6 +310,7 @@ class IQCC:
             meta={
                 "n_qubits": self.n_qubits,
                 "selected_ops": self.selected_ops,
+                "compaction_bound": self.compaction_bound,
             },
         )
         ckpt.save_results(self.result_filepath, self.loss_history)
@@ -313,6 +326,7 @@ class IQCC:
         }
         self.current_hamiltonian = PauliSum(params["H_x"], params["H_z"], params["H_c"])
         self.selected_ops = list(meta.get("selected_ops", []))
+        self.compaction_bound = float(meta.get("compaction_bound", 0.0))
         self.loss_history = ckpt.load_results(self.result_filepath)
 
 

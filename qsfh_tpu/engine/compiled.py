@@ -401,19 +401,34 @@ def run_segments(segments, psi, thetas, n, direction: int = 1):
     return psi
 
 
+def _onehot_rows(pidx_host, width: int, dtype) -> jnp.ndarray:
+    """(T, width) one-hot rows built IN-PROGRAM from a T-int32 literal.
+
+    Host-materializing the one-hot embeds a T x width float literal in
+    the HLO.  At the flagship 3x3 ansatz (727 params, ~6k rotation
+    terms) that is 17-35 MB PER STAGE INSTANCE, and a K-unrolled fused
+    step carried hundreds of MB of literals -- jax spent tens of minutes
+    just hashing them at trace time (round-3 finding).  The iota-compare
+    form keeps the literal at T int32s (~24 KB) and lowers as a 2-D
+    compare + MXU matmul, both shape classes the tunneled backend
+    accepts (cf. engine.state.basis_state).
+    """
+    pidx = jnp.asarray(np.asarray(pidx_host, np.int32))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (pidx.shape[0], width), 1)
+    return (pidx[:, None] == cols).astype(dtype)
+
+
 def _select_params(thetas_ext, pidx_host):
     """``thetas_ext[pidx]`` without a gather.
 
     The tunneled TPU backend rejects gather lowerings outright -- a
     13-element constant-index gather is UNIMPLEMENTED on its own
     (benchmarks/tpu_bisect_fwd2.jsonl, rung "gather") -- so per-term
-    angles are selected by a one-hot (T, n_params+1) constant matmul,
-    which lowers to the MXU.
+    angles are selected by a one-hot matmul (rows built in-program,
+    see :func:`_onehot_rows`), which lowers to the MXU.
     """
-    pidx_host = np.asarray(pidx_host)
-    sel = np.zeros((pidx_host.shape[0], thetas_ext.shape[0]), np.float64)
-    sel[np.arange(pidx_host.shape[0]), pidx_host] = 1.0
-    return jnp.asarray(sel, thetas_ext.dtype) @ thetas_ext
+    sel = _onehot_rows(pidx_host, thetas_ext.shape[0], thetas_ext.dtype)
+    return sel @ thetas_ext
 
 
 def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
@@ -462,20 +477,17 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
         )
         # accumulate per-term contributions by parameter index with the
         # transposed one-hot matmul (scatter-free, see _select_params)
-        rsel = np.zeros((pidx_host.shape[0], n_params + 1), np.float64)
-        rsel[np.arange(pidx_host.shape[0]), pidx_host[::-1]] = 1.0
-        grads = contribs @ jnp.asarray(rsel, contribs.dtype)
+        rsel = _onehot_rows(pidx_host[::-1], n_params + 1, contribs.dtype)
+        grads = contribs @ rsel
         return psi0, lam0, grads[:n_params].astype(rdt)
 
     idx = index_bits(n)
 
-    onehot = np.zeros((pidx_host.shape[0], n_params + 1), np.float64)
-    onehot[np.arange(pidx_host.shape[0]), pidx_host[::-1]] = 1.0
     xs = (
         jnp.asarray(d["xb"])[::-1],
         jnp.asarray(d["zb"])[::-1],
         (th * jnp.asarray(d["scale"], thetas.dtype))[::-1],
-        jnp.asarray(onehot, rdt),
+        _onehot_rows(pidx_host[::-1], n_params + 1, rdt),
         jnp.asarray(d["scale"], rdt)[::-1],
         jnp.asarray(d["phre"], rdt)[::-1],
         jnp.asarray(d["phim"], rdt)[::-1],

@@ -30,7 +30,14 @@ import numpy as np
 
 from ..ops.pauli import PauliSum
 from .gates import _xor_flip
-from .state import const_complex, index_bits, parity_signs, qmask_to_bmask, real_dtype
+from .state import (
+    canonical_dtype,
+    const_complex,
+    index_bits,
+    parity_signs,
+    qmask_to_bmask,
+    real_dtype,
+)
 
 # threshold above which an x-group switches from unrolled to vmapped-z
 _VMAP_THRESHOLD = 8
@@ -64,6 +71,7 @@ def _signed_weights(n: int, zb_arr: jnp.ndarray, c_arr: jnp.ndarray, dtype):
 
 def _group_diag_weight(n: int, zs: np.ndarray, cs: np.ndarray, dtype) -> jnp.ndarray:
     """Sum_j c_j (-1)^{z_j . b} for an x-group, as one fused vector."""
+    dtype = canonical_dtype(dtype)
     rdt = real_dtype(dtype)
     if len(zs) <= _VMAP_THRESHOLD:
         acc = jnp.zeros(1 << n, dtype=dtype)
@@ -96,11 +104,14 @@ def diagonal_weight_vector(op: PauliSum, n: int, dtype=jnp.float64) -> jnp.ndarr
     Real for Hermitian operators.  Precompute once per Hamiltonian; a whole
     diagonal generator layer then costs one elementwise pass.
     """
+    dtype = canonical_dtype(dtype)
     groups = group_by_x(op)
     if 0 not in groups:
         return jnp.zeros(1 << n, dtype=dtype)
     zs, cs = groups[0]
-    w = _group_diag_weight(n, zs, cs, jnp.complex128)
+    # the weights accumulate in the widest COMPLEX dtype the backend has
+    # (canonical_dtype keeps x64-less backends warning-free)
+    w = _group_diag_weight(n, zs, cs, canonical_dtype(jnp.complex128))
     return jnp.real(w).astype(dtype)
 
 
@@ -425,9 +436,12 @@ class PackedPool:
         conj_w = jnp.conj(w)
         # scatter-free accumulation: the tunneled TPU backend rejects
         # gather/scatter lowerings (engine.compiled._select_params), so
-        # each term adds contrib * its one-hot generator row
-        onehot = np.zeros((len(ks), self.size), np.float64)
-        onehot[np.arange(len(ks)), ks] = 1.0
+        # each term adds contrib * its one-hot generator row (rows built
+        # in-program from the int32 ks -- a host-materialized one-hot is
+        # a T x size float literal, engine.compiled._onehot_rows)
+        from .compiled import _onehot_rows
+
+        onehot = _onehot_rows(ks, self.size, rdt)
 
         def body(grads, term):
             xb, zb, re, im, krow = term
@@ -447,7 +461,7 @@ class PackedPool:
                 jnp.asarray(zs),
                 jnp.asarray(cre, rdt),
                 jnp.asarray(cim, rdt),
-                jnp.asarray(onehot, rdt),
+                onehot,
             ),
         )
         return grads
@@ -480,9 +494,10 @@ class PackedPool:
 
                 vals = jax.vmap(term_val)(zb)  # (chunk,)
                 contrib = 2.0 * jnp.imag(c * vals).astype(rdt)
-                # scatter-free: (chunk,) @ one-hot (chunk, size) matmul
-                chunk_ks = np.asarray(ks[start : start + _CHUNK])
-                oh = np.zeros((chunk_ks.shape[0], self.size), np.float64)
-                oh[np.arange(chunk_ks.shape[0]), chunk_ks] = 1.0
-                grads = grads + contrib @ jnp.asarray(oh, rdt)
+                # scatter-free: (chunk,) @ one-hot (chunk, size) matmul,
+                # rows built in-program (engine.compiled._onehot_rows)
+                from .compiled import _onehot_rows
+
+                oh = _onehot_rows(ks[start : start + _CHUNK], self.size, rdt)
+                grads = grads + contrib @ oh
         return grads

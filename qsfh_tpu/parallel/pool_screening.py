@@ -48,9 +48,10 @@ def build_sharded_pool_screen(pool: PackedPool, mesh, axis: str = AMP_AXIS):
     zs_d = jnp.asarray(zs)
     # scatter-free accumulation: one-hot generator rows travel with the
     # sharded term data instead of integer ks (the TPU backend rejects
-    # gather/scatter lowerings -- engine.compiled._select_params)
-    onehot = np.zeros((len(ks), pool.size + 1), np.float64)
-    onehot[np.arange(len(ks)), ks] = 1.0
+    # gather/scatter lowerings -- engine.compiled._select_params); rows
+    # are built in-program from the int32 ks so no T x size float
+    # literal lands in the HLO (engine.compiled._onehot_rows)
+    ks_host = np.asarray(ks, np.int32)
 
     def local(psi, w, xb_l, zb_l, cre_l, cim_l, krow_l):
         rdt = real_dtype(psi.dtype)
@@ -80,6 +81,8 @@ def build_sharded_pool_screen(pool: PackedPool, mesh, axis: str = AMP_AXIS):
 
     def screen(psi, w):
         rdt = real_dtype(psi.dtype)
+        from ..engine.compiled import _onehot_rows
+
         grads = fn(
             psi,
             w,
@@ -87,7 +90,7 @@ def build_sharded_pool_screen(pool: PackedPool, mesh, axis: str = AMP_AXIS):
             zs_d,
             jnp.asarray(cre, rdt),
             jnp.asarray(cim, rdt),
-            jnp.asarray(onehot, rdt),
+            _onehot_rows(ks_host, pool.size + 1, rdt),
         )
         return grads[: pool.size]
 

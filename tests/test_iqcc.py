@@ -77,8 +77,8 @@ class TestDressing:
         H = self._random_h()
         gens = [qubit_operator("Y0 X1"), qubit_operator("Y2")]
         taus = [0.37, -0.81]
-        dressed, dropped = dress_hamiltonian(H, gens, taus)
-        assert dropped == 0
+        dressed, dropped, dweight = dress_hamiltonian(H, gens, taus)
+        assert dropped == 0 and dweight == 0.0
         e0 = np.linalg.eigvalsh(paulisum_to_dense(H, 3))
         e1 = np.linalg.eigvalsh(paulisum_to_dense(dressed, 3))
         np.testing.assert_allclose(e0, e1, atol=1e-10)
@@ -104,11 +104,45 @@ class TestDressing:
 
     def test_term_cap(self):
         H = self._random_h()
-        dressed, dropped = dress_hamiltonian(
+        full, _, _ = dress_hamiltonian(H, [qubit_operator("Y0 X1")], [0.4])
+        dressed, dropped, dweight = dress_hamiltonian(
             H, [qubit_operator("Y0 X1")], [0.4], max_terms=4
         )
         assert len(dressed) == 4
         assert dropped > 0
+        # the reported weight is exactly the summed |c| of what was cut
+        expected = np.sort(np.abs(full.c))[: len(full) - 4].sum()
+        np.testing.assert_allclose(dweight, expected, rtol=1e-12)
+
+    def test_compaction_budget_bounds_spectrum_shift(self):
+        """compact's dropped_weight rigorously bounds every eigenvalue
+        shift (Weyl): |eig_k(H) - eig_k(H')| <= sum |c_dropped|."""
+        from qsfh_tpu.ops.dressing import compact
+
+        H = self._random_h()
+        dressed, _, _ = dress_hamiltonian(
+            H, [qubit_operator("Y0 X1"), qubit_operator("Y2")], [0.4, -0.9]
+        )
+        mags = np.sort(np.abs(dressed.c))
+        eps = float(mags[:3].sum()) * 1.001  # guarantees >=3 drops
+        compacted, k, weight = compact(dressed, eps)
+        assert 0 < weight <= eps
+        assert len(compacted) == len(dressed) - k
+        e0 = np.linalg.eigvalsh(paulisum_to_dense(dressed, 3))
+        e1 = np.linalg.eigvalsh(paulisum_to_dense(compacted, 3))
+        assert np.max(np.abs(e0 - e1)) <= weight + 1e-12
+
+        # budget 0 is the identity
+        same, k0, w0 = compact(dressed, 0.0)
+        assert k0 == 0 and w0 == 0.0 and len(same) == len(dressed)
+
+    def test_compaction_eps_in_dress(self):
+        H = self._random_h()
+        dressed, dropped, weight = dress_hamiltonian(
+            H, [qubit_operator("Y0 X1")], [0.4], compaction_eps=0.02
+        )
+        assert dropped >= 0
+        assert weight <= 0.02
 
 
 class TestIQCCDriver:

@@ -68,7 +68,9 @@ def test_spinful_particle_hole_sector_spectrum():
 
 
 def test_spinless_magnetic_field_is_noop_and_mu():
-    """chemical_potential enters as -mu * n_i for every spinless site."""
+    """chemical_potential enters as -mu * n_i for every spinless site;
+    magnetic_field has no spin to couple to and must be a no-op
+    (OpenFermion's spinless fermi_hubbard ignores it)."""
     t, U, mu = 1.0, 0.0, 0.9
     M0 = _dense(fermi_hubbard(2, 1, t, U, periodic=True, spinless=True), 2)
     M1 = _dense(
@@ -77,3 +79,9 @@ def test_spinless_magnetic_field_is_noop_and_mu():
     )
     n_tot = np.diag([0.0, 1.0, 1.0, 2.0])
     np.testing.assert_allclose(M1, M0 - mu * n_tot, atol=1e-12)
+
+    Mb = _dense(
+        fermi_hubbard(2, 1, t, U, periodic=True, spinless=True,
+                      magnetic_field=0.7), 2
+    )
+    np.testing.assert_array_equal(Mb, M0)
