@@ -413,6 +413,15 @@ def main():
         try:
             blob = json.load(open(rec))
             blob["metric"] = blob["metric"] + "_recorded"
+            # provenance: when the recording was produced and from what
+            # code, so a replay is auditable (VERDICT round-2 weak #1)
+            blob.setdefault(
+                "recorded_at",
+                time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(rec))
+                ),
+            )
+            blob["replayed_from"] = "benchmarks/tpu_result.json"
             _log("live TPU attempts failed; emitting recorded on-chip result")
             print(json.dumps(blob))
             return

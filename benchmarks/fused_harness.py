@@ -139,6 +139,17 @@ def measure_fused_step(
         print(f"[{name}] marginal invalid; upper bound {marginal*1e3:.1f} ms/iter",
               file=sys.stderr)
 
+    git_rev = None
+    try:
+        import subprocess
+
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        pass
     blob = {
         "metric": metric,
         "value": round(1.0 / marginal, 3),
@@ -148,6 +159,11 @@ def measure_fused_step(
         ),
         "how": how,
         "platform": str(jax.devices()[0]),
+        # provenance (VERDICT round-2 weak #1): a recording replayed by
+        # bench.py must be auditable back to the run that produced it
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_rev": git_rev,
+        "timing": {k1: ts[k1], k2: ts[k2], "marginal_s": marginal},
     }
     dest = result_path if not on_cpu else os.path.join(
         "/tmp", os.path.basename(result_path)
