@@ -50,6 +50,7 @@ def test_batched_loss_matches_single():
         np.testing.assert_allclose(float(single), float(vals[b]), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_run_improves_every_start_and_reports_best():
     ms = _make(4, n_epoch=40)
     out = ms.run()
@@ -65,6 +66,7 @@ def test_run_improves_every_start_and_reports_best():
     assert re_eval == pytest.approx(out["best_energy"], rel=1e-10)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     if len(jax.devices()) < 8:
         pytest.skip("needs the virtual 8-device mesh")
@@ -76,6 +78,7 @@ def test_mesh_sharded_matches_unsharded():
     np.testing.assert_allclose(a["energies"], b["energies"], rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_sharded_scan_body_has_no_collectives():
     """Each start is independent: the DP training body must compile to zero
     cross-device collectives (the final argmin happens on host)."""
@@ -123,6 +126,7 @@ def test_batched_train_generic_loss():
     assert (np.asarray(final_e) < 1e-3).all()
 
 
+@pytest.mark.slow
 def test_multistart_hea_h2():
     """Best-of-B HEA on H2 reaches FCI where the batch parity holds."""
     from qsfh_tpu.molecules import H2

@@ -268,6 +268,7 @@ class TestStreamingKernels:
         g_st = np.asarray(jax.jit(pool2.screen_scan)(psi12, w))
         np.testing.assert_allclose(g_st, g_xla, atol=3e-5)
 
+    @pytest.mark.slow
     def test_adjoint_stream_matches_xla(self, monkeypatch, tmp_path):
         """Full split-stage pipeline at 12q routed through the streaming
         kernels (fwd rotations, cotangent apply, adjoint sweep): gradients
@@ -303,6 +304,7 @@ class TestStreamingKernels:
         np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_r), atol=2e-6)
         np.testing.assert_allclose(g_p, g_x, atol=2e-5)
 
+    @pytest.mark.slow
     def test_mixed_chain_fwd_stream_adjoint(self, monkeypatch, tmp_path):
         """The 18q production split in miniature: fwd/energy/cotangent take
         the VMEM chain kernels while the ADJOINT streams (its own cap sits

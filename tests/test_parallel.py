@@ -47,6 +47,7 @@ class TestMesh:
 
 
 class TestShardedHVA:
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self, problem):
         """The sharded train step must produce the same energy and gradient
         norm as the unsharded circuit at non-degenerate parameter points.
@@ -193,6 +194,7 @@ class TestBeyondReferenceScale:
 
 
 class TestShardedAdjointGradient:
+    @pytest.mark.slow
     def test_adjoint_matches_backprop_f64(self):
         """The sharded reverse-replay gradient (O(1) memory in depth, the
         32-qubit enabler) equals plain backprop through the shard_map
@@ -238,6 +240,7 @@ class TestShardedAdjointGradient:
 
 
 class TestScanLowering:
+    @pytest.mark.slow
     def test_scan_matches_unrolled_bitwise_f64(self):
         """The constant-size scan lowering (per-generator static-flip scans +
         Givens u4 scans) is exactly the same computation as the unrolled
@@ -281,6 +284,7 @@ class TestScanLowering:
 
 
 class TestShmapHVA:
+    @pytest.mark.slow
     def test_matches_gspmd_step_f64(self):
         """The explicit shard_map HVA step (scan-lowered, adjoint gradient,
         no 2^n host Coulomb vector -- the 32-qubit form) matches the GSPMD
@@ -319,6 +323,7 @@ class TestShmapHVA:
 
 
 class TestMeshDriverHVA:
+    @pytest.mark.slow
     def test_driver_mesh_step_matches_single_chip(self, tmp_path, monkeypatch):
         """HVA(mesh_devices=8) trains on the sharded step with the same
         7-tuple metric surface; one step from a nudged (non-saddle) point
@@ -350,6 +355,7 @@ class TestMeshDriverHVA:
 
 
 class TestMeshDriverADAPT:
+    @pytest.mark.slow
     def test_driver_mesh_run_matches_single_chip(self, tmp_path, monkeypatch):
         """ADAPT(mesh_devices=8): screening, selection, and training all run
         sharded and reproduce the single-chip run to f64 precision

@@ -14,6 +14,7 @@ def h2():
     return H2(r=0.8)
 
 
+@pytest.mark.slow
 def test_vqd_smoke_two_levels(h2, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     vqd = VQD(h2, n_levels=2, n_epoch=30, reps=2, lr=1e-1, beta=5.0,
