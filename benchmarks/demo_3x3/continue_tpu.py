@@ -24,6 +24,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.join(HERE, "..", "..")
 sys.path.insert(0, ROOT)
 
+# Force the ADJOINT off the streaming-pallas route at 18q: that route
+# emits one pallas_call per block-crossing rotation term, and at 727
+# ansatz ops (~5k rotation terms) a K-unrolled chunk program became a
+# multi-thousand-kernel HLO that traced for 75+ min without finishing
+# (2026-08-19).  With stream_max < 18 the adjoint lowers to ONE XLA
+# reverse scan (compiles in seconds); fwd/energy/cotangent keep the
+# VMEM chain kernels (their cap is 18, independent of this knob).
+os.environ.setdefault("QSFH_PALLAS_STREAM_MAX_N", "17")
+
 import jax  # noqa: E402  (axon TPU platform; do NOT force cpu here)
 
 import numpy as np  # noqa: E402
@@ -91,6 +100,7 @@ def main():
 
     runner = FusedAdaptRunner(
         vqe, chunk_iters=CHUNK, metrics_every_iter=False, on_epoch_end=anchor,
+        dispatch="stages",
     )
     for phase, thr in enumerate(SCHEDULE):
         vqe.threshold1 = thr

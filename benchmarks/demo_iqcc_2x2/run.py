@@ -32,11 +32,56 @@ from qsfh_tpu.algos.iqcc import IQCC  # noqa: E402
 from qsfh_tpu.ops.lattice import fermi_hubbard  # noqa: E402
 
 
+def compacted_leg(hamiltonian):
+    """Error-budgeted compaction at a USABLE operating point.
+
+    The round-2 hard cap (max_terms=120) destroyed 1.2 Ha of physics;
+    this leg instead runs the full reference config with a per-epoch
+    coefficient-magnitude budget (ops/dressing.py compact): drop the
+    smallest-|c| tail only while its summed weight stays within
+    eps=2e-4 Ha, so 21 epochs carry a RIGOROUS cumulative
+    eigenvalue-shift bound <= 21*2e-4 = 4.2 mHa (Weyl), and the
+    achieved error should sit within ~5 mHa of the uncapped 0.14 mHa.
+    """
+    eps = 2e-4
+    vqe = IQCC(
+        hamiltonian=hamiltonian,
+        n_epoch=100,
+        lr=1e-2,
+        threshold=5e-3,
+        compaction_eps=eps,
+        ground_truth=True,
+        results_root=os.path.join(HERE, "results_compacted"),
+        tag="IQCC-hubbard-2x2-compacted",
+        plot=False,
+        log_metrics=False,
+    )
+    t0 = time.time()
+    hist = vqe.run()
+    return {
+        "compaction_eps_per_epoch": eps,
+        "epochs": len(hist["epoch"]),
+        "final_energy": hist["epoch"][-1],
+        "error_mHa": 1e3 * (hist["epoch"][-1] - vqe.ground_state_energy),
+        "eigenvalue_shift_bound_mHa": 1e3 * vqe.compaction_bound,
+        "dressed_terms_final": len(vqe.current_hamiltonian),
+        "wall_clock_s": round(time.time() - t0, 1),
+    }
+
+
 def main():
     hamiltonian = fermi_hubbard(
         x_dimension=2, y_dimension=2, tunneling=1.0, coulomb=4.0,
         periodic=True, spinless=False,
     )
+    if "--compacted-only" in sys.argv:
+        path = os.path.join(HERE, "summary.json")
+        summary = json.load(open(path))
+        summary["compacted_run"] = compacted_leg(hamiltonian)
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary["compacted_run"], indent=1))
+        return
     t0 = time.time()
     vqe = IQCC(
         hamiltonian=hamiltonian,
@@ -89,6 +134,7 @@ def main():
         "error_mHa": 1e3 * (capped_hist["epoch"][-1] - capped.ground_state_energy),
         "dressed_terms_final": len(capped.current_hamiltonian),
     }
+    summary["compacted_run"] = compacted_leg(hamiltonian)
     with open(os.path.join(HERE, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary["capped_run"], indent=1))

@@ -107,9 +107,12 @@ class FusedAdaptRunner:
         max_inner_iterations: Optional[int] = None,
         verbose: bool = True,
         on_epoch_end=None,
+        dispatch: str = "fused",
     ):
         if vqe.circuit_mode != "split":
             raise ValueError("FusedAdaptRunner requires circuit_mode='split'")
+        if dispatch not in ("fused", "stages"):
+            raise ValueError("dispatch must be 'fused' or 'stages'")
         self.vqe = vqe
         self.chunk_iters = int(chunk_iters)
         self.metrics_every_iter = bool(metrics_every_iter)
@@ -119,10 +122,20 @@ class FusedAdaptRunner:
         )
         self.verbose = verbose
         self.on_epoch_end = on_epoch_end  # called(epoch_index) after save_model
+        # dispatch="stages" runs the inner loop as per-stage jitted calls
+        # (fwd / energy / cotangent / adjoint / update, metrics on chunk
+        # boundaries) instead of one K-unrolled program.  At large ansatz
+        # sizes the fused program is untraceable: 727 ops x K=8 put the
+        # streaming adjoint's one-pallas-call-per-block-crossing-term
+        # structure ~5k kernels deep into a single HLO (observed 75+ min
+        # of host tracing, 2026-08-19); each stage alone is one
+        # scan/chain and compiles in seconds.
+        self.dispatch = dispatch
         base = ckpt.resolve(vqe.model_filepath)
         self.inflight_path = inflight_path or (base + ".inflight.npz")
         self._psi0 = initial_state_reim(vqe)
         self._chunk_cache = {}
+        self._stage_cache = {}
 
     # -- program construction ---------------------------------------------------
 
@@ -154,6 +167,37 @@ class FusedAdaptRunner:
         fn = jax.jit(chunk)
         self._chunk_cache[key] = fn
         return fn
+
+    def _build_stages(self, indices: Sequence[int], optimizer):
+        """Separately jitted raw stages (dispatch='stages')."""
+        key = (tuple(indices), float(self.vqe.program_salt))
+        if key in self._stage_cache:
+            return self._stage_cache[key]
+        raw = self.vqe._build_step_split(tuple(indices), optimizer).raw_stages
+        fns = {name: jax.jit(raw[name]) for name in
+               ("fwd_from", "energy", "cotangent", "adjoint", "metrics",
+                "update")}
+        self._stage_cache[key] = fns
+        return fns
+
+    def _chunk_stages(self, fns, psi0, th, opt_state, k: int):
+        """K train steps as per-stage dispatches; same returns as the
+        fused chunk program (th, opt, energies, gnorms, sz, s2, fid)."""
+        es, gns, mets = [], [], []
+        psi_r = None
+        for j in range(k):
+            psi_r = fns["fwd_from"](psi0, th)
+            es.append(fns["energy"](psi_r))
+            lam_r = fns["cotangent"](psi_r)
+            g = fns["adjoint"](psi_r, lam_r, th)
+            if self.metrics_every_iter:
+                mets.append(fns["metrics"](psi_r))
+            th, opt_state, gn = fns["update"](th, g, opt_state)
+            gns.append(gn)
+        if not self.metrics_every_iter:
+            mets.append(fns["metrics"](psi_r))
+        sz, s2, fid = (jnp.stack(col) for col in zip(*mets))
+        return th, opt_state, jnp.stack(es), jnp.stack(gns), sz, s2, fid
 
     # -- in-flight state ----------------------------------------------------------
 
@@ -223,10 +267,16 @@ class FusedAdaptRunner:
         psi0 = self._psi0
         failures = 0
         while inner < self.max_inner_iterations:
-            fn = self._build_chunk(vqe.selected_indices, optimizer, k)
             t0 = time.time()
             try:
-                th2, opt2, es, gns, sz, s2, fid = fn(psi0, th, opt_state)
+                if self.dispatch == "stages":
+                    fns = self._build_stages(vqe.selected_indices, optimizer)
+                    th2, opt2, es, gns, sz, s2, fid = self._chunk_stages(
+                        fns, psi0, th, opt_state, k
+                    )
+                else:
+                    fn = self._build_chunk(vqe.selected_indices, optimizer, k)
+                    th2, opt2, es, gns, sz, s2, fid = fn(psi0, th, opt_state)
                 es = np.asarray(es, dtype=np.float64)  # fetch = proof of execution
                 gns = np.asarray(gns, dtype=np.float64)
                 sz = np.asarray(sz, dtype=np.float64)
@@ -238,6 +288,10 @@ class FusedAdaptRunner:
                     raise
                 self._chunk_cache.pop(
                     (tuple(vqe.selected_indices), k, float(vqe.program_salt)),
+                    None,
+                )
+                self._stage_cache.pop(
+                    (tuple(vqe.selected_indices), float(vqe.program_salt)),
                     None,
                 )
                 # the salt is a REAL rotation angle folded into the program

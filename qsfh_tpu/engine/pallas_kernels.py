@@ -141,6 +141,95 @@ def _xor_permute(x, mask, rows: int):
     return x3.reshape(rows, LANE)
 
 
+def _xor_permute_static(x, mask: int, rows: int):
+    """out[b] = x[b ^ mask] on an (rows, LANE) f32 plane, HOST-static mask.
+
+    The dynamic :func:`_xor_permute` must run all three XOR matmuls
+    unconditionally (its mask is kernel data), costing ~500 MXU flops per
+    element per term -- the measured reason the streaming sizes sit at
+    4-6%% of HBM peak (benchmarks/tpu_utilization.json).  With the mask
+    known at trace time (the streaming kernels' masks ARE host numpy),
+    every identity piece is skipped and the row-bit pieces lower to
+    cheaper forms:
+
+    * lane bits (low 7): one 128x128 XOR matmul -- only when nonzero;
+    * row bits 0-2 (sublane strides 1/2/4): one (8, 8) XOR matmul on the
+      minor-transposed plane (the transpose+matmul pattern already proven
+      on-chip for the dynamic mid-bit piece, just 16x smaller);
+    * row bits >= 3: per-set-bit half swaps via STATIC slice+concat on
+      8-row-aligned chunks (pure VMEM data movement, zero flops).
+    """
+    mask = int(mask)
+    if mask == 0:
+        return x
+    prec = jax.lax.Precision.HIGHEST
+    lane_mask = mask & (LANE - 1)
+    row_mask = mask >> LANE_BITS
+    if lane_mask:
+        x = jnp.dot(x, _xor_matrix(LANE, np.uint32(lane_mask)),
+                    preferred_element_type=jnp.float32, precision=prec)
+    lo = row_mask & 7
+    if lo:
+        if rows < 8:
+            raise ValueError("static permute needs >= 8 rows")
+        g = rows // 8
+        x3 = x.reshape(g, 8, LANE)
+        y = jnp.swapaxes(x3, 1, 2)  # (g, LANE, 8) -- minor-dim transpose
+        y = jnp.dot(y, _xor_matrix(8, np.uint32(lo)),
+                    preferred_element_type=jnp.float32, precision=prec)
+        x = jnp.swapaxes(y, 1, 2).reshape(rows, LANE)
+    hi = row_mask >> 3
+    t = 3
+    while hi:
+        if hi & 1:
+            c = 1 << t  # rows per half-swap chunk (>= 8: tile-aligned)
+            a = rows // (2 * c)
+            x4 = x.reshape(a, 2, c, LANE)
+            x4 = jnp.concatenate([x4[:, 1:2], x4[:, 0:1]], axis=1)
+            x = x4.reshape(rows, LANE)
+        hi >>= 1
+        t += 1
+    return x
+
+
+def _parity_sign_static(zb: int, rows: int):
+    """s(b) = (-1)^{popcount(b & zb)} with a HOST-static z mask.
+
+    Returns None for zb == 0 (all +1) so callers can skip the multiply;
+    otherwise XORs only the SET bits of zb (the dynamic form loops over
+    all n bits)."""
+    zb = int(zb)
+    if zb == 0:
+        return None
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 1)
+    b = (row_ids << np.uint32(LANE_BITS)) | lane_ids
+    par = jnp.zeros((rows, LANE), jnp.uint32)
+    t = 0
+    while zb:
+        if zb & 1:
+            par = par ^ ((b >> np.uint32(t)) & np.uint32(1))
+        zb >>= 1
+        t += 1
+    return jnp.where(par > np.uint32(0), jnp.float32(-1.0), jnp.float32(1.0))
+
+
+def _block_sign_static(zhi: int, i):
+    """(-1)^{popcount(zhi & block_index)} as a traced f32 scalar; zhi is
+    HOST-static so only its set bits cost ops.  Returns None for zhi == 0."""
+    zhi = int(zhi)
+    if zhi == 0:
+        return None
+    par = jnp.int32(0)
+    t = 0
+    while zhi:
+        if zhi & 1:
+            par = par ^ ((i >> np.int32(t)) & np.int32(1))
+        zhi >>= 1
+        t += 1
+    return jnp.where(par > 0, jnp.float32(-1.0), jnp.float32(1.0))
+
+
 def _parity_sign(zb, rows: int):
     """s(b) = (-1)^{popcount(b & zb)} on the (rows, LANE) index grid.
 
@@ -957,6 +1046,201 @@ def _group_arrays(idx, xs, zs, cre, cim, bb):
     return xlo, zlo, zhi, gcre, gcim
 
 
+def _stream_static_enabled() -> bool:
+    """Static-mask streaming kernels (default ON; QSFH_STREAM_STATIC=0
+    falls back to the dynamic fori_loop kernels)."""
+    return os.environ.get("QSFH_STREAM_STATIC", "1") == "1"
+
+
+def _stream_static_max_terms() -> int:
+    """Per-group unroll bound for the static kernels; groups larger than
+    this fall back to the dynamic data-driven loop (compile-size guard
+    for molecular-scale Hamiltonians)."""
+    return int(os.environ.get("QSFH_STREAM_STATIC_MAX_TERMS", "128"))
+
+
+def _static_terms(idx, xs, zs, cre, cim, bb):
+    """HOST-side (xlo, zlo, zhi, cre, cim) tuples for one flip group."""
+    xs = np.asarray(xs, np.uint32)
+    zs = np.asarray(zs, np.uint32)
+    cre = np.asarray(cre, np.float32)
+    cim = np.asarray(cim, np.float32)
+    inb = (1 << (LANE_BITS + bb)) - 1
+    return [
+        (int(xs[t]) & inb, int(zs[t]) & inb,
+         int(zs[t]) >> (LANE_BITS + bb), float(cre[t]), float(cim[t]))
+        for t in idx
+    ]
+
+
+def _subgroup_by_xlo(terms):
+    """{xlo: [(zlo, zhi, cre, cim), ...]} -- one permute per DISTINCT
+    in-block flip services every term sharing it (XX/YY hopping pairs
+    share x masks, so this typically halves the permute count)."""
+    subs = {}
+    for xlo, zlo, zhi, cr, ci in terms:
+        subs.setdefault(xlo, []).append((zlo, zhi, cr, ci))
+    return subs
+
+
+def _static_weight_planes(sub, i, rows, want_im: bool):
+    """(W_re, W_im) weight planes sum_j c_j * s_j(b) for one xlo subgroup.
+
+    s_j factors into a static in-block sign plane and a (traced) per-block
+    scalar; zero z masks skip their piece entirely.  Either return can be
+    a traced scalar (when every term's in-block z mask is zero) -- callers
+    rely on broadcasting."""
+
+    def accumulate(coeff_of):
+        plane = None
+        scalar = None
+        const = 0.0
+        for zlo, zhi, cr, ci in sub:
+            c = coeff_of(cr, ci)
+            if c == 0.0:
+                continue
+            bs = _block_sign_static(zhi, i)
+            w = jnp.float32(c) * bs if bs is not None else None
+            s = _parity_sign_static(zlo, rows)
+            if s is None:
+                if w is None:
+                    const += c
+                else:
+                    scalar = w if scalar is None else scalar + w
+            else:
+                p = (w * s) if w is not None else (jnp.float32(c) * s)
+                plane = p if plane is None else plane + p
+        out = None
+        if const != 0.0:
+            out = jnp.float32(const)
+        if scalar is not None:
+            out = scalar if out is None else out + scalar
+        if plane is not None:
+            out = plane if out is None else plane + out
+        return out
+
+    wr = accumulate(lambda cr, ci: cr)
+    wi = accumulate(lambda cr, ci: ci) if want_im else None
+    return wr, wi
+
+
+def _make_expectation_stream_kernel_static(nhi, terms):
+    """Fully unrolled one-group expectation kernel with static masks."""
+    subs = _subgroup_by_xlo(terms)
+    want_im = any(ci != 0.0 for _, _, _, _, ci in terms)
+
+    def kernel(sre_ref, sim_ref, pre_ref, pim_ref, out_ref):
+        i = pl.program_id(0)
+        br = sre_ref.shape[0]
+        re = sre_ref[:]
+        im = sim_ref[:]
+        tre0 = pre_ref[:]
+        tim0 = pim_ref[:]
+        acc = jnp.float32(0.0)
+        for xlo, sub in subs.items():
+            tre = _xor_permute_static(tre0, xlo, br)
+            tim = _xor_permute_static(tim0, xlo, br)
+            wr, wi = _static_weight_planes(sub, i, br, want_im)
+            if wr is not None:
+                acc = acc + jnp.sum(wr * (re * tre + im * tim))
+            if wi is not None:
+                acc = acc - jnp.sum(wi * (re * tim - im * tre))
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[:] = jnp.zeros((8, LANE), jnp.float32) + acc
+
+        @pl.when(i > 0)
+        def _accum():
+            out_ref[:] = out_ref[:] + acc
+
+    return kernel
+
+
+def _make_apply_stream_kernel_static(nhi, terms):
+    """Fully unrolled one-group apply kernel with static masks."""
+    subs = _subgroup_by_xlo(terms)
+    want_im = any(ci != 0.0 for _, _, _, _, ci in terms)
+
+    def kernel(pre_ref, pim_ref, ore_ref, oim_ref):
+        i = pl.program_id(0)
+        br = pre_ref.shape[0]
+        tre0 = pre_ref[:]
+        tim0 = pim_ref[:]
+        ar = jnp.zeros((br, LANE), jnp.float32)
+        ai = jnp.zeros((br, LANE), jnp.float32)
+        for xlo, sub in subs.items():
+            tre = _xor_permute_static(tre0, xlo, br)
+            tim = _xor_permute_static(tim0, xlo, br)
+            wr, wi = _static_weight_planes(sub, i, br, want_im)
+            if wr is not None:
+                ar = ar + wr * tre
+                ai = ai + wr * tim
+            if wi is not None:
+                ar = ar - wi * tim
+                ai = ai + wi * tre
+        ore_ref[:] = ar
+        oim_ref[:] = ai
+
+    return kernel
+
+
+def _make_screen_stream_kernel_static(nhi, terms):
+    """Fully unrolled one-group screening kernel with static masks.
+
+    Per-term scalars stay separate (screening ranks terms), but the
+    permute and the A/B elementwise planes are shared per distinct xlo."""
+    # subgroup by xlo, carrying each term's ORIGINAL slot so the one-hot
+    # accumulator matches the caller's chunk order (the perm contract)
+    subs = {}
+    for j, (xlo, zlo, zhi, cr, ci) in enumerate(terms):
+        subs.setdefault(xlo, []).append((zlo, zhi, cr, ci, j))
+
+    def kernel(wre_ref, wim_ref, pre_ref, pim_ref, acc_ref):
+        i = pl.program_id(0)
+        br = wre_ref.shape[0]
+        wre = wre_ref[:]
+        wim = wim_ref[:]
+        tre0 = pre_ref[:]
+        tim0 = pim_ref[:]
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+        slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
+        acc = jnp.zeros((8, LANE), jnp.float32)
+        for xlo, sub in subs.items():
+            tre = _xor_permute_static(tre0, xlo, br)
+            tim = _xor_permute_static(tim0, xlo, br)
+            a_pl = wre * tre + wim * tim
+            b_pl = wre * tim - wim * tre
+            sum_a = jnp.sum(a_pl)
+            sum_b = jnp.sum(b_pl)
+            for zlo, zhi, cr, ci, j in sub:
+                s = _parity_sign_static(zlo, br)
+                if s is None:
+                    vr, vi = sum_a, sum_b
+                else:
+                    vr = jnp.sum(s * a_pl)
+                    vi = jnp.sum(s * b_pl)
+                bs = _block_sign_static(zhi, i)
+                if bs is not None:
+                    vr = bs * vr
+                    vi = bs * vi
+                contrib = 2.0 * (jnp.float32(cr) * vi + jnp.float32(ci) * vr)
+                acc = acc + contrib * jnp.where(
+                    slot_id == np.int32(j), jnp.float32(1.0), jnp.float32(0.0)
+                )
+
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[:] = acc
+
+        @pl.when(i > 0)
+        def _accum():
+            acc_ref[:] = acc_ref[:] + acc
+
+    return kernel
+
+
 def _screen_stream_kernel(
     nhi, xlo_ref, zlo_ref, zhi_ref, cre_ref, cim_ref,
     wre_ref, wim_ref, pre_ref, pim_ref, acc_ref,
@@ -1027,9 +1311,31 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
 
     vals = []
     perm = []
+    static_ok = _stream_static_enabled()
+    cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
         for lo in range(0, len(idx), 8 * LANE):
             chunk = idx[lo : lo + 8 * LANE]
+            if static_ok and len(chunk) <= cap:
+                kernel = _make_screen_stream_kernel_static(
+                    nhi, _static_terms(chunk, xs, zs, cre, cim, bb)
+                )
+                acc = pl.pallas_call(
+                    kernel,
+                    grid=(nb,),
+                    out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+                    in_specs=[
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
+                    interpret=jax.devices()[0].platform == "cpu",
+                )(wre, wim, re, im)
+                vals.append(acc.reshape(-1)[: len(chunk)])
+                perm.extend(chunk)
+                continue
             xlo, zlo, zhi, gcre, gcim = _group_arrays(chunk, xs, zs, cre, cim, bb)
             acc = pl.pallas_call(
                 functools.partial(_screen_stream_kernel, nhi),
@@ -1079,7 +1385,28 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
     rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
 
     total = jnp.float32(0.0)
+    static_ok = _stream_static_enabled()
+    cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
+        if static_ok and len(idx) <= cap:
+            kernel = _make_expectation_stream_kernel_static(
+                nhi, _static_terms(idx, xs, zs, cre, cim, bb)
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+                in_specs=[
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                ],
+                out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
+                interpret=jax.devices()[0].platform == "cpu",
+            )(re, im, re, im)
+            total = total + out[0, 0]
+            continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
         out = pl.pallas_call(
             functools.partial(_expectation_stream_kernel, nhi),
@@ -1185,7 +1512,33 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
 
     ore = jnp.zeros((rows, LANE), jnp.float32)
     oim = jnp.zeros((rows, LANE), jnp.float32)
+    static_ok = _stream_static_enabled()
+    cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
+        if static_ok and len(idx) <= cap:
+            kernel = _make_apply_stream_kernel_static(
+                nhi, _static_terms(idx, xs, zs, cre, cim, bb)
+            )
+            gre, gim = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                out_shape=(
+                    jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                    jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                ),
+                in_specs=[
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                ),
+                interpret=jax.devices()[0].platform == "cpu",
+            )(re, im)
+            ore = ore + gre
+            oim = oim + gim
+            continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
         gre, gim = pl.pallas_call(
             functools.partial(_apply_stream_kernel, nhi),
