@@ -35,6 +35,11 @@ WARMUP = 2
 ITERS = 4
 TPU_TIMEOUT_S = int(os.environ.get("QSFH_BENCH_TPU_TIMEOUT", "240"))
 TPU_ATTEMPTS = int(os.environ.get("QSFH_BENCH_TPU_ATTEMPTS", "2"))
+# global wall budget: once exceeded, skip remaining live attempts and fall
+# through to the recorded result instead of risking the caller's own
+# timeout killing the process before ANY metric line is emitted
+DEADLINE_S = int(os.environ.get("QSFH_BENCH_DEADLINE", "1020"))
+_START = time.time()
 
 
 def _log(msg, _t0=[None]):
@@ -324,6 +329,31 @@ def main():
     # program hash), then fall back to CPU
     import tempfile
 
+    # self-warm every split stage into the persistent compile cache FIRST
+    # (round-2 root cause: the inner attempt's 120 s budget was consumed by
+    # six sequential cold stage compiles right after "ADAPT built"; with
+    # the stages warmed, the inner attempt is cache-hits + execution).
+    # Per-stage timestamps land in the bench log for diagnosability.
+    warm_budget = int(os.environ.get("QSFH_BENCH_WARM_TIMEOUT", "360"))
+    env = dict(os.environ)
+    env["QSFH_BENCH_SALT"] = env.get("QSFH_BENCH_SALT", "0") or str(
+        (time.time() % 86400) * 1e-9
+    )
+    warm_salt = env["QSFH_BENCH_SALT"]
+    try:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warm-stages"],
+            env=env, timeout=warm_budget, capture_output=True, text=True,
+        )
+        _log(f"warm-stages rc={proc.returncode} in {time.time()-t0:.1f}s")
+        for l in proc.stderr.strip().splitlines()[-8:]:
+            _log(f"warm: {l}")
+        stages_warm = proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        _log(f"warm-stages exceeded {warm_budget}s")
+        stages_warm = False
+
     # attempt the fused-shape measurement first: the whole train step as
     # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
     # program-shape class the chip demonstrably accepts, and it
@@ -356,18 +386,30 @@ def main():
             _log(f"fused attempt exceeded {TPU_TIMEOUT_S}s")
 
     err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
-    per_attempt = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 120)
+    # attempt 0 rides the just-warmed (or campaign-warmed) cache and gets
+    # the largest budget; cold retries get 180 s each (the round-2 120 s
+    # floor was below the observed six-stage cold-compile latency)
+    per_attempt0 = max(TPU_TIMEOUT_S, 300)
+    per_attempt_cold = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 180)
     # if the campaign warmed the persistent cache, attempt 0 reuses the
-    # exact salt + program shape it warmed with
-    warmed = None
+    # exact salt + program shape it warmed with; the self-warm above
+    # takes precedence (same process lineage, same salt)
+    warmed = (warm_salt, os.environ.get("QSFH_SPLIT_TWO_SCAN", "0")) \
+        if stages_warm else None
     salt_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_salt.txt"
     )
-    if os.path.exists(salt_file):
+    if warmed is None and os.path.exists(salt_file):
         fields = open(salt_file).read().split()
         if fields:
             warmed = (fields[0], fields[1] if len(fields) > 1 else "0")
     for attempt in range(TPU_ATTEMPTS):
+        left = DEADLINE_S - (time.time() - _START)
+        if left < 90:
+            _log(f"deadline ({DEADLINE_S}s) reached; skipping live attempts")
+            break
+        per_attempt = min(per_attempt0 if attempt == 0 else per_attempt_cold,
+                          int(left))
         env = dict(os.environ)
         if attempt == 0 and warmed:
             env["QSFH_BENCH_SALT"] = warmed[0]

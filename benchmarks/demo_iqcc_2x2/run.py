@@ -43,7 +43,7 @@ def compacted_leg(hamiltonian):
     eigenvalue-shift bound <= 21*2e-4 = 4.2 mHa (Weyl), and the
     achieved error should sit within ~5 mHa of the uncapped 0.14 mHa.
     """
-    eps = 2e-4
+    eps = float(os.environ.get("QSFH_IQCC_EPS", "2e-4"))
     vqe = IQCC(
         hamiltonian=hamiltonian,
         n_epoch=100,
@@ -51,8 +51,8 @@ def compacted_leg(hamiltonian):
         threshold=5e-3,
         compaction_eps=eps,
         ground_truth=True,
-        results_root=os.path.join(HERE, "results_compacted"),
-        tag="IQCC-hubbard-2x2-compacted",
+        results_root=os.path.join(HERE, f"results_compacted_{eps:g}"),
+        tag=f"IQCC-hubbard-2x2-compacted-{eps:g}",
         plot=False,
         log_metrics=False,
     )
@@ -77,10 +77,17 @@ def main():
     if "--compacted-only" in sys.argv:
         path = os.path.join(HERE, "summary.json")
         summary = json.load(open(path))
-        summary["compacted_run"] = compacted_leg(hamiltonian)
+        leg = compacted_leg(hamiltonian)
+        runs = summary.setdefault("compacted_runs", [])
+        runs[:] = [r for r in runs
+                   if r["compaction_eps_per_epoch"]
+                   != leg["compaction_eps_per_epoch"]]
+        runs.append(leg)
+        runs.sort(key=lambda r: r["compaction_eps_per_epoch"])
+        summary.pop("compacted_run", None)
         with open(path, "w") as f:
             json.dump(summary, f, indent=1)
-        print(json.dumps(summary["compacted_run"], indent=1))
+        print(json.dumps(leg, indent=1))
         return
     t0 = time.time()
     vqe = IQCC(

@@ -139,9 +139,9 @@ def main() -> int:
     write()
 
     if out["correct"]:
-        def time_chain(prog):
+        def time_chain(prog, ks=(4, 12)):
             ts = {}
-            for k in (4, 12):
+            for k in ks:
                 scales = jnp.linspace(1.0, 1.0001, k, dtype=jnp.float32)
                 float(prog(psi_reim, scales))
                 samples = []
@@ -150,20 +150,44 @@ def main() -> int:
                     float(prog(psi_reim, scales))
                     samples.append(time.time() - s0)
                 ts[k] = float(np.median(samples))
-            return 1e3 * (ts[12] - ts[4]) / 8
+            return 1e3 * (ts[ks[1]] - ts[ks[0]]) / (ks[1] - ks[0])
 
         out["energy_eval_stream_ms"] = round(time_chain(chain), 3)
         write()
+
+        # dynamic-kernel baseline for the static-permute A/B
+        os.environ["QSFH_STREAM_STATIC"] = "0"
         try:
-            _, chain_x = build("0")
-            out["energy_eval_xla_ms"] = round(time_chain(chain_x), 3)
-        except Exception as exc:  # the XLA chain can crash the TPU worker at 24q
-            out["energy_eval_xla_ms"] = None
-            out["xla_timing_note"] = f"XLA-path timing failed: {type(exc).__name__}"
-            log(out["xla_timing_note"])
+            _, chain_dyn = build("1")
+            out["energy_eval_stream_dynamic_ms"] = round(time_chain(chain_dyn), 3)
+        except Exception as exc:
+            out["energy_eval_stream_dynamic_ms"] = None
+            out["dynamic_timing_note"] = f"{type(exc).__name__}"
+        finally:
+            os.environ["QSFH_STREAM_STATIC"] = "1"
+        write()
+
+        # XLA-scan baseline: the 12-eval chain reproducibly crashed the
+        # tunneled worker at 24q (round 2); standard protocol first, then
+        # fall back to the shortest marginal pair after the worker recovers
+        for ks in ((4, 12), (1, 3)):
+            try:
+                _, chain_x = build("0")
+                out["energy_eval_xla_ms"] = round(time_chain(chain_x, ks), 3)
+                out["xla_chain_lengths"] = list(ks)
+                out.pop("xla_timing_note", None)
+                break
+            except Exception as exc:
+                out["energy_eval_xla_ms"] = None
+                out["xla_timing_note"] = (
+                    f"XLA-path timing failed at k={ks}: {type(exc).__name__}"
+                )
+                log(out["xla_timing_note"])
+                time.sleep(150)  # worker recovers in ~2-3 min after a crash
         write()
         log(
             f"energy eval {N}q: stream {out['energy_eval_stream_ms']} ms "
+            f"(dynamic {out.get('energy_eval_stream_dynamic_ms')}) "
             f"vs xla {out['energy_eval_xla_ms']} ms"
         )
 

@@ -86,11 +86,13 @@ def main() -> int:
 
     e_err = abs(e - e_closed) / max(abs(e_closed), 1e-9)
     n_err = abs(norm2 - 1.0)
+    static = os.environ.get("QSFH_STREAM_STATIC", "1") == "1"
     out = {
         "platform": str(jax.devices()[0]),
         "n_qubits": N,
         "lattice": f"{x}x{y}",
         "h_terms": len(obs),
+        "stream_static": static,
         "seed": seed,
         "energy_closed_form": e_closed,
         "energy_on_device": e,
@@ -101,7 +103,10 @@ def main() -> int:
     log(f"rel err: energy {e_err:.2e}, norm {n_err:.2e}")
 
     dest = HERE if not on_cpu else "/tmp"
-    path = os.path.join(dest, f"tpu_stream_big_{N}.json")
+    # the dynamic-kernel baseline (QSFH_STREAM_STATIC=0) records beside the
+    # static default instead of overwriting it -- the pair IS the A/B
+    suffix = "" if static else "_dyn"
+    path = os.path.join(dest, f"tpu_stream_big_{N}{suffix}.json")
 
     def flush():
         # progressive write: a sick-window timeout mid-ladder keeps every

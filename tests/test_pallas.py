@@ -461,3 +461,58 @@ class TestRoutingAndEdgeGuards:
         )
         assert np.asarray(c).shape == (0,)
         np.testing.assert_allclose(np.asarray(p0), np.asarray(psi))
+
+
+class TestStaticStreamEquivalence:
+    """Static-mask streaming kernels == dynamic data-driven kernels.
+
+    The static path (QSFH_STREAM_STATIC=1, the default) unrolls each flip
+    group with host-known masks: identity permute pieces are skipped, the
+    sublane XOR lowers to an (8,8) matmul + aligned slice/concat swaps,
+    and per-term signs fold into coefficient-weighted planes.  Random
+    masks here hit every decomposition zone (identity / lane-only /
+    low-row / high-row / mixed); n=13 exercises the aligned concat swaps
+    (rows=64, br=32 -> row bits 3-4)."""
+
+    def _random_terms(self, n, T, seed):
+        rng = np.random.default_rng(seed)
+        N = 1 << n
+        xs = rng.integers(0, N, T, dtype=np.uint32)
+        zs = rng.integers(0, N, T, dtype=np.uint32)
+        xs[0] = 0                      # diagonal term
+        xs[1] = 0b101                  # lane-only flips
+        xs[2] = 0b110000000            # low row bits only
+        xs[3] = (N >> 1) | 0b1         # block-crossing + lane
+        cre = rng.standard_normal(T).astype(np.float32)
+        cim = rng.standard_normal(T).astype(np.float32)
+        cim[::3] = 0.0
+        return xs, zs, cre, cim
+
+    @pytest.mark.parametrize("n", [12, 13])
+    def test_static_matches_dynamic(self, n, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import (
+            apply_stream_pallas,
+            expectation_stream_pallas,
+            screen_stream_pallas,
+        )
+
+        k1, k2 = jax.random.PRNGKey(n), jax.random.PRNGKey(n + 100)
+        v = jax.random.normal(k1, (1 << n,)) + 1j * jax.random.normal(
+            k2, (1 << n,)
+        )
+        psi = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+        w = jax.random.normal(k2, (1 << n,)).astype(jnp.complex64)
+        xs, zs, cre, cim = self._random_terms(n, 16, seed=n)
+
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("QSFH_STREAM_STATIC", flag)
+            e = float(expectation_stream_pallas(psi, n, xs, zs, cre, cim))
+            a = np.asarray(apply_stream_pallas(psi, n, xs, zs, cre, cim))
+            s, perm = screen_stream_pallas(psi, w, n, xs, zs, cre, cim)
+            sv = np.zeros(len(xs))
+            sv[perm] = np.asarray(s)
+            outs[flag] = (e, a, sv)
+        np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=1e-5)
+        np.testing.assert_allclose(outs["1"][1], outs["0"][1], atol=1e-5)
+        np.testing.assert_allclose(outs["1"][2], outs["0"][2], atol=1e-4)
