@@ -44,15 +44,18 @@ def compacted_leg(hamiltonian):
     achieved error should sit within ~5 mHa of the uncapped 0.14 mHa.
     """
     eps = float(os.environ.get("QSFH_IQCC_EPS", "2e-4"))
+    max_terms = int(os.environ.get("QSFH_IQCC_MAXTERMS", "0")) or None
+    mt = f"-mt{max_terms}" if max_terms else ""
     vqe = IQCC(
         hamiltonian=hamiltonian,
         n_epoch=100,
         lr=1e-2,
         threshold=5e-3,
         compaction_eps=eps,
+        max_terms=max_terms,
         ground_truth=True,
-        results_root=os.path.join(HERE, f"results_compacted_{eps:g}"),
-        tag=f"IQCC-hubbard-2x2-compacted-{eps:g}",
+        results_root=os.path.join(HERE, f"results_compacted_{eps:g}{mt}"),
+        tag=f"IQCC-hubbard-2x2-compacted-{eps:g}{mt}",
         plot=False,
         log_metrics=False,
     )
@@ -60,6 +63,7 @@ def compacted_leg(hamiltonian):
     hist = vqe.run()
     return {
         "compaction_eps_per_epoch": eps,
+        "max_terms": max_terms,
         "epochs": len(hist["epoch"]),
         "final_energy": hist["epoch"][-1],
         "error_mHa": 1e3 * (hist["epoch"][-1] - vqe.ground_state_energy),
@@ -79,11 +83,10 @@ def main():
         summary = json.load(open(path))
         leg = compacted_leg(hamiltonian)
         runs = summary.setdefault("compacted_runs", [])
-        runs[:] = [r for r in runs
-                   if r["compaction_eps_per_epoch"]
-                   != leg["compaction_eps_per_epoch"]]
+        key = lambda r: (r["compaction_eps_per_epoch"], r.get("max_terms") or 0)
+        runs[:] = [r for r in runs if key(r) != key(leg)]
         runs.append(leg)
-        runs.sort(key=lambda r: r["compaction_eps_per_epoch"])
+        runs.sort(key=key)
         summary.pop("compacted_run", None)
         with open(path, "w") as f:
             json.dump(summary, f, indent=1)

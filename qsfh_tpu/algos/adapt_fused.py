@@ -182,10 +182,49 @@ class FusedAdaptRunner:
 
     def _chunk_stages(self, fns, psi0, th, opt_state, k: int):
         """K train steps as per-stage dispatches; same returns as the
-        fused chunk program (th, opt, energies, gnorms, sz, s2, fid)."""
+        fused chunk program (th, opt, energies, gnorms, sz, s2, fid).
+
+        The first iteration of each chunk logs fetch-synced per-stage
+        times once per ansatz shape (QSFH_STAGE_TIMES=0 silences) so the
+        slow stage is visible without a device trace."""
         es, gns, mets = [], [], []
         psi_r = None
+        time_stages = (
+            self.verbose
+            and os.environ.get("QSFH_STAGE_TIMES", "1") == "1"
+            and id(fns) not in getattr(self, "_timed_fns", set())
+        )
         for j in range(k):
+            if time_stages and j == 0:
+                marks = {}
+
+                def timed(name, fn, *args):
+                    s0 = time.time()
+                    v = fn(*args)
+                    jax.tree_util.tree_map(
+                        lambda x: np.asarray(x).ravel()[:1], v
+                    )  # fetch = honest stage boundary on this backend
+                    marks[name] = time.time() - s0
+                    return v
+
+                psi_r = timed("fwd", fns["fwd_from"], psi0, th)
+                es.append(timed("energy", fns["energy"], psi_r))
+                lam_r = timed("cotangent", fns["cotangent"], psi_r)
+                g = timed("adjoint", fns["adjoint"], psi_r, lam_r, th)
+                th, opt_state, gn = timed(
+                    "update", fns["update"], th, g, opt_state
+                )
+                gns.append(gn)
+                self._log(
+                    "[fused] stage times (fetch-synced, warm?): "
+                    + " ".join(f"{n} {v*1e3:.0f}ms" for n, v in marks.items())
+                )
+                if not hasattr(self, "_timed_fns"):
+                    self._timed_fns = set()
+                self._timed_fns.add(id(fns))
+                if self.metrics_every_iter:
+                    mets.append(fns["metrics"](psi_r))
+                continue
             psi_r = fns["fwd_from"](psi0, th)
             es.append(fns["energy"](psi_r))
             lam_r = fns["cotangent"](psi_r)
