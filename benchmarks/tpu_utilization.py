@@ -63,6 +63,31 @@ def stream_schedule(n, xs):
     return groups, bb, nb
 
 
+def static_schedule_cost(n, xs, bb):
+    """MXU flops of the STATIC-mask kernels for one eval.
+
+    Static kernels dedupe permutes by distinct (group, in-block flip):
+    one 128x128 lane matmul per distinct xlo WITH lane bits (2*128
+    flops/element/plane), one (8,8) sublane matmul when row bits 0-2 are
+    set (2*8), and zero flops for the aligned high-row-bit swaps (pure
+    copies).  Per-TERM work is VPU sign/weight accumulation, not MXU.
+    """
+    from qsfh_tpu.engine.pallas_kernels import _stream_groups
+
+    groups = _stream_groups(xs, bb)
+    inb = (1 << (7 + bb)) - 1
+    flops = 0
+    n_el = 1 << n
+    for _, idx in groups.items():
+        xlos = {int(xs[t]) & inb for t in idx}
+        for xlo in xlos:
+            if xlo & (LANE - 1):
+                flops += 2 * n_el * 2 * LANE  # lane matmul, both planes
+            if (xlo >> 7) & 7:
+                flops += 2 * n_el * 2 * 8  # sublane (8,8) matmul
+    return flops
+
+
 def analyze(n, lattice, path):
     blob = json.load(open(os.path.join(HERE, path)))
     nx, ny = (int(v) for v in lattice.split("x"))
@@ -82,31 +107,44 @@ def analyze(n, lattice, path):
     # partners re-read per group -> (1 + G) plane-pair reads
     bytes_fused = plane_pair * (1 + G)
 
-    # compute cost of the XOR-permute-as-matmul formulation:
-    # per term, per plane, every (rows, 128) element goes through a
-    # (block_rows x 128) @ (128 x 128) permutation matmul -> 2*128 flops
-    # per element per plane (MACs counted as 2 flops)
+    # compute cost of the DYNAMIC XOR-permute-as-matmul formulation:
+    # per term, per plane, every (rows, 128) element goes through THREE
+    # permutation matmuls; the 128x128 lane matmul dominates -> 2*128
+    # flops per element per plane (MACs counted as 2 flops)
     flops_permute = T * 2 * (1 << n) * 2 * LANE
     t_mxu = flops_permute / (MXU_F32_HIGHEST_TFLOPS * 1e12)
     t_hbm = bytes_grouped / (HBM_PEAK_GBPS * 1e9)
+    flops_static = static_schedule_cost(n, xs, bb)
+    t_mxu_static = flops_static / (MXU_F32_HIGHEST_TFLOPS * 1e12)
 
-    return {
+    row = {
         "n_qubits": n,
         "lattice": lattice,
         "h_terms": T,
         "stream_groups": G,
+        "stream_static": blob.get("stream_static"),
         "state_bytes": plane_pair,
         "measured_ms_per_eval": ms,
         "bytes_moved_grouped": int(bytes_grouped),
         "achieved_GBps": round(bytes_grouped / secs / 1e9, 1),
         "pct_hbm_peak": round(100 * bytes_grouped / secs / 1e9 / HBM_PEAK_GBPS, 1),
         "permute_matmul_tflop": round(flops_permute / 1e12, 2),
+        "static_permute_tflop": round(flops_static / 1e12, 2),
         "mxu_bound_ms_at_peak": round(t_mxu * 1e3, 1),
+        "static_mxu_bound_ms_at_peak": round(t_mxu_static * 1e3, 1),
         "hbm_bound_ms_at_peak": round(t_hbm * 1e3, 1),
         "bound": "MXU (permute matmuls)" if t_mxu > t_hbm else "HBM",
         "fused_bytes_per_eval": int(bytes_fused),
         "fused_measured_ms": blob.get("fused_marginal_ms"),
     }
+    dyn = os.path.join(HERE, path.replace(".json", "_dyn.json"))
+    if os.path.exists(dyn):
+        db = json.load(open(dyn))
+        dms = db.get("eval_marginal_ms") or db.get("eval_fetch_synced_ms")
+        if dms:
+            row["dynamic_ms_per_eval"] = dms
+            row["static_speedup_x"] = round(dms / ms, 2)
+    return row
 
 
 def main():
@@ -148,10 +186,15 @@ def main():
         "mxu_f32_highest_tflops": MXU_F32_HIGHEST_TFLOPS,
         "note": (
             "bytes_moved derives from the kernels' real block/group "
-            "schedule (_stream_groups), not assumed passes-per-term; "
-            "the streaming sizes are MXU-bound on the XOR permutation "
-            "matmuls, so raising HBM utilization requires cutting "
-            "permute flops (batching terms per pass), not traffic"
+            "schedule (_stream_groups), not assumed passes-per-term. "
+            "Round-2 finding: the DYNAMIC kernels are MXU-bound on the "
+            "XOR permutation matmuls (4-6% of HBM peak).  Round-3 static-"
+            "mask kernels cut permute flops ~10x (dedupe by distinct "
+            "in-block flip; lane matmul only when lane bits set; sublane "
+            "swaps as copies), flipping every streaming size to "
+            "HBM-bound per the static_mxu_bound vs hbm_bound columns; "
+            "measured A/B lands in dynamic_ms_per_eval/static_speedup_x "
+            "when the campaign records both artifacts"
         ),
         "sizes": rows,
     }
@@ -160,8 +203,9 @@ def main():
 
     cols = [
         "n_qubits", "h_terms", "stream_groups", "measured_ms_per_eval",
+        "dynamic_ms_per_eval", "static_speedup_x",
         "achieved_GBps", "pct_hbm_peak", "mxu_bound_ms_at_peak",
-        "hbm_bound_ms_at_peak", "bound",
+        "static_mxu_bound_ms_at_peak", "hbm_bound_ms_at_peak", "bound",
     ]
     print("| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
