@@ -108,6 +108,8 @@ def _xor_permute(x, mask, rows: int):
     real chip, round 2); iota-compare + MXU matmul + minor-dim transpose all
     do.
     """
+    if _permute_v2():
+        return _xor_permute_swaps(x, mask, rows)
     # precision=HIGHEST is load-bearing: the MXU's default f32 matmul
     # truncates inputs to bf16 (measured on-chip: per-element permutation
     # error up to 1.6e-2, benchmarks/tpu_op_probe.jsonl), which corrupted
@@ -139,6 +141,49 @@ def _xor_permute(x, mask, rows: int):
         )
         x3 = x2.reshape(s, m, LANE)
     return x3.reshape(rows, LANE)
+
+
+def _permute_v2() -> bool:
+    """Swap-based dynamic permute (QSFH_PERMUTE_V2=1): lane matmul +
+    traced (8,8) sublane matmul + per-bit CONDITIONAL static half-swaps
+    for row bits >= 3, instead of the three full XOR matmuls.  ~2x fewer
+    MXU flops and fewer live temporaries per permute; opt-in until
+    validated on-chip (the adjoint chain's 19.3 MB VMEM overrun at n=18
+    is matmul-temporary dominated)."""
+    return os.environ.get("QSFH_PERMUTE_V2", "0") == "1"
+
+
+def _xor_permute_swaps(x, mask, rows: int):
+    """out[b] = x[b ^ mask] with a TRACED mask, swap-based row handling.
+
+    The mask VALUE is runtime data but every bit POSITION is static, so
+    row bits >= 3 lower to `where(bit, static_half_swap(x), x)` -- a VMEM
+    copy + select, zero MXU flops.  Row bits 0-2 ride one (8, 8) XOR
+    matmul (matrix built by iota-compare against the traced low bits);
+    lane bits keep the 128x128 matmul (the only true lane shuffle)."""
+    prec = jax.lax.Precision.HIGHEST
+    lane_mask = (mask & np.uint32(LANE - 1)).astype(jnp.uint32)
+    row_mask = (mask >> np.uint32(LANE_BITS)).astype(jnp.uint32)
+    x = jnp.dot(x, _xor_matrix(LANE, lane_mask),
+                preferred_element_type=jnp.float32, precision=prec)
+    if rows < 8:
+        raise ValueError("swap permute needs >= 8 rows")
+    g = rows // 8
+    x3 = x.reshape(g, 8, LANE)
+    y = jnp.swapaxes(x3, 1, 2)
+    y = jnp.dot(y, _xor_matrix(8, row_mask & np.uint32(7)),
+                preferred_element_type=jnp.float32, precision=prec)
+    x = jnp.swapaxes(y, 1, 2).reshape(rows, LANE)
+    nbits = rows.bit_length() - 1
+    for t in range(3, nbits):
+        c = 1 << t
+        a = rows // (2 * c)
+        x4 = x.reshape(a, 2, c, LANE)
+        sw = jnp.concatenate([x4[:, 1:2], x4[:, 0:1]], axis=1)
+        bit = (row_mask >> np.uint32(t)) & np.uint32(1)
+        x4 = jnp.where(bit > np.uint32(0), sw, x4)
+        x = x4.reshape(rows, LANE)
+    return x
 
 
 def _xor_permute_static(x, mask: int, rows: int):
