@@ -76,6 +76,7 @@ for i in $(seq 1 60); do
   leg benchmarks/tpu_result_22q.json        900 env QSFH_FUSED_NX=1 QSFH_FUSED_NY=11 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
   leg benchmarks/tpu_result_24q.json        900 env QSFH_FUSED_NX=2 QSFH_FUSED_NY=6 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
   leg benchmarks/tpu_multistart.json        600 python benchmarks/tpu_multistart.py
+  leg benchmarks/tpu_adjoint18.json         900 python benchmarks/tpu_adjoint18.py
   leg benchmarks/tpu_stream_big_28.json     1200 env QSFH_STREAM_BIG_N=28 python benchmarks/tpu_stream_big.py
   leg benchmarks/tpu_stream_big_30.json     1800 env QSFH_STREAM_BIG_N=30 python benchmarks/tpu_stream_big.py
 
@@ -85,6 +86,7 @@ for i in $(seq 1 60); do
            benchmarks/tpu_stream_big_26.json benchmarks/tpu_stream_big_26_dyn.json \
            benchmarks/tpu_stream_24.json benchmarks/tpu_result_22q.json \
            benchmarks/tpu_result_24q.json benchmarks/tpu_multistart.json \
+           benchmarks/tpu_adjoint18.json \
            benchmarks/tpu_stream_big_28.json benchmarks/tpu_stream_big_30.json; do
     [ -f "$a" ] || missing=$((missing + 1))
   done
