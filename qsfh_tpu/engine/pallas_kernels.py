@@ -213,27 +213,31 @@ def _xor_permute_static(x, mask: int, rows: int):
     if lane_mask:
         x = jnp.dot(x, _xor_matrix(LANE, np.uint32(lane_mask)),
                     preferred_element_type=jnp.float32, precision=prec)
-    lo = row_mask & 7
-    if lo:
-        if rows < 8:
-            raise ValueError("static permute needs >= 8 rows")
-        g = rows // 8
-        x3 = x.reshape(g, 8, LANE)
-        y = jnp.swapaxes(x3, 1, 2)  # (g, LANE, 8) -- minor-dim transpose
-        y = jnp.dot(y, _xor_matrix(8, np.uint32(lo)),
+    # row bits use the SAME mid/top transpose+matmul forms as the proven
+    # dynamic path, just statically SKIPPED when their mask zone is zero.
+    # (An earlier slice+concat half-swap formulation was zero-flop on
+    # paper but Mosaic relayouts materialized whole planes in vregs --
+    # 220 MB of register spills at 24q, measured on-chip 2026-08-19.)
+    m = min(LANE, rows)
+    s = rows // m
+    mid_mask = row_mask & (m - 1)
+    if mid_mask:
+        x3 = x.reshape(s, m, LANE)
+        y = jnp.swapaxes(x3, 1, 2)  # (s, LANE, m) -- minor-dim transpose
+        y = jnp.dot(y, _xor_matrix(m, np.uint32(mid_mask)),
                     preferred_element_type=jnp.float32, precision=prec)
         x = jnp.swapaxes(y, 1, 2).reshape(rows, LANE)
-    hi = row_mask >> 3
-    t = 3
-    while hi:
-        if hi & 1:
-            c = 1 << t  # rows per half-swap chunk (>= 8: tile-aligned)
-            a = rows // (2 * c)
-            x4 = x.reshape(a, 2, c, LANE)
-            x4 = jnp.concatenate([x4[:, 1:2], x4[:, 0:1]], axis=1)
-            x = x4.reshape(rows, LANE)
-        hi >>= 1
-        t += 1
+    top_mask = row_mask >> (m.bit_length() - 1)
+    if s > 1 and top_mask:
+        x2 = x.reshape(s, m * LANE)
+        x2 = jax.lax.dot_general(
+            _xor_matrix(s, np.uint32(top_mask)),
+            x2,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        x = x2.reshape(rows, LANE)
     return x
 
 
@@ -1118,63 +1122,61 @@ def _static_terms(idx, xs, zs, cre, cim, bb):
     ]
 
 
-def _subgroup_by_xlo(terms):
-    """{xlo: [(zlo, zhi, cre, cim), ...]} -- one permute per DISTINCT
-    in-block flip services every term sharing it (XX/YY hopping pairs
-    share x masks, so this typically halves the permute count)."""
+def _static_subgroups(terms):
+    """Sort one group's terms by DISTINCT in-block flip mask.
+
+    Returns ``(order, plan)``: ``order`` permutes the caller's term
+    positions into subgroup-sorted order, ``plan`` is a static list of
+    (xlo, start, count) into the sorted order.  One permute per distinct
+    xlo services every term sharing it (XX/YY hopping pairs share x
+    masks, so this typically halves the permute count)."""
     subs = {}
-    for xlo, zlo, zhi, cr, ci in terms:
-        subs.setdefault(xlo, []).append((zlo, zhi, cr, ci))
-    return subs
+    for j, (xlo, _zlo, _zhi, _cr, _ci) in enumerate(terms):
+        subs.setdefault(xlo, []).append(j)
+    order = []
+    plan = []
+    for xlo in sorted(subs):
+        plan.append((xlo, len(order), len(subs[xlo])))
+        order.extend(subs[xlo])
+    return order, plan
 
 
-def _static_weight_planes(sub, i, rows, want_im: bool):
-    """(W_re, W_im) weight planes sum_j c_j * s_j(b) for one xlo subgroup.
-
-    s_j factors into a static in-block sign plane and a (traced) per-block
-    scalar; zero z masks skip their piece entirely.  Either return can be
-    a traced scalar (when every term's in-block z mask is zero) -- callers
-    rely on broadcasting."""
-
-    def accumulate(coeff_of):
-        plane = None
-        scalar = None
-        const = 0.0
-        for zlo, zhi, cr, ci in sub:
-            c = coeff_of(cr, ci)
-            if c == 0.0:
-                continue
-            bs = _block_sign_static(zhi, i)
-            w = jnp.float32(c) * bs if bs is not None else None
-            s = _parity_sign_static(zlo, rows)
-            if s is None:
-                if w is None:
-                    const += c
-                else:
-                    scalar = w if scalar is None else scalar + w
-            else:
-                p = (w * s) if w is not None else (jnp.float32(c) * s)
-                plane = p if plane is None else plane + p
-        out = None
-        if const != 0.0:
-            out = jnp.float32(const)
-        if scalar is not None:
-            out = scalar if out is None else out + scalar
-        if plane is not None:
-            out = plane if out is None else plane + out
-        return out
-
-    wr = accumulate(lambda cr, ci: cr)
-    wi = accumulate(lambda cr, ci: ci) if want_im else None
-    return wr, wi
+def _static_smem(terms, order):
+    """(zlo, zhi, cre, cim) device arrays in subgroup-sorted order."""
+    zlo = jnp.asarray(np.asarray([terms[j][1] for j in order], np.uint32))
+    zhi = jnp.asarray(np.asarray([terms[j][2] for j in order], np.int32))
+    cre = jnp.asarray(np.asarray([terms[j][3] for j in order], np.float32))
+    cim = jnp.asarray(np.asarray([terms[j][4] for j in order], np.float32))
+    return zlo, zhi, cre, cim
 
 
-def _make_expectation_stream_kernel_static(nhi, terms):
-    """Fully unrolled one-group expectation kernel with static masks."""
-    subs = _subgroup_by_xlo(terms)
-    want_im = any(ci != 0.0 for _, _, _, _, ci in terms)
+def _weight_planes_loop(zlo_ref, zhi_ref, cre_ref, cim_ref,
+                        start: int, cnt: int, i, br, nhi):
+    """(W_re, W_im) = sum_j c_j s_j(b) over one xlo subgroup, as a
+    fori_loop over SMEM term data.
 
-    def kernel(sre_ref, sim_ref, pre_ref, pim_ref, out_ref):
+    The fully static form computed every term's sign plane as
+    independent HLO -- Mosaic's scheduler kept them ALL live and spilled
+    192 MB of registers at 26q (measured).  The loop body's temporaries
+    die each iteration, bounding liveness at a handful of planes, while
+    the permute stays hoisted (the actual MXU win)."""
+
+    def body(j, acc):
+        t = start + j
+        s = _parity_sign(zlo_ref[t], br)
+        s = _block_parity_flip(s, zhi_ref[t], i, nhi)
+        wr, wi = acc
+        return (wr + cre_ref[t] * s, wi + cim_ref[t] * s)
+
+    zero = jnp.zeros((br, LANE), jnp.float32)
+    return jax.lax.fori_loop(0, cnt, body, (zero, zero))
+
+
+def _make_expectation_stream_kernel_static(nhi, plan, want_im: bool):
+    """One-group expectation kernel: static permutes, looped weights."""
+
+    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
+               sre_ref, sim_ref, pre_ref, pim_ref, out_ref):
         i = pl.program_id(0)
         br = sre_ref.shape[0]
         re = sre_ref[:]
@@ -1182,13 +1184,14 @@ def _make_expectation_stream_kernel_static(nhi, terms):
         tre0 = pre_ref[:]
         tim0 = pim_ref[:]
         acc = jnp.float32(0.0)
-        for xlo, sub in subs.items():
+        for xlo, start, cnt in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
-            wr, wi = _static_weight_planes(sub, i, br, want_im)
-            if wr is not None:
-                acc = acc + jnp.sum(wr * (re * tre + im * tim))
-            if wi is not None:
+            wr, wi = _weight_planes_loop(
+                zlo_ref, zhi_ref, cre_ref, cim_ref, start, cnt, i, br, nhi
+            )
+            acc = acc + jnp.sum(wr * (re * tre + im * tim))
+            if want_im:
                 acc = acc - jnp.sum(wi * (re * tim - im * tre))
 
         @pl.when(i == 0)
@@ -1202,26 +1205,26 @@ def _make_expectation_stream_kernel_static(nhi, terms):
     return kernel
 
 
-def _make_apply_stream_kernel_static(nhi, terms):
-    """Fully unrolled one-group apply kernel with static masks."""
-    subs = _subgroup_by_xlo(terms)
-    want_im = any(ci != 0.0 for _, _, _, _, ci in terms)
+def _make_apply_stream_kernel_static(nhi, plan, want_im: bool):
+    """One-group apply kernel: static permutes, looped weights."""
 
-    def kernel(pre_ref, pim_ref, ore_ref, oim_ref):
+    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
+               pre_ref, pim_ref, ore_ref, oim_ref):
         i = pl.program_id(0)
         br = pre_ref.shape[0]
         tre0 = pre_ref[:]
         tim0 = pim_ref[:]
         ar = jnp.zeros((br, LANE), jnp.float32)
         ai = jnp.zeros((br, LANE), jnp.float32)
-        for xlo, sub in subs.items():
+        for xlo, start, cnt in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
-            wr, wi = _static_weight_planes(sub, i, br, want_im)
-            if wr is not None:
-                ar = ar + wr * tre
-                ai = ai + wr * tim
-            if wi is not None:
+            wr, wi = _weight_planes_loop(
+                zlo_ref, zhi_ref, cre_ref, cim_ref, start, cnt, i, br, nhi
+            )
+            ar = ar + wr * tre
+            ai = ai + wr * tim
+            if want_im:
                 ar = ar - wi * tim
                 ai = ai + wi * tre
         ore_ref[:] = ar
@@ -1230,18 +1233,13 @@ def _make_apply_stream_kernel_static(nhi, terms):
     return kernel
 
 
-def _make_screen_stream_kernel_static(nhi, terms):
-    """Fully unrolled one-group screening kernel with static masks.
+def _make_screen_stream_kernel_static(nhi, plan):
+    """One-group screening kernel: static permutes, per-term scalars via
+    a fori_loop over SMEM data (slots follow the subgroup-sorted order;
+    the caller extends ``perm`` accordingly)."""
 
-    Per-term scalars stay separate (screening ranks terms), but the
-    permute and the A/B elementwise planes are shared per distinct xlo."""
-    # subgroup by xlo, carrying each term's ORIGINAL slot so the one-hot
-    # accumulator matches the caller's chunk order (the perm contract)
-    subs = {}
-    for j, (xlo, zlo, zhi, cr, ci) in enumerate(terms):
-        subs.setdefault(xlo, []).append((zlo, zhi, cr, ci, j))
-
-    def kernel(wre_ref, wim_ref, pre_ref, pim_ref, acc_ref):
+    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
+               wre_ref, wim_ref, pre_ref, pim_ref, acc_ref):
         i = pl.program_id(0)
         br = wre_ref.shape[0]
         wre = wre_ref[:]
@@ -1252,28 +1250,24 @@ def _make_screen_stream_kernel_static(nhi, terms):
         slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
         slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
         acc = jnp.zeros((8, LANE), jnp.float32)
-        for xlo, sub in subs.items():
+        for xlo, start, cnt in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
             a_pl = wre * tre + wim * tim
             b_pl = wre * tim - wim * tre
-            sum_a = jnp.sum(a_pl)
-            sum_b = jnp.sum(b_pl)
-            for zlo, zhi, cr, ci, j in sub:
-                s = _parity_sign_static(zlo, br)
-                if s is None:
-                    vr, vi = sum_a, sum_b
-                else:
-                    vr = jnp.sum(s * a_pl)
-                    vi = jnp.sum(s * b_pl)
-                bs = _block_sign_static(zhi, i)
-                if bs is not None:
-                    vr = bs * vr
-                    vi = bs * vi
-                contrib = 2.0 * (jnp.float32(cr) * vi + jnp.float32(ci) * vr)
-                acc = acc + contrib * jnp.where(
-                    slot_id == np.int32(j), jnp.float32(1.0), jnp.float32(0.0)
+
+            def body(j, acc, a_pl=a_pl, b_pl=b_pl, start=start):
+                t = start + j
+                s = _parity_sign(zlo_ref[t], br)
+                s = _block_parity_flip(s, zhi_ref[t], i, nhi)
+                vr = jnp.sum(s * a_pl)
+                vi = jnp.sum(s * b_pl)
+                contrib = 2.0 * (cre_ref[t] * vi + cim_ref[t] * vr)
+                return acc + contrib * jnp.where(
+                    slot_id == t, jnp.float32(1.0), jnp.float32(0.0)
                 )
+
+            acc = jax.lax.fori_loop(0, cnt, body, acc)
 
         @pl.when(i == 0)
         def _init():
@@ -1362,14 +1356,15 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
         for lo in range(0, len(idx), 8 * LANE):
             chunk = idx[lo : lo + 8 * LANE]
             if static_ok and len(chunk) <= cap:
-                kernel = _make_screen_stream_kernel_static(
-                    nhi, _static_terms(chunk, xs, zs, cre, cim, bb)
-                )
+                terms = _static_terms(chunk, xs, zs, cre, cim, bb)
+                order, plan = _static_subgroups(terms)
+                kernel = _make_screen_stream_kernel_static(nhi, plan)
                 acc = pl.pallas_call(
                     kernel,
                     grid=(nb,),
                     out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-                    in_specs=[
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                    + [
                         pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                         pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                         pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
@@ -1377,9 +1372,10 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
                     ],
                     out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
                     interpret=jax.devices()[0].platform == "cpu",
-                )(wre, wim, re, im)
+                )(*_static_smem(terms, order), wre, wim, re, im)
+                # slots follow the subgroup-sorted order
                 vals.append(acc.reshape(-1)[: len(chunk)])
-                perm.extend(chunk)
+                perm.extend(chunk[p] for p in order)
                 continue
             xlo, zlo, zhi, gcre, gcim = _group_arrays(chunk, xs, zs, cre, cim, bb)
             acc = pl.pallas_call(
@@ -1434,14 +1430,16 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
     cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
         if static_ok and len(idx) <= cap:
-            kernel = _make_expectation_stream_kernel_static(
-                nhi, _static_terms(idx, xs, zs, cre, cim, bb)
-            )
+            terms = _static_terms(idx, xs, zs, cre, cim, bb)
+            order, plan = _static_subgroups(terms)
+            want_im = any(t[4] != 0.0 for t in terms)
+            kernel = _make_expectation_stream_kernel_static(nhi, plan, want_im)
             out = pl.pallas_call(
                 kernel,
                 grid=(nb,),
                 out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-                in_specs=[
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                + [
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
@@ -1449,7 +1447,7 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
                 ],
                 out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
                 interpret=jax.devices()[0].platform == "cpu",
-            )(re, im, re, im)
+            )(*_static_smem(terms, order), re, im, re, im)
             total = total + out[0, 0]
             continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
@@ -1561,9 +1559,10 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
     cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
         if static_ok and len(idx) <= cap:
-            kernel = _make_apply_stream_kernel_static(
-                nhi, _static_terms(idx, xs, zs, cre, cim, bb)
-            )
+            terms = _static_terms(idx, xs, zs, cre, cim, bb)
+            order, plan = _static_subgroups(terms)
+            want_im = any(t[4] != 0.0 for t in terms)
+            kernel = _make_apply_stream_kernel_static(nhi, plan, want_im)
             gre, gim = pl.pallas_call(
                 kernel,
                 grid=(nb,),
@@ -1571,7 +1570,8 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
                     jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
                     jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
                 ),
-                in_specs=[
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                + [
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
                 ],
@@ -1580,7 +1580,7 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                 ),
                 interpret=jax.devices()[0].platform == "cpu",
-            )(re, im)
+            )(*_static_smem(terms, order), re, im)
             ore = ore + gre
             oim = oim + gim
             continue
