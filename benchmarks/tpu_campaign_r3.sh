@@ -73,8 +73,10 @@ for i in $(seq 1 60); do
   leg benchmarks/tpu_stream_big_26.json     900 env QSFH_STREAM_BIG_N=26 python benchmarks/tpu_stream_big.py
   leg benchmarks/tpu_stream_big_26_dyn.json 900 env QSFH_STREAM_BIG_N=26 QSFH_STREAM_STATIC=0 python benchmarks/tpu_stream_big.py
   leg benchmarks/tpu_stream_24.json         900 env QSFH_STREAM_N=24 python benchmarks/tpu_stream.py
-  leg benchmarks/tpu_result_22q.json        900 env QSFH_FUSED_NX=1 QSFH_FUSED_NY=11 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
-  leg benchmarks/tpu_result_24q.json        900 env QSFH_FUSED_NX=2 QSFH_FUSED_NY=6 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
+  # stages dispatch: the K-unrolled form's streaming-adjoint program is a
+  # 34 MB MLIR payload at 22q that kills the compile helper (HTTP 500)
+  leg benchmarks/tpu_result_22q.json        900 env QSFH_FUSED_DISPATCH=stages QSFH_FUSED_NX=1 QSFH_FUSED_NY=11 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
+  leg benchmarks/tpu_result_24q.json        900 env QSFH_FUSED_DISPATCH=stages QSFH_FUSED_NX=2 QSFH_FUSED_NY=6 QSFH_FUSED_ANSATZ=6 QSFH_FUSED_K1=1 QSFH_FUSED_K2=3 python benchmarks/tpu_step_fused.py
   leg benchmarks/tpu_multistart.json        600 python benchmarks/tpu_multistart.py
   leg benchmarks/tpu_adjoint18.json         900 python benchmarks/tpu_adjoint18.py
   leg benchmarks/tpu_stream_big_28.json     1200 env QSFH_STREAM_BIG_N=28 python benchmarks/tpu_stream_big.py

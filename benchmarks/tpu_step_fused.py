@@ -120,6 +120,48 @@ def build_multi_step():
     arr[0, index] = 1.0
     psi0 = arr
 
+    # QSFH_FUSED_DISPATCH=stages: per-stage jitted dispatches (the
+    # flagship runner's form) instead of one K-unrolled program.  At
+    # 22-24q the unrolled program's streaming-adjoint structure (one
+    # pallas call per block-crossing term x K) produced a 34 MB MLIR
+    # payload that killed the remote compile helper (HTTP 500,
+    # 2026-08-19); each stage alone compiles.  Same math, same parity
+    # check -- only the host/program boundary moves.
+    if os.environ.get("QSFH_FUSED_DISPATCH", "fused") == "stages":
+        fns = {name: jax.jit(raw[name]) for name in
+               ("fwd_from", "energy", "cotangent", "adjoint", "metrics",
+                "update")}
+        init = jax.jit(lambda t: optimizer.init(t))
+
+        def stage_chain(psi0_r, th, k):
+            opt = init(th)
+            ys = []
+            for _ in range(k):
+                psi_r = fns["fwd_from"](psi0_r, th)
+                e = fns["energy"](psi_r)
+                lam_r = fns["cotangent"](psi_r)
+                g = fns["adjoint"](psi_r, lam_r, th)
+                sz, s2, fid = fns["metrics"](psi_r)
+                th, opt, gn = fns["update"](th, g, opt)
+                ys.append((e, sz, s2, fid, gn))
+            traj = tuple(jnp.stack(col) for col in zip(*ys))
+            return th, opt, traj
+
+        th0 = np.full(len(OPS), 0.05, dtype=np.dtype(vqe._rdt))
+
+        from qsfh_tpu.engine.state import bitpos
+
+        index = 0
+        for q in vqe._occupied_modes:
+            index |= 1 << bitpos(q, vqe.n_qubits)
+        arr = np.zeros((2, 1 << vqe.n_qubits), np.dtype(vqe._rdt))
+        arr[0, index] = 1.0
+        jpsi0, jth0 = jnp.asarray(arr), jnp.asarray(th0)
+        progs = {
+            k: (lambda _k=k: stage_chain(jpsi0, jth0, _k)) for k in (K1, K2)
+        }
+        return progs, arr, th0, True
+
     # Program-form knob.  The round-2 bisect ladders first suggested an
     # args-vs-constants split, but the final minimal pairs cleared runtime
     # args entirely (tpu_bisect_args.jsonl: arg_th/arg_pr PASS) — the real

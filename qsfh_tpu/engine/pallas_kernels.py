@@ -945,11 +945,17 @@ def stream_max_qubits() -> int:
 
 
 def _stream_block_rows(rows: int) -> int:
-    """Rows per stream block: 2048 rows x 128 lanes x 4 B = 1 MB per plane
-    (~5 MB VMEM working set with partner + temporaries), halved for small
-    states so there are always >= 2 blocks."""
+    """Rows per stream block, halved for small states so there are always
+    >= 2 blocks.
+
+    The dynamic kernels run 2048-row blocks (1 MB/plane, ~5 MB working
+    set).  The static kernels hold more planes live (conj + partner +
+    permuted pair + two weight accumulators) and measured 28.4 MB scoped
+    VMEM at 2048 rows (12.4 MB over the 16 MB v5e limit, 2026-08-19);
+    512-row blocks put the same schedule at ~7 MB."""
     env = os.environ.get("QSFH_PALLAS_STREAM_ROWS")
-    br = int(env) if env else min(2048, rows // 2)
+    cap = 512 if _stream_static_enabled() else 2048
+    br = int(env) if env else min(cap, rows // 2)
     if br < 8 or rows % br:
         raise ValueError(f"invalid stream block rows {br} for {rows} rows")
     return br
