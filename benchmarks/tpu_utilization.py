@@ -133,17 +133,33 @@ def analyze(n, lattice, path):
         "mxu_bound_ms_at_peak": round(t_mxu * 1e3, 1),
         "static_mxu_bound_ms_at_peak": round(t_mxu_static * 1e3, 1),
         "hbm_bound_ms_at_peak": round(t_hbm * 1e3, 1),
-        "bound": "MXU (permute matmuls)" if t_mxu > t_hbm else "HBM",
+        "bound": (
+            ("HBM" if t_hbm > t_mxu_static else "MXU (static permutes)")
+            if blob.get("stream_static")
+            else ("MXU (permute matmuls)" if t_mxu > t_hbm else "HBM")
+        ),
+        # measured-to-roofline gap of the run this row reports: >1 means
+        # the kernel is not yet at its own model's ceiling (pipeline
+        # serialization / VPU per-term weight planes are the suspects)
+        "measured_over_roofline_x": round(
+            (ms / 1e3)
+            / max(t_hbm, t_mxu_static if blob.get("stream_static") else t_mxu),
+            1,
+        ),
         "fused_bytes_per_eval": int(bytes_fused),
         "fused_measured_ms": blob.get("fused_marginal_ms"),
     }
-    dyn = os.path.join(HERE, path.replace(".json", "_dyn.json"))
-    if os.path.exists(dyn):
-        db = json.load(open(dyn))
-        dms = db.get("eval_marginal_ms") or db.get("eval_fetch_synced_ms")
-        if dms:
-            row["dynamic_ms_per_eval"] = dms
-            row["static_speedup_x"] = round(dms / ms, 2)
+    # round-2 dynamic-kernel runs of the same sizes (preserved as *_r2.json)
+    # give the measured A/B column for the round-3 static-mask kernels
+    for suffix in ("_r2.json", "_dyn.json"):
+        dyn = os.path.join(HERE, path.replace(".json", suffix))
+        if os.path.exists(dyn) and os.path.getsize(dyn):
+            db = json.load(open(dyn))
+            dms = db.get("eval_marginal_ms") or db.get("eval_fetch_synced_ms")
+            if dms and blob.get("stream_static"):
+                row["dynamic_ms_per_eval"] = dms
+                row["static_speedup_x"] = round(dms / ms, 2)
+            break
     return row
 
 
