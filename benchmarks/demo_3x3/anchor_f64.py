@@ -25,6 +25,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 
 from qsfh_tpu.algos.adapt import ADAPT  # noqa: E402
+from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended  # noqa: E402
 
 
 def main():
@@ -32,6 +33,9 @@ def main():
         n_epoch=0, threshold1=1e-3, threshold2=1e-3,
         x_dimension=3, y_dimension=3, n_electrons=9, n_spin_up=5,
         n_spin_down=4, tunneling=1, coulomb=6, degenerate_subspace=4,
+        # extended pool: simplified prefix keeps pre-growth checkpoints
+        # valid, and growth-phase checkpoints select past index 323
+        pool=hubbard_interaction_pool_extended(3, 3),
         load_model=True, results_root=HERE, plot=False, log_metrics=False,
     )
     import optax

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Flagship 3x3: EXTENDED-POOL growth phase, on the chip.
+
+The simplified-pool ansatz saturated at 727 ops / 2.46 mHa
+(L-BFGS-converged on-chip, `polish_lbfgs.log`); the extended-pool screen
+(`screen_extended.json`) shows the missing same-spin ZS channel carries
+a 5.7e-3 gradient there -- 3.5x the best simplified direction, and equal
+to the best over ALL momentum/Sz-conserving two-body generators.
+
+This driver resumes the checkpoint under
+``hubbard_interaction_pool_extended`` (simplified prefix keeps the
+recorded ``selected_indices`` valid) and runs capped-inner-loop ADAPT
+epochs: the round-2 continuation ground forever because the valley's
+f64 gradient norm (1.9e-3) sits above the 1e-3 inner threshold, so
+``max_inner_iterations`` now bounds each epoch and growth proceeds.
+After each epoch the CPU-float64 re-anchor records trustworthy gap /
+grad-norm numbers in ``anchors.jsonl`` (on-chip c64 energies have a
+~5e-6 Ha floor).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.join(HERE, "..", "..")
+sys.path.insert(0, ROOT)
+
+# 727+ ansatz ops => keep the adjoint off the per-term streaming-pallas
+# route (multi-thousand-kernel HLO, 75+ min trace); one XLA reverse scan.
+os.environ.setdefault("QSFH_PALLAS_STREAM_MAX_N", "17")
+
+import jax  # noqa: E402  (axon TPU platform; do NOT force cpu here)
+import numpy as np  # noqa: E402
+
+from qsfh_tpu.algos.adapt import ADAPT  # noqa: E402
+from qsfh_tpu.algos.adapt_fused import FusedAdaptRunner  # noqa: E402
+from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended  # noqa: E402
+
+SCHEDULE = [1e-3, 3e-4, 1e-4]
+EPOCHS_PER_PHASE = int(os.environ.get("QSFH_GROW_EPOCHS", "40"))
+MAX_INNER = int(os.environ.get("QSFH_GROW_MAX_INNER", "300"))
+CHUNK = int(os.environ.get("QSFH_CONT_CHUNK", "8"))
+TAG = "ADAPT-3x3 (t=1, U=6, n_electrons=9, up=5, down=4)"
+
+
+def trim_stale_jsonl(jsonl_path: str, keep_iters: int):
+    """Drop metric lines past the checkpointed iteration count (a killed
+    run leaves in-flight lines the epoch-boundary checkpoint never saw)."""
+    if not os.path.exists(jsonl_path):
+        return
+    kept, dropped = [], 0
+    with open(jsonl_path) as f:
+        for line in f:
+            try:
+                it = json.loads(line).get("iter")
+            except json.JSONDecodeError:
+                kept.append(line)
+                continue
+            if it is None or it <= keep_iters:
+                kept.append(line)
+            else:
+                dropped += 1
+    if dropped:
+        with open(jsonl_path + ".stale_tail", "a") as f:
+            f.write(f"# trimmed {dropped} in-flight lines past iter {keep_iters} "
+                    f"at {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}\n")
+        with open(jsonl_path, "w") as f:
+            f.writelines(kept)
+        print(f"trimmed {dropped} stale jsonl lines (> iter {keep_iters})")
+
+
+def main():
+    print("platform:", jax.devices()[0], flush=True)
+    vqe = ADAPT(
+        n_epoch=0, threshold1=SCHEDULE[0], threshold2=SCHEDULE[0],
+        x_dimension=3, y_dimension=3, n_electrons=9, n_spin_up=5,
+        n_spin_down=4, tunneling=1, coulomb=6, degenerate_subspace=4,
+        pool=hubbard_interaction_pool_extended(3, 3),
+        load_model=True, results_root=HERE, plot=True, log_metrics=True,
+        program_salt=float(os.environ.get("QSFH_BENCH_SALT", "2.3e-9")),
+    )
+    print(f"pool: {len(vqe.fermion_pool)} ops (extended) | "
+          f"ansatz {len(vqe.selected_indices)} ops | "
+          f"epoch {len(vqe.results['epoch loss'])}", flush=True)
+    trim_stale_jsonl(
+        os.path.join(HERE, "vqe_results", TAG + ".jsonl"),
+        len(vqe.results["iteration loss"]),
+    )
+
+    def anchor(_epoch):
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "anchor_f64.py")],
+            stdout=open(os.path.join(HERE, "anchor_f64.log"), "a"),
+            stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+
+    runner = FusedAdaptRunner(
+        vqe, chunk_iters=CHUNK, metrics_every_iter=False, on_epoch_end=anchor,
+        dispatch="stages", max_inner_iterations=MAX_INNER,
+    )
+    for phase, thr in enumerate(SCHEDULE):
+        vqe.threshold1 = thr
+        vqe.threshold2 = thr
+        target = len(vqe.results["epoch loss"]) + EPOCHS_PER_PHASE
+        print(f"=== phase {phase}: thresholds {thr:g}, max_inner {MAX_INNER}, "
+              f"epochs -> {target}", flush=True)
+        runner.run(n_epoch=target)
+        ed = vqe.ground_state_energy
+        last = vqe.results["epoch loss"][-1]
+        print(f"=== phase {phase} done: E {last:+.8f} vs ED {ed:+.8f} "
+              f"(gap {1e3 * (last - ed):.4f} mHa, c64 floor ~0.005 mHa)",
+              flush=True)
+    anchor(-1)
+    print("SCHEDULE COMPLETE")
+
+
+if __name__ == "__main__":
+    main()

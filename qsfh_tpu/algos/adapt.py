@@ -659,10 +659,23 @@ class ADAPT:
         if not os.path.exists(ckpt.resolve(self.result_filepath)):
             raise ValueError(f"Please check if the file {self.result_filepath} exists!")
         params, meta, _ = ckpt.load_model(self.model_filepath)
-        if meta and meta.get("pool_size") not in (None, len(self.fermion_pool)):
-            raise ValueError("checkpoint was written with a different pool")
+        # a checkpoint whose pool is SMALLER is resumable when the current
+        # pool extends it (prefix contract, e.g.
+        # hubbard_interaction_pool_extended): the recorded indices stay
+        # valid; a LARGER recorded pool has indices this pool can't express
+        ckpt_pool = meta.get("pool_size") if meta else None
+        if ckpt_pool is not None and ckpt_pool > len(self.fermion_pool):
+            raise ValueError(
+                f"checkpoint was written with a larger pool "
+                f"({ckpt_pool} ops vs {len(self.fermion_pool)}); resume "
+                f"with a pool that extends the recorded one"
+            )
         self.params_t = jnp.asarray(params["t"], dtype=self._rdt)
         self.selected_indices = [int(i) for i in params["selected_indices"]]
+        if self.selected_indices and max(self.selected_indices) >= len(self.fermion_pool):
+            raise ValueError(
+                "checkpoint selects pool indices beyond the current pool"
+            )
         self.results = ckpt.load_results(self.result_filepath)
 
 

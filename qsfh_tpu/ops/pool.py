@@ -332,6 +332,57 @@ def hubbard_interaction_pool_modified(Nx: int, Ny: int):
     return out
 
 
+def hubbard_interaction_pool_same_spin(Nx: int, Ny: int) -> List[FermionOperator]:
+    """ZS-channel scattering with BOTH fermions in the SAME spin sector.
+
+    The reference's simplified pool (pool.py:220-255) only emits
+    opposite-spin pairs ``(spin, spin^1)``; this builder is the missing
+    same-spin complement ``i(c^_{k1+q,s} c^_{k2-q,s} c_{k2,s} c_{k1,s} -
+    h.c.)``.  Motivation (flagship 3x3 diagnostic,
+    ``benchmarks/demo_3x3/screen_extended.json``): at the 727-op
+    simplified-pool saturation point the steepest simplified direction is
+    |g| = 1.6e-3 while the steepest same-spin direction is 5.7e-3 -- and a
+    full scan of ALL momentum/Sz-conserving two-body generators tops out at
+    that same operator, i.e. this channel captures the best two-body
+    descent direction the simplified pool cannot express.
+    """
+    t2i, i2t = _k_indexers(Nx, Ny)
+    n_sites = Nx * Ny
+    dedup = _SignDedup()
+    for spin in (0, 1):
+        for k1 in range(n_sites):
+            for k2 in range(n_sites):
+                for q in range(1, n_sites):
+                    kx1, ky1 = i2t(k1)
+                    kx2, ky2 = i2t(k2)
+                    qx, qy = i2t(q)
+                    idx = (
+                        t2i(kx1 + qx, ky1 + qy, spin),
+                        t2i(kx2 - qx, ky2 - qy, spin),
+                        t2i(kx2, ky2, spin),
+                        t2i(kx1, ky1, spin),
+                    )
+                    if len({idx[0], idx[1]}) < 2 or len({idx[2], idx[3]}) < 2:
+                        continue  # c^2 = 0
+                    op = normal_ordered(_antihermitian_pair(idx))
+                    dedup.add(op)
+    return [op for op in dedup.ops if op.terms]
+
+
+def hubbard_interaction_pool_extended(Nx: int, Ny: int) -> List[FermionOperator]:
+    """Simplified pool + same-spin complement, simplified ops FIRST.
+
+    Order contract: the first ``len(hubbard_interaction_pool_simplified(...))``
+    entries are exactly the simplified pool in its deterministic build
+    order, so ADAPT checkpoints recorded against the simplified pool
+    (``selected_indices`` are raw pool positions, io/checkpoint.py) resume
+    unchanged under this pool and future epochs may select from both
+    channels.
+    """
+    return (hubbard_interaction_pool_simplified(Nx, Ny)
+            + hubbard_interaction_pool_same_spin(Nx, Ny))
+
+
 def general_operator_pool(Nx: int, Ny: int) -> List[FermionOperator]:
     """All anti-Hermitian one- and two-body generalized excitations
     (pool.py:342-364, including its ``k1 != k2 != k3 != k4`` chained

@@ -113,6 +113,34 @@ class TestTraining:
         )
         assert reloaded.results["epoch loss"] == vqe.results["epoch loss"]
 
+    def test_resume_under_extended_pool(self, adapt_2x2):
+        """A simplified-pool checkpoint resumes under the EXTENDED pool
+        (prefix contract, ops/pool.py hubbard_interaction_pool_extended);
+        resuming an extended-pool checkpoint with a smaller pool refuses."""
+        from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended
+
+        vqe = adapt_2x2
+        vqe.save_model()
+        kwargs = dict(
+            n_epoch=2, threshold1=1e-2, threshold2=5e-2,
+            x_dimension=2, y_dimension=2, n_electrons=4, n_spin_up=2,
+            n_spin_down=2, tunneling=1.0, coulomb=6.0,
+            results_root=vqe.problem.results_root, plot=False,
+            log_metrics=False, load_model=True,
+        )
+        ext = ADAPT(pool=hubbard_interaction_pool_extended(2, 2), **kwargs)
+        assert ext.selected_indices == vqe.selected_indices
+        np.testing.assert_allclose(
+            np.asarray(ext.params_t), np.asarray(vqe.params_t)
+        )
+        # same ansatz ops under either pool -> identical screening state
+        ext.save_model()
+        try:
+            with pytest.raises(ValueError, match="larger pool"):
+                ADAPT(**kwargs)
+        finally:
+            vqe.save_model()  # restore for later tests in this module
+
 
 class TestLoweringDefaults:
     def test_auto_resolves_to_split_and_platform_adjoint(self):

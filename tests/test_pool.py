@@ -9,7 +9,9 @@ from qsfh_tpu.ops.pool import (
     excitations,
     general_operator_pool,
     hubbard_interaction_pool,
+    hubbard_interaction_pool_extended,
     hubbard_interaction_pool_modified,
+    hubbard_interaction_pool_same_spin,
     hubbard_interaction_pool_simplified,
     spin_complemented_pool,
 )
@@ -58,6 +60,43 @@ class TestSimplifiedPool:
     def test_jw_hermitian(self):
         for op in hubbard_interaction_pool_simplified(2, 2):
             assert jordan_wigner(op).is_hermitian()
+
+
+class TestSameSpinPool:
+    def test_sizes(self):
+        # golden: dedup'd same-spin ZS scattering with Pauli-excluded
+        # (c^2 = 0) index collisions dropped
+        assert len(hubbard_interaction_pool_same_spin(2, 2)) == 6
+        assert len(hubbard_interaction_pool_same_spin(2, 3)) == 24
+        assert len(hubbard_interaction_pool_same_spin(3, 3)) == 108
+
+    def test_hermitian_and_symmetry(self):
+        pool = hubbard_interaction_pool_same_spin(2, 2)
+        for op in pool:
+            assert _is_hermitian(op)
+            assert op.many_body_order() == 4
+            for term in op.terms:
+                dn, dsz2 = _term_charge_spin(term)
+                assert dn == 0
+                assert dsz2 == 0
+            # every monomial lives in ONE spin sector (all modes same parity)
+            for term in op.terms:
+                parities = {mode % 2 for mode, _ in term}
+                assert len(parities) == 1
+
+    def test_extended_prefix_is_simplified(self):
+        simp = hubbard_interaction_pool_simplified(2, 3)
+        ext = hubbard_interaction_pool_extended(2, 3)
+        assert len(ext) == len(simp) + len(hubbard_interaction_pool_same_spin(2, 3))
+        for a, b in zip(ext[: len(simp)], simp):
+            assert a.isclose(b)
+
+    def test_disjoint_from_simplified(self):
+        # opposite-spin vs same-spin monomials cannot coincide
+        simp = hubbard_interaction_pool_simplified(2, 2)
+        for op in hubbard_interaction_pool_same_spin(2, 2):
+            for b in simp:
+                assert not op.isclose(b) and not op.isclose(-b)
 
 
 class TestFullPool:
