@@ -103,6 +103,18 @@ def main(argv=None):
     )
     p.add_argument("--threshold1", type=float, default=1e-2)
     p.add_argument("--threshold2", type=float, default=1e-2)
+    p.add_argument(
+        "--pool", default="simplified",
+        choices=("simplified", "extended", "same-spin"),
+        help="operator pool: the reference's opposite-spin ZS scattering "
+        "(simplified, default), plus-same-spin (extended; simplified "
+        "prefix keeps old checkpoints resumable), or same-spin only",
+    )
+    p.add_argument(
+        "--max-inner-iterations", type=int, default=10000,
+        help="cap on inner optimization steps per epoch (growth proceeds "
+        "even when the gradient-norm threshold is not reached)",
+    )
 
     p = sub.add_parser("iqcc", help="iterative QCC with Hamiltonian dressing")
     _add_lattice_args(p)
@@ -242,12 +254,22 @@ def main(argv=None):
         vqe.run()
     elif args.command == "adapt":
         from .algos.adapt import ADAPT
+        from .ops import pool as pool_mod
 
+        pool = None
+        if args.pool != "simplified":
+            builder = {
+                "extended": pool_mod.hubbard_interaction_pool_extended,
+                "same-spin": pool_mod.hubbard_interaction_pool_same_spin,
+            }[args.pool]
+            pool = builder(args.x_dimension, args.y_dimension)
         vqe = ADAPT(
             n_epoch=args.n_epoch,
             mesh_devices=args.mesh_devices,
             threshold1=args.threshold1,
             threshold2=args.threshold2,
+            pool=pool,
+            max_inner_iterations=args.max_inner_iterations,
             load_model=args.load_model,
             degenerate_subspace=args.degenerate_subspace,
             results_root=args.results_root,

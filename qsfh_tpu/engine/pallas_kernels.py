@@ -950,11 +950,13 @@ def _stream_block_rows(rows: int) -> int:
 
     The dynamic kernels run 2048-row blocks (1 MB/plane, ~5 MB working
     set).  The static kernels hold more planes live (conj + partner +
-    permuted pair + two weight accumulators) and measured 28.4 MB scoped
-    VMEM at 2048 rows (12.4 MB over the 16 MB v5e limit, 2026-08-19);
-    512-row blocks put the same schedule at ~7 MB."""
+    per-subgroup permuted pairs + weight accumulators): measured scoped
+    VMEM was 28.4 MB at 2048 rows and 16.0 MB at 512 (the separable-
+    weight columns then pushed it 416 KB over the 16 MB v5e limit,
+    2026-08-19); 256-row blocks halve every live plane to ~8 MB with
+    real headroom, at unchanged total HBM bytes."""
     env = os.environ.get("QSFH_PALLAS_STREAM_ROWS")
-    cap = 512 if _stream_static_enabled() else 2048
+    cap = 256 if _stream_static_enabled() else 2048
     br = int(env) if env else min(cap, rows // 2)
     if br < 8 or rows % br:
         raise ValueError(f"invalid stream block rows {br} for {rows} rows")
@@ -1133,56 +1135,118 @@ def _static_subgroups(terms):
 
     Returns ``(order, plan)``: ``order`` permutes the caller's term
     positions into subgroup-sorted order, ``plan`` is a static list of
-    (xlo, start, count) into the sorted order.  One permute per distinct
-    xlo services every term sharing it (XX/YY hopping pairs share x
-    masks, so this typically halves the permute count)."""
+    (xlo, [(zlo, zhi, cre, cim), ...]) with HOST values.  One permute per
+    distinct xlo services every term sharing it (XX/YY hopping pairs share
+    x masks, so this typically halves the permute count)."""
     subs = {}
     for j, (xlo, _zlo, _zhi, _cr, _ci) in enumerate(terms):
         subs.setdefault(xlo, []).append(j)
     order = []
     plan = []
     for xlo in sorted(subs):
-        plan.append((xlo, len(order), len(subs[xlo])))
+        plan.append((xlo, [terms[j][1:] for j in subs[xlo]]))
         order.extend(subs[xlo])
     return order, plan
 
 
-def _static_smem(terms, order):
-    """(zlo, zhi, cre, cim) device arrays in subgroup-sorted order."""
-    zlo = jnp.asarray(np.asarray([terms[j][1] for j in order], np.uint32))
-    zhi = jnp.asarray(np.asarray([terms[j][2] for j in order], np.int32))
-    cre = jnp.asarray(np.asarray([terms[j][3] for j in order], np.float32))
-    cim = jnp.asarray(np.asarray([terms[j][4] for j in order], np.float32))
-    return zlo, zhi, cre, cim
+def _slane_static(zlane: int):
+    """(1, LANE) lane-sign row (-1)^parity(l & zlane), zlane HOST-static.
+
+    Built from iota INSIDE the kernel (pallas rejects captured array
+    constants); only the SET bits of zlane cost ops, on LANE elements.
+    None for zlane == 0 so callers skip the multiply."""
+    zlane = int(zlane)
+    if zlane == 0:
+        return None
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, LANE), 1)
+    par = jnp.zeros((1, LANE), jnp.uint32)
+    t = 0
+    while zlane:
+        if zlane & 1:
+            par = par ^ ((lane >> np.uint32(t)) & np.uint32(1))
+        zlane >>= 1
+        t += 1
+    return jnp.where(par > np.uint32(0), jnp.float32(-1.0), jnp.float32(1.0))
 
 
-def _weight_planes_loop(zlo_ref, zhi_ref, cre_ref, cim_ref,
-                        start: int, cnt: int, i, br, nhi):
-    """(W_re, W_im) = sum_j c_j s_j(b) over one xlo subgroup, as a
-    fori_loop over SMEM term data.
+def _srow_static(zrow: int, br: int):
+    """(br, 1) in-block row-sign column (-1)^parity(r & zrow), zrow static.
 
-    The fully static form computed every term's sign plane as
-    independent HLO -- Mosaic's scheduler kept them ALL live and spilled
-    192 MB of registers at 26q (measured).  The loop body's temporaries
-    die each iteration, bounding liveness at a handful of planes, while
-    the permute stays hoisted (the actual MXU win)."""
+    Only the SET bits of zrow cost ops, and they run on (br, 1) elements
+    -- 128x fewer than a full-plane parity."""
+    zrow = int(zrow)
+    if zrow == 0:
+        return None
+    r = jax.lax.broadcasted_iota(jnp.uint32, (br, 1), 0)
+    par = jnp.zeros((br, 1), jnp.uint32)
+    t = 0
+    while zrow:
+        if zrow & 1:
+            par = par ^ ((r >> np.uint32(t)) & np.uint32(1))
+        zrow >>= 1
+        t += 1
+    return jnp.where(par > np.uint32(0), jnp.float32(-1.0), jnp.float32(1.0))
 
-    def body(j, acc):
-        t = start + j
-        s = _parity_sign(zlo_ref[t], br)
-        s = _block_parity_flip(s, zhi_ref[t], i, nhi)
-        wr, wi = acc
-        return (wr + cre_ref[t] * s, wi + cim_ref[t] * s)
 
-    zero = jnp.zeros((br, LANE), jnp.float32)
-    return jax.lax.fori_loop(0, cnt, body, (zero, zero))
+def _accum_col(col, srow, bs, c: float):
+    """col += c * bs * srow on a (br, 1) column (srow None => all-ones)."""
+    if c == 0.0:
+        return col
+    coeff = jnp.float32(c) if bs is None else jnp.float32(c) * bs
+    return col + (coeff if srow is None else coeff * srow)
+
+
+def _lane_subgroups(subterms):
+    """Regroup one xlo subgroup's static terms by DISTINCT z lane mask.
+
+    Entries are (zlo, zhi, *payload); returns
+    [(zlane, [(zrow, zhi, *payload), ...])] sorted by zlane."""
+    by_lane = {}
+    for (zlo, zhi, *payload) in subterms:
+        by_lane.setdefault(zlo & (LANE - 1), []).append(
+            (zlo >> LANE_BITS, zhi, *payload)
+        )
+    return sorted(by_lane.items())
+
+
+def _weight_planes_static(subterms, i, br, want_im: bool):
+    """(W_re, W_im) = sum_j c_j s_j(b) over one xlo subgroup, HOST-static.
+
+    The z masks are host numpy, and a Pauli sign plane is SEPARABLE:
+    s(b) = srow(row bits) * slane(lane bits) * blocksign(block bits).
+    Terms regroup by distinct z lane mask: each term accumulates into a
+    (br, 1) sign-weighted COLUMN (cheap VPU ops on br elements), and only
+    each distinct zlane costs one full-plane broadcast FMA -- versus the
+    earlier fori_loop's traced-mask bit-loop sign plane at ~50 full-plane
+    ops per TERM, the measured reason the round-3 static kernels sat
+    6.6-9.2x over their HBM roofline (benchmarks/tpu_utilization.json
+    measured_over_roofline_x).  Live temporaries are (br, 1) columns plus
+    the two accumulator planes, so neither the 192 MB register-spill of
+    the fully-static form (full sign plane per term held live) nor the
+    16.4 MB scoped-VMEM overflow of the rank-1-per-term form (measured
+    at 24q, 2026-08-19) can recur."""
+    wr = jnp.zeros((br, LANE), jnp.float32)
+    wi = jnp.zeros((br, LANE), jnp.float32) if want_im else None
+    for zlane, terms in _lane_subgroups(subterms):
+        slane = _slane_static(zlane)
+        colr = jnp.zeros((br, 1), jnp.float32)
+        coli = jnp.zeros((br, 1), jnp.float32) if want_im else None
+        for (zrow, zhi, cr, ci) in terms:
+            srow = _srow_static(zrow, br)
+            bs = _block_sign_static(zhi, i)
+            colr = _accum_col(colr, srow, bs, cr)
+            if want_im:
+                coli = _accum_col(coli, srow, bs, ci)
+        wr = wr + (colr if slane is None else colr * slane)
+        if want_im:
+            wi = wi + (coli if slane is None else coli * slane)
+    return wr, wi
 
 
 def _make_expectation_stream_kernel_static(nhi, plan, want_im: bool):
-    """One-group expectation kernel: static permutes, looped weights."""
+    """One-group expectation kernel: static permutes, separable weights."""
 
-    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
-               sre_ref, sim_ref, pre_ref, pim_ref, out_ref):
+    def kernel(sre_ref, sim_ref, pre_ref, pim_ref, out_ref):
         i = pl.program_id(0)
         br = sre_ref.shape[0]
         re = sre_ref[:]
@@ -1190,12 +1254,10 @@ def _make_expectation_stream_kernel_static(nhi, plan, want_im: bool):
         tre0 = pre_ref[:]
         tim0 = pim_ref[:]
         acc = jnp.float32(0.0)
-        for xlo, start, cnt in plan:
+        for xlo, subterms in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
-            wr, wi = _weight_planes_loop(
-                zlo_ref, zhi_ref, cre_ref, cim_ref, start, cnt, i, br, nhi
-            )
+            wr, wi = _weight_planes_static(subterms, i, br, want_im)
             acc = acc + jnp.sum(wr * (re * tre + im * tim))
             if want_im:
                 acc = acc - jnp.sum(wi * (re * tim - im * tre))
@@ -1212,22 +1274,19 @@ def _make_expectation_stream_kernel_static(nhi, plan, want_im: bool):
 
 
 def _make_apply_stream_kernel_static(nhi, plan, want_im: bool):
-    """One-group apply kernel: static permutes, looped weights."""
+    """One-group apply kernel: static permutes, separable weights."""
 
-    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
-               pre_ref, pim_ref, ore_ref, oim_ref):
+    def kernel(pre_ref, pim_ref, ore_ref, oim_ref):
         i = pl.program_id(0)
         br = pre_ref.shape[0]
         tre0 = pre_ref[:]
         tim0 = pim_ref[:]
         ar = jnp.zeros((br, LANE), jnp.float32)
         ai = jnp.zeros((br, LANE), jnp.float32)
-        for xlo, start, cnt in plan:
+        for xlo, subterms in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
-            wr, wi = _weight_planes_loop(
-                zlo_ref, zhi_ref, cre_ref, cim_ref, start, cnt, i, br, nhi
-            )
+            wr, wi = _weight_planes_static(subterms, i, br, want_im)
             ar = ar + wr * tre
             ai = ai + wr * tim
             if want_im:
@@ -1241,11 +1300,14 @@ def _make_apply_stream_kernel_static(nhi, plan, want_im: bool):
 
 def _make_screen_stream_kernel_static(nhi, plan):
     """One-group screening kernel: static permutes, per-term scalars via
-    a fori_loop over SMEM data (slots follow the subgroup-sorted order;
-    the caller extends ``perm`` accordingly)."""
+    separable reductions (slots follow the subgroup-sorted order; the
+    caller extends ``perm`` accordingly).
 
-    def kernel(zlo_ref, zhi_ref, cre_ref, cim_ref,
-               wre_ref, wim_ref, pre_ref, pim_ref, acc_ref):
+    Per term the lane signs fold into a lane-weighted row reduction and
+    the row signs into the final (br, 1) dot -- 2 full-plane ops per
+    term per product plane instead of a traced-mask sign plane."""
+
+    def kernel(wre_ref, wim_ref, pre_ref, pim_ref, acc_ref):
         i = pl.program_id(0)
         br = wre_ref.shape[0]
         wre = wre_ref[:]
@@ -1256,24 +1318,42 @@ def _make_screen_stream_kernel_static(nhi, plan):
         slot_lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
         slot_id = (slot_row << np.int32(LANE_BITS)) | slot_lane
         acc = jnp.zeros((8, LANE), jnp.float32)
-        for xlo, start, cnt in plan:
+        t = 0
+        for xlo, subterms in plan:
             tre = _xor_permute_static(tre0, xlo, br)
             tim = _xor_permute_static(tim0, xlo, br)
             a_pl = wre * tre + wim * tim
             b_pl = wre * tim - wim * tre
-
-            def body(j, acc, a_pl=a_pl, b_pl=b_pl, start=start):
-                t = start + j
-                s = _parity_sign(zlo_ref[t], br)
-                s = _block_parity_flip(s, zhi_ref[t], i, nhi)
-                vr = jnp.sum(s * a_pl)
-                vi = jnp.sum(s * b_pl)
-                contrib = 2.0 * (cre_ref[t] * vi + cim_ref[t] * vr)
-                return acc + contrib * jnp.where(
-                    slot_id == t, jnp.float32(1.0), jnp.float32(0.0)
-                )
-
-            acc = jax.lax.fori_loop(0, cnt, body, acc)
+            # slots were assigned in subterm order; regrouping by zlane
+            # permutes them, so carry each term's slot through the regroup
+            slotted = [(zlo, zhi, (cr, ci, t + j))
+                       for j, (zlo, zhi, cr, ci) in enumerate(subterms)]
+            t += len(subterms)
+            for zlane, terms in _lane_subgroups(slotted):
+                slane = _slane_static(zlane)
+                # ONE pair of lane-weighted row reductions per distinct
+                # zlane, shared by every term carrying it
+                ra = jnp.sum(a_pl if slane is None else a_pl * slane,
+                             axis=1, keepdims=True)
+                rb = jnp.sum(b_pl if slane is None else b_pl * slane,
+                             axis=1, keepdims=True)
+                for (zrow, zhi, (cr, ci, slot)) in terms:
+                    srow = _srow_static(zrow, br)
+                    bs = _block_sign_static(zhi, i)
+                    if srow is None:
+                        vr = jnp.sum(ra)
+                        vi = jnp.sum(rb)
+                    else:
+                        vr = jnp.sum(srow * ra)
+                        vi = jnp.sum(srow * rb)
+                    if bs is not None:
+                        vr = bs * vr
+                        vi = bs * vi
+                    contrib = 2.0 * (jnp.float32(cr) * vi + jnp.float32(ci) * vr)
+                    acc = acc + contrib * jnp.where(
+                        slot_id == np.int32(slot),
+                        jnp.float32(1.0), jnp.float32(0.0),
+                    )
 
         @pl.when(i == 0)
         def _init():
@@ -1369,8 +1449,7 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
                     kernel,
                     grid=(nb,),
                     out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
-                    + [
+                    in_specs=[
                         pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                         pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                         pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
@@ -1378,7 +1457,7 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
                     ],
                     out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
                     interpret=jax.devices()[0].platform == "cpu",
-                )(*_static_smem(terms, order), wre, wim, re, im)
+                )(wre, wim, re, im)
                 # slots follow the subgroup-sorted order
                 vals.append(acc.reshape(-1)[: len(chunk)])
                 perm.extend(chunk[p] for p in order)
@@ -1444,8 +1523,7 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
                 kernel,
                 grid=(nb,),
                 out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
-                + [
+                in_specs=[
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
@@ -1453,7 +1531,7 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
                 ],
                 out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
                 interpret=jax.devices()[0].platform == "cpu",
-            )(*_static_smem(terms, order), re, im, re, im)
+            )(re, im, re, im)
             total = total + out[0, 0]
             continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
@@ -1576,8 +1654,7 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
                     jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
                     jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
                 ),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
-                + [
+                in_specs=[
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
                     pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
                 ],
@@ -1586,7 +1663,7 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
                     pl.BlockSpec((br, LANE), lambda i: (i, 0)),
                 ),
                 interpret=jax.devices()[0].platform == "cpu",
-            )(*_static_smem(terms, order), re, im)
+            )(re, im)
             ore = ore + gre
             oim = oim + gim
             continue

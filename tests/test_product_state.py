@@ -130,6 +130,14 @@ def test_screen_stream_pair_closed_form(problem_2x3):
     build_p = product_planes_fn(n, th, al)
     build_w = product_planes_fn(n, thw, alw)
 
+    # perm is static host metadata: take it from the API (the static
+    # kernels emit slots in subgroup-sorted order, which perm records)
+    _, perm = screen_stream_planes(
+        jnp.zeros_like(build_w()[0]), jnp.zeros_like(build_w()[1]),
+        jnp.zeros_like(build_p()[0]), jnp.zeros_like(build_p()[1]),
+        n, xs, zs, cre32, cim32,
+    )
+
     @jax.jit
     def run():
         re, im = build_p()
@@ -140,11 +148,6 @@ def test_screen_stream_pair_closed_form(problem_2x3):
         return contribs
 
     contribs = np.asarray(run())
-    # recover the permutation (static host metadata)
-    from qsfh_tpu.engine.pallas_kernels import _stream_block_rows, _stream_groups
-    bb = _stream_block_rows((1 << n) // 128).bit_length() - 1
-    groups = _stream_groups(xs, bb)
-    perm = np.asarray([t for _, idx in sorted(groups.items()) for t in idx])
 
     vals = product_pair_term_values(p.qubit_hamiltonian, n, (thw, alw), (th, al))
     expected = 2.0 * vals.imag
