@@ -101,7 +101,16 @@ def main():
         vqe, chunk_iters=CHUNK, metrics_every_iter=False, on_epoch_end=anchor,
         dispatch="stages", max_inner_iterations=MAX_INNER,
     )
+    # phase progress survives restarts (a relaunched schedule would
+    # otherwise re-grind completed phases at their looser thresholds)
+    phase_path = os.path.join(HERE, "grow_phase.json")
+    start_phase = 0
+    if os.path.exists(phase_path):
+        start_phase = json.load(open(phase_path)).get("next_phase", 0)
+        print(f"resuming at phase {start_phase} (grow_phase.json)", flush=True)
     for phase, thr in enumerate(SCHEDULE):
+        if phase < start_phase:
+            continue
         vqe.threshold1 = thr
         vqe.threshold2 = thr
         target = len(vqe.results["epoch loss"]) + EPOCHS_PER_PHASE
@@ -113,6 +122,10 @@ def main():
         print(f"=== phase {phase} done: E {last:+.8f} vs ED {ed:+.8f} "
               f"(gap {1e3 * (last - ed):.4f} mHa, c64 floor ~0.005 mHa)",
               flush=True)
+        with open(phase_path, "w") as f:
+            json.dump({"next_phase": phase + 1,
+                       "epochs_done": len(vqe.results["epoch loss"]),
+                       "last_gap_mha": 1e3 * (last - ed)}, f)
     anchor(-1)
     print("SCHEDULE COMPLETE")
 

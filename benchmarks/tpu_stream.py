@@ -184,6 +184,35 @@ def main() -> int:
                 )
                 log(out["xla_timing_note"])
                 time.sleep(150)  # worker recovers in ~2-3 min after a crash
+        if out["energy_eval_xla_ms"] is None:
+            # last resort: ONE eval, fetch-synced (k >= 3 chains kill the
+            # worker at 24q).  Upper-bounds device time by a tunnel RTT,
+            # which at >= 100 ms/eval XLA scans is a few percent -- still
+            # an honest cross-check for the streaming speedup claim.
+            try:
+                _, chain_x = build("0")
+                scales = jnp.linspace(1.0, 1.0001, 1, dtype=jnp.float32)
+                float(chain_x(psi_reim, scales))  # warm
+                samples = []
+                for _ in range(5):
+                    s0 = time.time()
+                    float(chain_x(psi_reim, scales))
+                    samples.append(time.time() - s0)
+                out["energy_eval_xla_fetch_synced_ms"] = round(
+                    1e3 * float(np.median(samples)), 3
+                )
+                out["xla_timing_note"] = (
+                    "marginal chains crash the tunneled worker at this size; "
+                    "xla number is ONE fetch-synced eval (upper bound)"
+                )
+                log(f"XLA fallback fetch-synced: "
+                    f"{out['energy_eval_xla_fetch_synced_ms']} ms")
+            except Exception as exc:
+                out["xla_timing_note"] += (
+                    f"; single-eval fallback also failed: {type(exc).__name__}"
+                )
+                log(out["xla_timing_note"])
+                time.sleep(150)
         write()
         log(
             f"energy eval {N}q: stream {out['energy_eval_stream_ms']} ms "

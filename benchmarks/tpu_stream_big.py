@@ -237,8 +237,7 @@ def main() -> int:
             # covers the streamed screening kernel -- ADAPT's per-epoch hot
             # op -- at this scale.  w planes add 2x plane bytes: 28q max.
             from qsfh_tpu.engine.pallas_kernels import (
-                _stream_block_rows,
-                _stream_groups,
+                screen_stream_perm,
                 screen_stream_planes,
             )
             from qsfh_tpu.engine.product_state import product_pair_term_values
@@ -257,11 +256,10 @@ def main() -> int:
                 return contribs
 
             contribs = np.asarray(screened())
-            bb = _stream_block_rows((1 << N) // 128).bit_length() - 1
-            sgroups = _stream_groups(xs, bb)
-            perm = np.asarray(
-                [t for _, idx in sorted(sgroups.items()) for t in idx]
-            )
+            # slot order includes the static kernels' subgroup sort; the
+            # earlier group-order reconstruction misassigned terms within
+            # groups, reporting ~15% phantom screen error at 26-30q
+            perm = screen_stream_perm(N, xs, zs, cre32, cim32)
             vals = product_pair_term_values(
                 p.qubit_hamiltonian, N, (thw, alw), (th, al)
             )

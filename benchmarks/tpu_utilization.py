@@ -51,15 +51,30 @@ def lattice_terms(nx, ny):
     return H, n, xs
 
 
-def stream_schedule(n, xs):
-    """Reproduce the streaming kernels' block/group partitioning."""
-    from qsfh_tpu.engine.pallas_kernels import _stream_groups
+def stream_schedule(n, xs, static: bool):
+    """Reproduce the streaming kernels' block/group partitioning, using
+    the kernels' OWN block-rows policy (static kernels run 256-row
+    blocks since the separable-weights rework; dynamic run 2048)."""
+    import os as _os
 
-    bb = 11 if n >= 19 else (n - 8)
+    from qsfh_tpu.engine.pallas_kernels import (
+        _stream_block_rows,
+        _stream_groups,
+    )
+
+    prev = _os.environ.get("QSFH_STREAM_STATIC")
+    _os.environ["QSFH_STREAM_STATIC"] = "1" if static else "0"
+    try:
+        rows = (1 << n) // LANE
+        br = _stream_block_rows(rows)
+    finally:
+        if prev is None:
+            _os.environ.pop("QSFH_STREAM_STATIC", None)
+        else:
+            _os.environ["QSFH_STREAM_STATIC"] = prev
+    bb = br.bit_length() - 1
     groups = _stream_groups(xs, bb)
-    rows = (1 << n) // LANE
-    br = rows // (rows // (1 << bb)) if n - 7 > bb else rows
-    nb = 1 << (n - 7 - bb)
+    nb = rows // br
     return groups, bb, nb
 
 
@@ -93,7 +108,7 @@ def analyze(n, lattice, path):
     nx, ny = (int(v) for v in lattice.split("x"))
     H, n2, xs = lattice_terms(nx, ny)
     assert n2 == n
-    groups, bb, nb = stream_schedule(n, xs)
+    groups, bb, nb = stream_schedule(n, xs, bool(blob.get("stream_static")))
     G = len(groups)
     T = len(xs)
     plane_pair = 2 * (1 << n) * 4  # re+im f32 bytes

@@ -282,20 +282,29 @@ def _block_sign_static(zhi: int, i):
 def _parity_sign(zb, rows: int):
     """s(b) = (-1)^{popcount(b & zb)} on the (rows, LANE) index grid.
 
-    Bit-loop XOR instead of ``lax.population_count`` (unproven in Mosaic);
-    the loop is static over n = log2(rows) + 7 bits of cheap VPU ops.
-    """
-    n = (rows.bit_length() - 1) + LANE_BITS
-    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANE), 1)
-    b = (row_ids << np.uint32(LANE_BITS)) | lane_ids
-    masked = b & zb
-    par = jnp.zeros((rows, LANE), jnp.uint32)
-    for t in range(n):
-        par = par ^ ((masked >> np.uint32(t)) & np.uint32(1))
+    SEPARABLE: s(b) = srow(row bits of b) * slane(lane bits of b), so the
+    parity bit-loops run on a (rows, 1) column and a (1, LANE) row -- tiny
+    VPU work -- and the full plane costs ONE broadcast multiply.  The
+    earlier joint form ran the (log2(rows) + 7)-bit loop on all
+    (rows, LANE) elements: ~3 ops/bit/element, ~50 full-plane ops per
+    term, which dominated every SMEM-data kernel's VPU time (chain
+    rotations, dynamic streaming, screening).  Bit-loop XOR instead of
+    ``lax.population_count`` (unproven in Mosaic)."""
+    zb = jnp.asarray(zb, jnp.uint32)
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (1, LANE), 1)
+    rmask = row_ids & (zb >> np.uint32(LANE_BITS))
+    lmask = lane_ids & (zb & np.uint32(LANE - 1))
+    rpar = jnp.zeros((rows, 1), jnp.uint32)
+    for t in range(rows.bit_length() - 1):
+        rpar = rpar ^ ((rmask >> np.uint32(t)) & np.uint32(1))
+    lpar = jnp.zeros((1, LANE), jnp.uint32)
+    for t in range(LANE_BITS):
+        lpar = lpar ^ ((lmask >> np.uint32(t)) & np.uint32(1))
     # uint32 -> float32 casts don't lower in Mosaic; select on a bool does
-    odd = par > np.uint32(0)
-    return jnp.where(odd, jnp.float32(-1.0), jnp.float32(1.0))
+    srow = jnp.where(rpar > np.uint32(0), jnp.float32(-1.0), jnp.float32(1.0))
+    slane = jnp.where(lpar > np.uint32(0), jnp.float32(-1.0), jnp.float32(1.0))
+    return srow * slane
 
 
 def _block_parity_flip(s, zhi_j, i, nhi):
@@ -1423,6 +1432,33 @@ def screen_stream_pallas(psi, w, n: int, xs, zs, cre, cim):
     wre = jnp.real(w).astype(jnp.float32).reshape(rows, LANE)
     wim = jnp.imag(w).astype(jnp.float32).reshape(rows, LANE)
     return screen_stream_planes(wre, wim, re, im, n, xs, zs, cre, cim)
+
+
+def screen_stream_perm(n: int, xs, zs, cre, cim):
+    """HOST-only slot permutation of :func:`screen_stream_planes`.
+
+    The streamed screen emits per-term slots in (flip-group, chunk,
+    subgroup-sorted) order; this reproduces that order without touching
+    the device (the perm is static metadata, but calling the planes
+    function eagerly would dispatch one compile per group).  Kept in
+    lockstep with screen_stream_planes by tests/test_pallas.py."""
+    rows = (1 << n) // LANE
+    br = _stream_block_rows(rows)
+    bb = br.bit_length() - 1
+    groups = _stream_groups(xs, bb)
+    static_ok = _stream_static_enabled()
+    cap = _stream_static_max_terms()
+    perm = []
+    for _xh, idx in sorted(groups.items()):
+        for lo in range(0, len(idx), 8 * LANE):
+            chunk = idx[lo : lo + 8 * LANE]
+            if static_ok and len(chunk) <= cap:
+                terms = _static_terms(chunk, xs, zs, cre, cim, bb)
+                order, _plan = _static_subgroups(terms)
+                perm.extend(chunk[p] for p in order)
+            else:
+                perm.extend(chunk)
+    return np.asarray(perm, np.int64)
 
 
 def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):

@@ -516,3 +516,27 @@ class TestStaticStreamEquivalence:
         np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=1e-5)
         np.testing.assert_allclose(outs["1"][1], outs["0"][1], atol=1e-5)
         np.testing.assert_allclose(outs["1"][2], outs["0"][2], atol=1e-4)
+
+    @pytest.mark.parametrize("flag", ["1", "0"])
+    def test_screen_perm_helper_lockstep(self, flag, monkeypatch):
+        """screen_stream_perm (host-only) must reproduce the permutation
+        screen_stream_pallas returns, under both static and dynamic
+        kernels -- external consumers (benchmarks/tpu_stream_big.py)
+        map slots back through it without touching the device."""
+        from qsfh_tpu.engine.pallas_kernels import (
+            screen_stream_pallas,
+            screen_stream_perm,
+        )
+
+        n = 12
+        monkeypatch.setenv("QSFH_STREAM_STATIC", flag)
+        k1, k2 = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+        v = jax.random.normal(k1, (1 << n,)) + 1j * jax.random.normal(
+            k2, (1 << n,)
+        )
+        psi = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+        w = jax.random.normal(k2, (1 << n,)).astype(jnp.complex64)
+        xs, zs, cre, cim = self._random_terms(n, 23, seed=5)
+        _, perm = screen_stream_pallas(psi, w, n, xs, zs, cre, cim)
+        host_perm = screen_stream_perm(n, xs, zs, cre, cim)
+        np.testing.assert_array_equal(host_perm, perm)
