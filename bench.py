@@ -49,6 +49,88 @@ def _log(msg, _t0=[None]):
     print(f"[bench +{now - _t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+class _chip_exclusive:
+    """SIGSTOP competing chip jobs from THIS repo for the bench window.
+
+    Long-running drivers (the flagship 3x3 growth loop) hold the single
+    tunneled TPU in ~40 s program bursts; a timed attempt interleaved with
+    them measures queue time, not the step.  Known job pidfiles are paused
+    (SIGSTOP) on entry and always resumed (SIGCONT) on exit.  Only
+    processes whose /proc cmdline references this repo are touched, and
+    never bench.py's own lineage.  After pausing, entry sleeps so an
+    already-submitted program drains off the chip before timing starts.
+    ``QSFH_BENCH_NO_PAUSE=1`` disables."""
+
+    PIDFILES = ("/tmp/grow.pid", "/tmp/cont_tpu.pid", "/tmp/campaign_r3.pid",
+                "/tmp/campaign.pid", "/tmp/extras.pid", "/tmp/ms_loop.pid",
+                "/tmp/polish.pid", "/tmp/refine.pid")
+    DRAIN_S = int(os.environ.get("QSFH_BENCH_PAUSE_DRAIN", "45"))
+
+    @staticmethod
+    def _descendants(pid):
+        """pid + all live descendants (pidfiles usually hold the bash
+        wrapper of `cmd & echo $!`; the chip client is a child python)."""
+        out, stack = [], [pid]
+        while stack:
+            p = stack.pop()
+            out.append(p)
+            try:
+                for tid in os.listdir(f"/proc/{p}/task"):
+                    kids = open(f"/proc/{p}/task/{tid}/children").read().split()
+                    stack.extend(int(k) for k in kids)
+            except OSError:
+                continue
+        return out
+
+    def __enter__(self):
+        import signal
+
+        self.paused = []
+        if os.environ.get("QSFH_BENCH_NO_PAUSE", "0") == "1":
+            return self
+        here = os.path.dirname(os.path.abspath(__file__))
+        me = {os.getpid(), os.getppid()}
+        for pf in self.PIDFILES:
+            try:
+                root = int(open(pf).read().strip())
+            except (OSError, ValueError):
+                continue
+            for pid in self._descendants(root):
+                if pid in me:
+                    continue
+                try:
+                    cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode(
+                        errors="replace").replace("\0", " ")
+                    try:
+                        cwd = os.readlink(f"/proc/{pid}/cwd")
+                    except OSError:
+                        cwd = ""
+                    blob = cmd + " " + cwd
+                    if here not in blob and "qsfh" not in blob and \
+                            "demo_3x3" not in blob and "benchmarks" not in blob:
+                        continue
+                    os.kill(pid, signal.SIGSTOP)
+                    self.paused.append(pid)
+                    _log(f"paused chip job {pid} ({pf}: {cmd[:70]})")
+                except (OSError, ValueError):
+                    continue
+        if self.paused:
+            _log(f"draining chip for {self.DRAIN_S}s")
+            time.sleep(self.DRAIN_S)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for pid in self.paused:
+            try:
+                os.kill(pid, signal.SIGCONT)
+                _log(f"resumed chip job {pid}")
+            except OSError:
+                pass
+        return False
+
+
 
 def _host_adam_state(params):
     """optax.adam(1e-2).init(params) built WITHOUT device compiles.
@@ -329,123 +411,125 @@ def main():
     # program hash), then fall back to CPU
     import tempfile
 
-    # self-warm every split stage into the persistent compile cache FIRST
-    # (round-2 root cause: the inner attempt's 120 s budget was consumed by
-    # six sequential cold stage compiles right after "ADAPT built"; with
-    # the stages warmed, the inner attempt is cache-hits + execution).
-    # Per-stage timestamps land in the bench log for diagnosability.
-    warm_budget = int(os.environ.get("QSFH_BENCH_WARM_TIMEOUT", "360"))
-    env = dict(os.environ)
-    env["QSFH_BENCH_SALT"] = env.get("QSFH_BENCH_SALT", "0") or str(
-        (time.time() % 86400) * 1e-9
-    )
-    warm_salt = env["QSFH_BENCH_SALT"]
-    try:
-        t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--warm-stages"],
-            env=env, timeout=warm_budget, capture_output=True, text=True,
+    # exclusive chip: pause competing repo jobs for the live window
+    with _chip_exclusive():
+        # self-warm every split stage into the persistent compile cache FIRST
+        # (round-2 root cause: the inner attempt's 120 s budget was consumed by
+        # six sequential cold stage compiles right after "ADAPT built"; with
+        # the stages warmed, the inner attempt is cache-hits + execution).
+        # Per-stage timestamps land in the bench log for diagnosability.
+        warm_budget = int(os.environ.get("QSFH_BENCH_WARM_TIMEOUT", "360"))
+        env = dict(os.environ)
+        env["QSFH_BENCH_SALT"] = env.get("QSFH_BENCH_SALT", "0") or str(
+            (time.time() % 86400) * 1e-9
         )
-        _log(f"warm-stages rc={proc.returncode} in {time.time()-t0:.1f}s")
-        for l in proc.stderr.strip().splitlines()[-8:]:
-            _log(f"warm: {l}")
-        stages_warm = proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        _log(f"warm-stages exceeded {warm_budget}s")
-        stages_warm = False
-
-    # attempt the fused-shape measurement first: the whole train step as
-    # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
-    # program-shape class the chip demonstrably accepts, and it
-    # parity-checks its energies against a CPU trace before recording
-    fused = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_step_fused.py"
-    )
-    expected = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "step_fused_expected.json",
-    )
-    if os.path.exists(fused) and os.path.exists(expected):
-        env = dict(os.environ)
-        env["QSFH_BENCH_SALT"] = str(time.time() % 1000 * 1e-7)
+        warm_salt = env["QSFH_BENCH_SALT"]
         try:
+            t0 = time.time()
             proc = subprocess.run(
-                [sys.executable, fused], env=env, timeout=TPU_TIMEOUT_S,
-                capture_output=True, text=True,
+                [sys.executable, os.path.abspath(__file__), "--warm-stages"],
+                env=env, timeout=warm_budget, capture_output=True, text=True,
             )
-            for line in proc.stdout.splitlines():
-                if line.startswith("tpu_step_fused: {"):
-                    blob = json.loads(line.split(" ", 1)[1])
-                    print(json.dumps({k: blob[k] for k in
-                                      ("metric", "value", "unit", "vs_baseline")}))
-                    return
-            _log(f"fused attempt failed (rc={proc.returncode})")
-            for l in proc.stderr.strip().splitlines()[-2:]:
-                _log(f"fused: {l}")
+            _log(f"warm-stages rc={proc.returncode} in {time.time()-t0:.1f}s")
+            for l in proc.stderr.strip().splitlines()[-8:]:
+                _log(f"warm: {l}")
+            stages_warm = proc.returncode == 0
         except subprocess.TimeoutExpired:
-            _log(f"fused attempt exceeded {TPU_TIMEOUT_S}s")
+            _log(f"warm-stages exceeded {warm_budget}s")
+            stages_warm = False
 
-    err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
-    # attempt 0 rides the just-warmed (or campaign-warmed) cache and gets
-    # the largest budget; cold retries get 180 s each (the round-2 120 s
-    # floor was below the observed six-stage cold-compile latency)
-    per_attempt0 = max(TPU_TIMEOUT_S, 300)
-    per_attempt_cold = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 180)
-    # if the campaign warmed the persistent cache, attempt 0 reuses the
-    # exact salt + program shape it warmed with; the self-warm above
-    # takes precedence (same process lineage, same salt)
-    warmed = (warm_salt, os.environ.get("QSFH_SPLIT_TWO_SCAN", "0")) \
-        if stages_warm else None
-    salt_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_salt.txt"
-    )
-    if warmed is None and os.path.exists(salt_file):
-        fields = open(salt_file).read().split()
-        if fields:
-            warmed = (fields[0], fields[1] if len(fields) > 1 else "0")
-    for attempt in range(TPU_ATTEMPTS):
-        left = DEADLINE_S - (time.time() - _START)
-        if left < 90:
-            _log(f"deadline ({DEADLINE_S}s) reached; skipping live attempts")
-            break
-        per_attempt = min(per_attempt0 if attempt == 0 else per_attempt_cold,
-                          int(left))
-        env = dict(os.environ)
-        if attempt == 0 and warmed:
-            env["QSFH_BENCH_SALT"] = warmed[0]
-            env["QSFH_SPLIT_TWO_SCAN"] = warmed[1]
-        else:
-            env["QSFH_BENCH_SALT"] = str(attempt * 1e-7)
-        try:
-            with open(err_path, "w") as err_fh, tempfile.TemporaryFile(
-                mode="w+"
-            ) as out_fh:
-                proc = subprocess.Popen(
-                    [sys.executable, os.path.abspath(__file__), "--inner"],
-                    stdout=out_fh,
-                    stderr=err_fh,
-                    text=True,
-                    env=env,
+        # attempt the fused-shape measurement first: the whole train step as
+        # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
+        # program-shape class the chip demonstrably accepts, and it
+        # parity-checks its energies against a CPU trace before recording
+        fused = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_step_fused.py"
+        )
+        expected = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "step_fused_expected.json",
+        )
+        if os.path.exists(fused) and os.path.exists(expected):
+            env = dict(os.environ)
+            env["QSFH_BENCH_SALT"] = str(time.time() % 1000 * 1e-7)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, fused], env=env, timeout=TPU_TIMEOUT_S,
+                    capture_output=True, text=True,
                 )
-                rc = proc.wait(timeout=per_attempt)
-                out_fh.seek(0)
-                stdout = out_fh.read()
-            if rc == 0:
-                for line in stdout.splitlines():
-                    line = line.strip()
-                    if line.startswith("{"):
-                        print(line)
+                for line in proc.stdout.splitlines():
+                    if line.startswith("tpu_step_fused: {"):
+                        blob = json.loads(line.split(" ", 1)[1])
+                        print(json.dumps({k: blob[k] for k in
+                                          ("metric", "value", "unit", "vs_baseline")}))
                         return
-            _log(f"TPU attempt {attempt} failed (rc={rc})")
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            _log(f"TPU attempt {attempt} exceeded {per_attempt}s")
-        try:
-            tail = open(err_path).read().strip().splitlines()[-2:]
-            for line in tail:
-                _log(f"inner: {line}")
-        except Exception:
-            pass
+                _log(f"fused attempt failed (rc={proc.returncode})")
+                for l in proc.stderr.strip().splitlines()[-2:]:
+                    _log(f"fused: {l}")
+            except subprocess.TimeoutExpired:
+                _log(f"fused attempt exceeded {TPU_TIMEOUT_S}s")
+
+        err_path = os.path.join(tempfile.gettempdir(), "qsfh_bench_inner.log")
+        # attempt 0 rides the just-warmed (or campaign-warmed) cache and gets
+        # the largest budget; cold retries get 180 s each (the round-2 120 s
+        # floor was below the observed six-stage cold-compile latency)
+        per_attempt0 = max(TPU_TIMEOUT_S, 300)
+        per_attempt_cold = max(TPU_TIMEOUT_S // max(TPU_ATTEMPTS, 1), 180)
+        # if the campaign warmed the persistent cache, attempt 0 reuses the
+        # exact salt + program shape it warmed with; the self-warm above
+        # takes precedence (same process lineage, same salt)
+        warmed = (warm_salt, os.environ.get("QSFH_SPLIT_TWO_SCAN", "0")) \
+            if stages_warm else None
+        salt_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks", "tpu_salt.txt"
+        )
+        if warmed is None and os.path.exists(salt_file):
+            fields = open(salt_file).read().split()
+            if fields:
+                warmed = (fields[0], fields[1] if len(fields) > 1 else "0")
+        for attempt in range(TPU_ATTEMPTS):
+            left = DEADLINE_S - (time.time() - _START)
+            if left < 90:
+                _log(f"deadline ({DEADLINE_S}s) reached; skipping live attempts")
+                break
+            per_attempt = min(per_attempt0 if attempt == 0 else per_attempt_cold,
+                              int(left))
+            env = dict(os.environ)
+            if attempt == 0 and warmed:
+                env["QSFH_BENCH_SALT"] = warmed[0]
+                env["QSFH_SPLIT_TWO_SCAN"] = warmed[1]
+            else:
+                env["QSFH_BENCH_SALT"] = str(attempt * 1e-7)
+            try:
+                with open(err_path, "w") as err_fh, tempfile.TemporaryFile(
+                    mode="w+"
+                ) as out_fh:
+                    proc = subprocess.Popen(
+                        [sys.executable, os.path.abspath(__file__), "--inner"],
+                        stdout=out_fh,
+                        stderr=err_fh,
+                        text=True,
+                        env=env,
+                    )
+                    rc = proc.wait(timeout=per_attempt)
+                    out_fh.seek(0)
+                    stdout = out_fh.read()
+                if rc == 0:
+                    for line in stdout.splitlines():
+                        line = line.strip()
+                        if line.startswith("{"):
+                            print(line)
+                            return
+                _log(f"TPU attempt {attempt} failed (rc={rc})")
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                _log(f"TPU attempt {attempt} exceeded {per_attempt}s")
+            try:
+                tail = open(err_path).read().strip().splitlines()[-2:]
+                for line in tail:
+                    _log(f"inner: {line}")
+            except Exception:
+                pass
     # a previously recorded on-chip measurement from this host (written by
     # benchmarks/tpu_retry_loop.sh when a healthy service window allowed a
     # live run) beats a CPU number; labeled as recorded
