@@ -463,6 +463,23 @@ class ADAPT:
 
         # raw (unjitted) stages for granular cache warming (bench --warm-stages):
         # each can be re-jitted fresh to bypass jax's in-process failure cache
+        # merged stages: every tunneled program execution carries a fixed
+        # scheduling overhead (~0.5 s measured between stage-sum and
+        # chunk-drain time at the flagship size), so fewer, fatter programs
+        # win.  cot_e folds the energy into the cotangent pass (E =
+        # 0.5*Re<psi|2H psi> -- drops the separate energy H-scan entirely);
+        # adj_upd chains the optimizer update onto the adjoint sweep.
+        def cot_e_raw(psi_r):
+            psi = from_reim(psi_r, dt)
+            lam = 2.0 * obs["H"].apply_scan(psi)
+            lam_r = to_reim(lam) + _eps
+            e = 0.5 * jnp.real(jnp.vdot(psi, lam)) + _eps
+            return lam_r, e
+
+        def adj_upd_raw(psi_r, lam_r, thetas, opt_state):
+            grads = adjoint_raw(psi_r, lam_r, thetas)
+            return update_fn(thetas, grads, opt_state)
+
         step.raw_stages = {
             "fwd": fwd_raw,
             # fwd from a host-fed initial state: tracing the basis one-hot
@@ -475,6 +492,8 @@ class ADAPT:
             "adjoint": adjoint_raw,
             "metrics": metrics_fn,
             "update": update_fn,
+            "cot_e": cot_e_raw,
+            "adj_upd": adj_upd_raw,
         }
         return step
 

@@ -174,9 +174,12 @@ class FusedAdaptRunner:
         if key in self._stage_cache:
             return self._stage_cache[key]
         raw = self.vqe._build_step_split(tuple(indices), optimizer).raw_stages
-        fns = {name: jax.jit(raw[name]) for name in
-               ("fwd_from", "energy", "cotangent", "adjoint", "metrics",
-                "update")}
+        merged = (os.environ.get("QSFH_MERGE_STAGES", "1") == "1"
+                  and "cot_e" in raw)
+        names = (("fwd_from", "cot_e", "adj_upd", "metrics") if merged else
+                 ("fwd_from", "energy", "cotangent", "adjoint", "metrics",
+                  "update"))
+        fns = {name: jax.jit(raw[name]) for name in names}
         self._stage_cache[key] = fns
         return fns
 
@@ -189,11 +192,19 @@ class FusedAdaptRunner:
         slow stage is visible without a device trace."""
         es, gns, mets = [], [], []
         psi_r = None
+        merged = "cot_e" in fns
+        # log fetch-synced stage marks on the FIRST chunk of a shape (cold:
+        # includes cache fetch + program load) and again on the THIRD
+        # (warm steady state) so the slow stage is visible without a trace
+        if not hasattr(self, "_timed_fns"):
+            self._timed_fns = {}
+        n_timed = self._timed_fns.get(id(fns), 0)
         time_stages = (
             self.verbose
             and os.environ.get("QSFH_STAGE_TIMES", "1") == "1"
-            and id(fns) not in getattr(self, "_timed_fns", set())
+            and n_timed < 2
         )
+        self._timed_fns[id(fns)] = n_timed + 1
         for j in range(k):
             if time_stages and j == 0:
                 marks = {}
@@ -208,30 +219,42 @@ class FusedAdaptRunner:
                     return v
 
                 psi_r = timed("fwd", fns["fwd_from"], psi0, th)
-                es.append(timed("energy", fns["energy"], psi_r))
-                lam_r = timed("cotangent", fns["cotangent"], psi_r)
-                g = timed("adjoint", fns["adjoint"], psi_r, lam_r, th)
-                th, opt_state, gn = timed(
-                    "update", fns["update"], th, g, opt_state
-                )
+                if merged:
+                    lam_r, e = timed("cot_e", fns["cot_e"], psi_r)
+                    es.append(e)
+                    th, opt_state, gn = timed(
+                        "adj_upd", fns["adj_upd"], psi_r, lam_r, th, opt_state
+                    )
+                else:
+                    es.append(timed("energy", fns["energy"], psi_r))
+                    lam_r = timed("cotangent", fns["cotangent"], psi_r)
+                    g = timed("adjoint", fns["adjoint"], psi_r, lam_r, th)
+                    th, opt_state, gn = timed(
+                        "update", fns["update"], th, g, opt_state
+                    )
                 gns.append(gn)
                 self._log(
-                    "[fused] stage times (fetch-synced, warm?): "
+                    "[fused] stage times (fetch-synced, "
+                    + ("cold): " if n_timed == 0 else "warm): ")
                     + " ".join(f"{n} {v*1e3:.0f}ms" for n, v in marks.items())
                 )
-                if not hasattr(self, "_timed_fns"):
-                    self._timed_fns = set()
-                self._timed_fns.add(id(fns))
                 if self.metrics_every_iter:
                     mets.append(fns["metrics"](psi_r))
                 continue
             psi_r = fns["fwd_from"](psi0, th)
-            es.append(fns["energy"](psi_r))
-            lam_r = fns["cotangent"](psi_r)
-            g = fns["adjoint"](psi_r, lam_r, th)
-            if self.metrics_every_iter:
-                mets.append(fns["metrics"](psi_r))
-            th, opt_state, gn = fns["update"](th, g, opt_state)
+            if merged:
+                lam_r, e = fns["cot_e"](psi_r)
+                es.append(e)
+                if self.metrics_every_iter:
+                    mets.append(fns["metrics"](psi_r))
+                th, opt_state, gn = fns["adj_upd"](psi_r, lam_r, th, opt_state)
+            else:
+                es.append(fns["energy"](psi_r))
+                lam_r = fns["cotangent"](psi_r)
+                g = fns["adjoint"](psi_r, lam_r, th)
+                if self.metrics_every_iter:
+                    mets.append(fns["metrics"](psi_r))
+                th, opt_state, gn = fns["update"](th, g, opt_state)
             gns.append(gn)
         if not self.metrics_every_iter:
             mets.append(fns["metrics"](psi_r))
@@ -316,11 +339,13 @@ class FusedAdaptRunner:
                 else:
                     fn = self._build_chunk(vqe.selected_indices, optimizer, k)
                     th2, opt2, es, gns, sz, s2, fid = fn(psi0, th, opt_state)
+                t_disp = time.time() - t0
                 es = np.asarray(es, dtype=np.float64)  # fetch = proof of execution
                 gns = np.asarray(gns, dtype=np.float64)
                 sz = np.asarray(sz, dtype=np.float64)
                 s2 = np.asarray(s2, dtype=np.float64)
                 fid = np.asarray(fid, dtype=np.float64)
+                t_fetch = time.time() - t0 - t_disp
             except Exception as err:  # remote compile rejection / sick window
                 failures += 1
                 if failures > 8:
@@ -369,11 +394,15 @@ class FusedAdaptRunner:
             inner += len(es)
             gnorm = float(gns[-1])
             vqe.params_t = th
+            t_book = time.time() - t0 - t_disp - t_fetch
             self._save_inflight(th, opt_state, epoch, lr)
+            t_save = time.time() - t0 - t_disp - t_fetch - t_book
             self._log(
                 f"[fused] epoch {epoch + 1} iter {len(vqe.results['iteration loss'])}"
                 f" | E {es[-1]:+.7f} | gnorm {gnorm:.3e} | fid {fid[-1]:.6f}"
                 f" | {dt / max(len(es), 1) * 1e3:.1f} ms/iter (K={k})"
+                f" [disp {t_disp:.1f}s fetch {t_fetch:.1f}s book {t_book:.1f}s"
+                f" save {t_save:.1f}s]"
             )
             if bool(np.any(gns < vqe.threshold2)):
                 break

@@ -112,3 +112,30 @@ def test_initial_state_matches_driver(tmp_path):
         vqe.dtype,
     )
     np.testing.assert_array_equal(arr, np.asarray(ref))
+
+
+def test_merged_stages_match_split(tmp_path, monkeypatch):
+    """dispatch='stages' with merged cot_e/adj_upd programs (3 dispatches
+    per iteration) must reproduce the 6-program split trajectory: the
+    merged energy is 0.5*Re<psi|2H psi| from the cotangent pass instead
+    of a separate H expectation scan."""
+    monkeypatch.setenv("QSFH_MERGE_STAGES", "0")
+    split = _mk(tmp_path, "split6")
+    r0 = FusedAdaptRunner(split, chunk_iters=4, dispatch="stages")
+    r0.run()
+
+    monkeypatch.setenv("QSFH_MERGE_STAGES", "1")
+    merged = _mk(tmp_path, "merged3")
+    r1 = FusedAdaptRunner(merged, chunk_iters=4, dispatch="stages")
+    r1.run()
+
+    assert merged.selected_indices == split.selected_indices
+    a = np.asarray(split.results["iteration loss"])
+    b = np.asarray(merged.results["iteration loss"])
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(split.results["fidelity"]),
+        np.asarray(merged.results["fidelity"]),
+        atol=1e-9,
+    )

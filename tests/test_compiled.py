@@ -106,3 +106,79 @@ class TestCompiledCircuit:
         n_short = len(jax.make_jaxpr(short.apply)(psi0, th_s).jaxpr.eqns)
         n_long = len(jax.make_jaxpr(long.apply)(psi0, th_l).jaxpr.eqns)
         assert n_long <= n_short + 5  # same segments, just longer arrays
+
+
+class TestGroupedRotations:
+    """Commuting same-flip runs fuse into ONE closed-form pair rotation
+    (engine/compiled.py _group_rot_terms/_grot_body) -- exactly, since
+    the Trotter product of commuting terms IS exp(-i theta sum)."""
+
+    def test_grouping_fires_on_pool_generators(self, setup):
+        from qsfh_tpu.engine.compiled import _group_rot_terms
+
+        p, rot, ops, psi0 = setup
+        cc = CompiledCircuit(ops, p.n_qubits)
+        d = cc.segments[0].data
+        grp = _group_rot_terms(d["xb"], d["zb"], d["scale"], d["pidx"],
+                               d["phre"], d["phim"])
+        assert grp is not None
+        # every pool generator's JW strings share one flip mask: groups
+        # must be several-fold fewer than terms
+        assert grp["n_groups"] * 2 <= len(d["xb"])
+
+    def test_grouped_matches_per_term(self, setup, monkeypatch):
+        p, rot, ops, psi0 = setup
+        cc = CompiledCircuit(ops, p.n_qubits)
+        th = jnp.asarray(np.linspace(-0.3, 0.4, 5))
+
+        monkeypatch.setenv("QSFH_GROUP_ROT", "0")
+        ref = np.asarray(jax.jit(cc.apply)(psi0, th))
+        monkeypatch.setenv("QSFH_GROUP_ROT", "1")
+        got = np.asarray(jax.jit(cc.apply)(psi0, th))
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+    def test_grouped_fwd_autodiff_matches(self, setup, monkeypatch):
+        """jax.grad through the grouped forward equals the per-term one
+        (guards the where/sinc form against the NaN-grad trap)."""
+        p, rot, ops, psi0 = setup
+        cc = CompiledCircuit(ops, p.n_qubits)
+        th = jnp.asarray(np.linspace(-0.2, 0.5, 5))
+        rng = np.random.default_rng(5)
+        w = jnp.asarray(rng.normal(0, 1, psi0.shape[0]) + 0.3)
+
+        def loss(t):
+            psi = cc.apply(psi0, t)
+            return jnp.real(jnp.vdot(psi, w * psi))
+
+        monkeypatch.setenv("QSFH_GROUP_ROT", "0")
+        g_ref = np.asarray(jax.grad(loss)(th))
+        monkeypatch.setenv("QSFH_GROUP_ROT", "1")
+        g_grp = np.asarray(jax.grad(loss)(th))
+        assert np.linalg.norm(g_ref) > 1e-3  # non-degenerate probe
+        np.testing.assert_allclose(g_grp, g_ref, rtol=1e-9, atol=1e-12)
+
+    def test_grouped_adjoint_matches_per_term(self, setup, monkeypatch):
+        """run_rot_adjoint with grouping reproduces the per-term sweep
+        (same contract, same psi0/lam0/grads) on a generic cotangent."""
+        from qsfh_tpu.engine.compiled import run_rot_adjoint
+
+        p, rot, ops, psi0 = setup
+        cc = CompiledCircuit(ops, p.n_qubits)
+        seg = cc.segments[0]
+        th = jnp.asarray(np.linspace(-0.2, 0.5, 5))
+        rng = np.random.default_rng(5)
+        w = jnp.asarray(rng.normal(0, 1, psi0.shape[0]) + 0.3)
+        psi_f = cc.apply(psi0, th)
+        lam = 2.0 * w * psi_f
+
+        monkeypatch.setenv("QSFH_GROUP_ROT", "1")
+        p_g, l_g, g_grp = run_rot_adjoint(seg, psi_f, lam, th, p.n_qubits)
+        monkeypatch.setenv("QSFH_GROUP_ROT", "0")
+        p_r, l_r, g_ref = run_rot_adjoint(seg, psi_f, lam, th, p.n_qubits)
+        assert np.linalg.norm(np.asarray(g_ref)) > 1e-3
+        np.testing.assert_allclose(np.asarray(g_grp), np.asarray(g_ref),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(p_g), np.asarray(p_r),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(l_g), np.asarray(l_r),
+                                   rtol=1e-9, atol=1e-11)
