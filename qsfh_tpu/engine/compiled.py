@@ -256,6 +256,33 @@ def lower_program(ops: Sequence[tuple], n: int) -> List[Segment]:
 # -- forward execution -----------------------------------------------------------
 
 
+def _sign_plane(idx, zb, n, rdt):
+    """(-1)^{popcount(b & zb)} over the flat index space, traced zb.
+
+    For n >= 7 the parity is separable over the TPU (rows, 128) layout --
+    srow(row bits) x slane(lane bits) -- so the bit-loops run on a
+    (rows, 1) column and a (1, 128) row and the plane costs ONE broadcast
+    multiply, vs ~4 full-plane ops for the popcount form (same trick as
+    pallas_kernels._parity_sign, here for the XLA scan bodies)."""
+    if n >= _LANE_BITS:
+        rows = (1 << n) >> _LANE_BITS
+        row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (1, _LANE), 1)
+        rmask = row_ids & (zb >> np.uint32(_LANE_BITS))
+        lmask = lane_ids & (zb & np.uint32(_LANE - 1))
+        rpar = jnp.zeros((rows, 1), jnp.uint32)
+        for t in range(n - _LANE_BITS):
+            rpar = rpar ^ ((rmask >> np.uint32(t)) & np.uint32(1))
+        lpar = jnp.zeros((1, _LANE), jnp.uint32)
+        for t in range(_LANE_BITS):
+            lpar = lpar ^ ((lmask >> np.uint32(t)) & np.uint32(1))
+        srow = 1.0 - 2.0 * rpar.astype(rdt)
+        slane = 1.0 - 2.0 * lpar.astype(rdt)
+        return (srow * slane).reshape(idx.shape)
+    par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
+    return 1.0 - 2.0 * par.astype(rdt)
+
+
 def _rot_body(n, rdt):
     # NOTE: run_segments routes pallas-eligible circuits to the whole-
     # segment chain/stream kernels BEFORE falling back to this scan body,
@@ -266,8 +293,7 @@ def _rot_body(n, rdt):
     def body(psi, term):
         xb, zb, scale, pidx, phre, phim, thetas = term
         theta = thetas * scale  # thetas already gathered per term
-        par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
-        s = (1.0 - 2.0 * par.astype(rdt))
+        s = _sign_plane(idx, zb, n, rdt)
         t = xor_flip_traced(psi, n, xb)
         ph = (phre + 1j * phim).astype(psi.dtype)
         ppsi = ph * s.astype(psi.dtype) * t
@@ -335,9 +361,49 @@ def _group_rot_terms(xb, zb, scale, pidx, phre, phim, cap: int = 16):
                 phre=gphre, phim=gphim, n_sub=S, n_groups=G)
 
 
-def _group_weight(idx, zbs, scales, phres, phims, rdt):
-    """m(b) = sum_k scale_k * ph_k * s_k(b) for one group (S static)."""
+def _sep_sign_factors(zbs, n, rdt):
+    """Separable sign factors for traced z-masks ``zbs`` (S,).
+
+    s_k(b) = (-1)^{popcount(b & z_k)} factors over the (rows, 128) index
+    plane as srow (rows, S) x slane (S, 128): the parity bit-loops run on
+    (rows, S) and (S, 128) grids -- ~128x less work than the full-plane
+    popcount form when S << 128 -- and the weighted sum over k becomes an
+    MXU matmul (see :func:`_group_weight`)."""
     S = zbs.shape[0]
+    rows = (1 << n) >> _LANE_BITS
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.uint32, (1, _LANE), 1)
+    rmask = row_ids & (zbs >> np.uint32(_LANE_BITS))[None, :]  # (rows, S)
+    lmask = (zbs & np.uint32(_LANE - 1))[:, None] & lane_ids  # (S, 128)
+    rpar = jnp.zeros((rows, S), jnp.uint32)
+    for t in range(max(n - _LANE_BITS, 0)):
+        rpar = rpar ^ ((rmask >> np.uint32(t)) & np.uint32(1))
+    lpar = jnp.zeros((S, _LANE), jnp.uint32)
+    for t in range(_LANE_BITS):
+        lpar = lpar ^ ((lmask >> np.uint32(t)) & np.uint32(1))
+    srow = 1.0 - 2.0 * rpar.astype(rdt)
+    slane = 1.0 - 2.0 * lpar.astype(rdt)
+    return srow, slane
+
+
+def _group_weight(idx, zbs, scales, phres, phims, rdt, n=None):
+    """m(b) = sum_k scale_k * ph_k * s_k(b) for one group (S static).
+
+    For n >= 7 the signs are SEPARABLE -- s_k(b) = srow_k(row bits) *
+    slane_k(lane bits) -- so the weighted sum collapses into two tiny
+    (rows, S) @ (S, 128) matmuls (HIGHEST precision; exact +-1 factors)
+    instead of S full-plane popcount+FMA passes.  At 18q / S=16 that cuts
+    the group body's plane traffic ~6x, which dominates the XLA adjoint
+    scan the flagship trains through (measured ~1 ms/group before)."""
+    S = zbs.shape[0]
+    if n is not None and n >= _LANE_BITS:
+        srow, slane = _sep_sign_factors(zbs, n, rdt)
+        prec = jax.lax.Precision.HIGHEST
+        mre = jnp.dot(srow * (scales * phres)[None, :], slane,
+                      precision=prec).reshape(idx.shape)
+        mim = jnp.dot(srow * (scales * phims)[None, :], slane,
+                      precision=prec).reshape(idx.shape)
+        return mre, mim
     mre = jnp.zeros(idx.shape, rdt)
     mim = jnp.zeros(idx.shape, rdt)
     for k in range(S):  # static unroll; S <= 16
@@ -367,7 +433,7 @@ def _grot_body(n, rdt):
 
     def body(psi, term):
         xb, zbs, scales, phres, phims, theta = term
-        mre, mim = _group_weight(idx, zbs, scales, phres, phims, rdt)
+        mre, mim = _group_weight(idx, zbs, scales, phres, phims, rdt, n)
         c, f = _grot_mix(theta, mre, mim, rdt)
         t = xor_flip_traced(psi, n, xb)
         mc = (mre + 1j * mim).astype(psi.dtype)
@@ -634,7 +700,7 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
         def gbody(carry, term):
             psi, lam, grads = carry
             xb, zbs, scales, phres, phims, theta, krow = term
-            mre, mim = _group_weight(idx, zbs, scales, phres, phims, rdt)
+            mre, mim = _group_weight(idx, zbs, scales, phres, phims, rdt, n)
             mc = (mre + 1j * mim).astype(psi.dtype)
             # gradient at the post-gate state: Im <lam| M |psi>
             mpsi = mc * xor_flip_traced(psi, n, xb)
@@ -667,8 +733,7 @@ def run_rot_adjoint(segment: Segment, psi_final, lam, thetas, n):
     def body(carry, term):
         psi, lam, grads = carry
         xb, zb, angle, krow, scale, phre, phim = term
-        par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
-        s = (1.0 - 2.0 * par.astype(rdt))
+        s = _sign_plane(idx, zb, n, rdt)
         ph = (phre + 1j * phim).astype(psi.dtype)
         # gradient at the post-gate state: Im <lam| scale*P |psi>
         ppsi = ph * s.astype(psi.dtype) * xor_flip_traced(psi, n, xb)

@@ -245,9 +245,10 @@ class Observable:
 
         def body(total, term):
             xb, zb, re, im = term
+            from .compiled import _sign_plane
+
             t = xor_flip_traced(psi, n, xb)
-            par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
-            s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+            s = _sign_plane(idx, zb, n, rdt).astype(psi.dtype)
             val = jnp.sum(conj * s * t)
             return total + jnp.real((re + 1j * im).astype(psi.dtype) * val).astype(rdt), None
 
@@ -304,9 +305,10 @@ class Observable:
 
         def body(out, term):
             xb, zb, re, im = term
+            from .compiled import _sign_plane
+
             t = xor_flip_traced(psi, n, xb)
-            par = jax.lax.population_count(idx & zb) & jnp.uint32(1)
-            s = (1.0 - 2.0 * par.astype(rdt)).astype(psi.dtype)
+            s = _sign_plane(idx, zb, n, rdt).astype(psi.dtype)
             return out + (re + 1j * im).astype(psi.dtype) * s * t, None
 
         out, _ = jax.lax.scan(
