@@ -283,6 +283,29 @@ def main(argv=None):
         from .algos.multistart import MultistartHEA, MultistartHVA
 
         if args.molecule:
+            # Lattice geometry flags and --init-scale shape the HVA path
+            # only; MultistartHEA draws uniform(-pi, pi) inits over the
+            # molecular HEA ansatz, so flag values other than the defaults
+            # would be silently dead — warn instead (ADVICE r2).
+            import warnings
+
+            _hva_only = {
+                "x_dimension": 2, "y_dimension": 2, "tunneling": 1.0,
+                "coulomb": 6.0, "n_electrons": None, "n_spin_up": None,
+                "n_spin_down": None, "open_boundary": False,
+                "init_scale": 0.1,
+            }
+            _ignored = [
+                k for k, dflt in _hva_only.items()
+                if getattr(args, k) != dflt
+            ]
+            if _ignored:
+                warnings.warn(
+                    "multistart --molecule uses the HEA ansatz with "
+                    "uniform(-pi, pi) starts; these HVA-only flags are "
+                    f"ignored: {', '.join(sorted(_ignored))}",
+                    stacklevel=1,
+                )
             ms = MultistartHEA(
                 _make_molecule(args.molecule, args.r),
                 n_starts=args.n_starts,

@@ -135,3 +135,60 @@ class TestSpectralCLI:
         assert sum(out["weights"]) == pytest.approx(out["norm2"], abs=1e-6)
         disk = json.load(open(tmp_path / "spectral.json"))
         assert len(disk["A"]) == len(disk["omegas"]) == 201
+
+
+class TestMultistartFlagWarning:
+    """ADVICE r2: `multistart --molecule` must warn (not silently ignore)
+    when HVA-only lattice/init flags are set alongside the HEA path."""
+
+    def _run(self, monkeypatch, tmp_path, argv):
+        import qsfh_tpu.cli as cli
+
+        calls = {}
+
+        class FakeMS:
+            def __init__(self, *a, **k):
+                calls["kwargs"] = k
+
+            def run(self):
+                import numpy as np
+
+                return {
+                    "best_index": 0,
+                    "best_energy": -1.0,
+                    "final_energies": np.array([-1.0]),
+                }
+
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(
+            "qsfh_tpu.algos.multistart.MultistartHEA", FakeMS
+        )
+        cli.main(argv)
+        return calls
+
+    def test_warns_on_ignored_lattice_flag(self, monkeypatch, tmp_path):
+        with pytest.warns(UserWarning, match="HVA-only flags are ignored"):
+            self._run(
+                monkeypatch, tmp_path,
+                ["multistart", "--molecule", "H2", "--n-starts", "1",
+                 "--n-epoch", "1", "--x-dimension", "3"],
+            )
+
+    def test_warns_on_init_scale(self, monkeypatch, tmp_path):
+        with pytest.warns(UserWarning, match="init_scale"):
+            self._run(
+                monkeypatch, tmp_path,
+                ["multistart", "--molecule", "H2", "--n-starts", "1",
+                 "--n-epoch", "1", "--init-scale", "0.5"],
+            )
+
+    def test_no_warning_with_defaults(self, monkeypatch, tmp_path, recwarn):
+        self._run(
+            monkeypatch, tmp_path,
+            ["multistart", "--molecule", "H2", "--n-starts", "1",
+             "--n-epoch", "1"],
+        )
+        assert not [
+            w for w in recwarn.list
+            if "HVA-only flags" in str(w.message)
+        ]
