@@ -49,6 +49,7 @@ from scipy.optimize import minimize  # noqa: E402
 from qsfh_tpu.algos.adapt import ADAPT  # noqa: E402
 from qsfh_tpu.algos.adapt_fused import initial_state_reim  # noqa: E402
 from qsfh_tpu.engine.dfloat import combine_df, expectation_df  # noqa: E402
+from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended  # noqa: E402
 
 MAXITER = int(os.environ.get("QSFH_POLISH_MAXITER", "1200"))
 GTOL = float(os.environ.get("QSFH_POLISH_GTOL", "2e-6"))
@@ -62,6 +63,11 @@ def main():
         n_epoch=0, threshold1=1e-3, threshold2=1e-3,
         x_dimension=3, y_dimension=3, n_electrons=9, n_spin_up=5,
         n_spin_down=4, tunneling=1, coulomb=6, degenerate_subspace=4,
+        # the growth phase (continue_grow.py) records EXTENDED-pool
+        # indices (simplified-prefix contract, ops/pool.py); polishing
+        # under the simplified default would mis-map every op past the
+        # prefix
+        pool=hubbard_interaction_pool_extended(3, 3),
         load_model=True, results_root=HERE, plot=False, log_metrics=False,
         program_salt=float(os.environ.get("QSFH_BENCH_SALT", "1.7e-9")),
     )
