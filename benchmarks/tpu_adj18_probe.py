@@ -73,9 +73,15 @@ def states(seed):
 
 
 def host_reference(v, xs, zs, ang, sc, phre, phim):
-    """f64 host sweep with the kernel's exact semantics."""
-    psi = (v[0, 0].astype(np.float64) + 1j * v[0, 1].astype(np.float64)).reshape(-1)
-    lam = (v[1, 0].astype(np.float64) + 1j * v[1, 1].astype(np.float64)).reshape(-1)
+    """f64 host sweep with the kernel's exact semantics.
+
+    Applies the SAME salt as the device fn so the parity check stays
+    honest at any salt value (at the 1e-30 default this is a rounding
+    no-op, but the check must not silently loosen if it grows)."""
+    psi = ((v[0, 0].astype(np.float64) + float(SALT))
+           + 1j * v[0, 1].astype(np.float64)).reshape(-1)
+    lam = ((v[1, 0].astype(np.float64) + float(SALT))
+           + 1j * v[1, 1].astype(np.float64)).reshape(-1)
     b = np.arange(1 << N, dtype=np.uint64)
     contribs = np.zeros(len(xs))
     for i in range(len(xs)):
@@ -154,7 +160,10 @@ def main():
     t0 = time.time()
     out = fn(*big)
     np.asarray(out[2])  # fetch = proof of execution
-    RESULT["warm_T1280_s"] = round(time.time() - t0, 2)
+    # the T=24 -> T=1280 shape change forces a fresh trace/compile, so
+    # this first call includes recompilation; the 5 timed runs below are
+    # the true warm numbers
+    RESULT["t1280_first_call_s"] = round(time.time() - t0, 2)
     save()
     with bench._chip_exclusive():
         times = []

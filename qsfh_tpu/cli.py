@@ -231,6 +231,7 @@ def main(argv=None):
                    help="run a B-start HEA on this molecule instead of the "
                         "lattice HVA")
     p.add_argument("--r", type=float, default=0.8, help="bond length [angstrom]")
+    multistart_parser = p
 
     args = parser.parse_args(argv)
     _setup_backend(args)
@@ -286,18 +287,19 @@ def main(argv=None):
             # Lattice geometry flags and --init-scale shape the HVA path
             # only; MultistartHEA draws uniform(-pi, pi) inits over the
             # molecular HEA ansatz, so flag values other than the defaults
-            # would be silently dead — warn instead (ADVICE r2).
+            # would be silently dead — warn instead (ADVICE r2).  Defaults
+            # come from the parser itself so the check can never drift from
+            # _add_lattice_args/_add_run_args (ADVICE r3).
             import warnings
 
-            _hva_only = {
-                "x_dimension": 2, "y_dimension": 2, "tunneling": 1.0,
-                "coulomb": 6.0, "n_electrons": None, "n_spin_up": None,
-                "n_spin_down": None, "open_boundary": False,
-                "init_scale": 0.1,
-            }
+            _hva_only = (
+                "x_dimension", "y_dimension", "tunneling", "coulomb",
+                "n_electrons", "n_spin_up", "n_spin_down", "open_boundary",
+                "init_scale", "results_root", "degenerate_subspace",
+            )
             _ignored = [
-                k for k, dflt in _hva_only.items()
-                if getattr(args, k) != dflt
+                k for k in _hva_only
+                if getattr(args, k) != multistart_parser.get_default(k)
             ]
             if _ignored:
                 warnings.warn(

@@ -65,16 +65,20 @@ def pallas_enabled() -> bool:
 
 
 def adjoint_chain_max_qubits() -> int:
-    """VMEM cap for the ADJOINT chain kernel, one qubit below the others.
+    """VMEM cap for the ADJOINT chain kernel.
 
     The adjoint sweep keeps the most planes resident (psi + lambda inputs,
-    carried pair, per-term accumulators) and with the 3-pass HIGHEST
-    permutation matmuls it needs 19.3 MB scoped VMEM at n=18 vs the 16 MB
-    v5e limit (measured AOT OOM, 2026-08-17).  At ``n`` above this cap the
+    carried pair, per-term accumulators); with the original 3-pass HIGHEST
+    permutation matmuls it needed 19.3 MB scoped VMEM at n=18 vs the 16 MB
+    v5e limit (measured AOT OOM, 2026-08-17) so the cap sat at 17.  The
+    round-3 separable sign planes removed the extra resident planes and the
+    n=18 chain now fits on the real chip: benchmarks/tpu_adj18.json
+    (2026-08-20, v5e) shows fit=true, grad parity 2.1e-9 vs the f64 host
+    sweep, 51 us/term over a 1280-term chain.  At ``n`` above this cap the
     HBM-streaming adjoint takes over.  ``QSFH_PALLAS_ADJ_MAX_N`` overrides.
     """
     return min(
-        chain_max_qubits(), int(os.environ.get("QSFH_PALLAS_ADJ_MAX_N", "17"))
+        chain_max_qubits(), int(os.environ.get("QSFH_PALLAS_ADJ_MAX_N", "18"))
     )
 
 

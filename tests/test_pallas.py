@@ -306,11 +306,12 @@ class TestStreamingKernels:
 
     @pytest.mark.slow
     def test_mixed_chain_fwd_stream_adjoint(self, monkeypatch, tmp_path):
-        """The 18q production split in miniature: fwd/energy/cotangent take
-        the VMEM chain kernels while the ADJOINT streams (its own cap sits
-        one below, QSFH_PALLAS_ADJ_MAX_N — the 3-pass HIGHEST permutation
-        matmuls push the adjoint chain past VMEM at 18q).  Gradients from
-        the mixed route must match the pure-XLA reverse scan."""
+        """Mixed-cap split in miniature: fwd/energy/cotangent take the VMEM
+        chain kernels while the ADJOINT streams (its cap QSFH_PALLAS_ADJ_MAX_N
+        forced one below here).  Since round 4 the production adjoint chain
+        also covers 18q (separable sign planes, benchmarks/tpu_adj18.json),
+        but the mixed route stays reachable via the env override and its
+        gradients must match the pure-XLA reverse scan."""
         import optax
 
         from qsfh_tpu.algos.adapt import ADAPT
