@@ -89,6 +89,10 @@ def main():
         n_epoch=0, threshold1=1e-3, threshold2=1e-3,
         x_dimension=3, y_dimension=3, n_electrons=9, n_spin_up=5,
         n_spin_down=4, tunneling=1, coulomb=6, degenerate_subspace=4,
+        # the checkpoint's selected_indices index the EXTENDED pool since
+        # the same-spin growth phase (commit ba33883) -- loading with the
+        # simplified pool would misindex every op past the shared prefix
+        pool=pool_mod.hubbard_interaction_pool_extended(3, 3),
         load_model=True, results_root=HERE, plot=False, log_metrics=False,
     )
     p = vqe.problem
@@ -121,7 +125,7 @@ def main():
 
     Nx, Ny = 3, 3
     families = {}
-    families["simplified"] = vqe.fermion_pool
+    families["driver_pool"] = vqe.fermion_pool  # extended since ba33883
     families["same_spin"] = same_spin_pool(Nx, Ny)
     families["modified_channels"] = list(
         pool_mod.hubbard_interaction_pool_modified(Nx, Ny).values()

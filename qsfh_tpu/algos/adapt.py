@@ -480,6 +480,19 @@ class ADAPT:
             grads = adjoint_raw(psi_r, lam_r, thetas)
             return update_fn(thetas, grads, opt_state)
 
+        def energy_df_raw(psi_r):
+            # double-float Rayleigh quotient of the f32 state: on-chip
+            # energies trustworthy to the state's own direction error
+            # (engine/dfloat.py; VERDICT r3 missing #1).  The salt keeps
+            # the program hash fresh like every other stage.
+            from ..engine.dfloat import expectation_norm_df
+
+            return expectation_norm_df(
+                psi_r + jnp.asarray(_eps, psi_r.dtype),
+                self.n_qubits,
+                obs["H"].op,
+            )
+
         step.raw_stages = {
             "fwd": fwd_raw,
             # fwd from a host-fed initial state: tracing the basis one-hot
@@ -494,6 +507,7 @@ class ADAPT:
             "update": update_fn,
             "cot_e": cot_e_raw,
             "adj_upd": adj_upd_raw,
+            "energy_df": energy_df_raw,
         }
         return step
 

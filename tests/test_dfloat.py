@@ -14,11 +14,14 @@ import pytest
 from qsfh_tpu.engine import expectation as ex
 from qsfh_tpu.engine.dfloat import (
     combine_df,
+    combine_rayleigh,
     df_add,
     df_from_f64,
     df_mul,
     df_sum,
     expectation_df,
+    expectation_norm_df,
+    norm_df,
     two_prod,
     two_sum,
 )
@@ -94,6 +97,50 @@ def test_expectation_df_matches_f64_of_f32_state(nx, ny):
         ex.expectation(jnp.asarray(psi32_as64.astype(np.complex64)), n, H)
     )
     assert abs(got - ref) < abs(plain - ref)
+
+
+def test_norm_df_matches_f64():
+    rng = np.random.default_rng(11)
+    n = 12
+    re32 = rng.standard_normal(1 << n).astype(np.float32) * 2 ** -6
+    im32 = rng.standard_normal(1 << n).astype(np.float32) * 2 ** -6
+    exact = (
+        np.sum(re32.astype(np.float64) ** 2)
+        + np.sum(im32.astype(np.float64) ** 2)
+    )
+    hi, lo = norm_df(jnp.stack([_f32(re32), _f32(im32)]))
+    got = float(np.float64(hi) + np.float64(lo))
+    np.testing.assert_allclose(got, exact, rtol=1e-12)
+
+
+def test_rayleigh_cancels_norm_drift():
+    """A deliberately mis-normalized f32 state: the RAW df energy scales
+    with the norm error, the Rayleigh quotient does not (the mechanism
+    that removes the flagship's ~1e-5 random-walk norm drift from on-chip
+    readouts)."""
+    nx, ny = 2, 2
+    n = 2 * nx * ny
+    H = jordan_wigner(fermi_hubbard(nx, ny, 1.0, 6.0, periodic=True))
+    rng = np.random.default_rng(3)
+    psi = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+    psi /= np.linalg.norm(psi)
+    drift = 1.0 + 3e-5  # 3e-5 relative norm error
+    re32 = (psi.real * drift).astype(np.float32)
+    im32 = (psi.imag * drift).astype(np.float32)
+    stacked = jnp.stack([_f32(re32), _f32(im32)])
+
+    psi32 = re32.astype(np.float64) + 1j * im32.astype(np.float64)
+    obs = ex.Observable(H, n)
+    ref_rayleigh = float(obs.expectation(jnp.asarray(psi32))) / float(
+        np.vdot(psi32, psi32).real
+    )
+
+    raw = combine_df(expectation_df(stacked, n, H))
+    ray = combine_rayleigh(expectation_norm_df(stacked, n, H))
+    # the quotient matches the f64 Rayleigh of the same state...
+    assert abs(ray - ref_rayleigh) <= 1e-10 * max(1.0, abs(ref_rayleigh))
+    # ...while the raw value carries the full 2*3e-5 relative drift
+    assert abs(raw - ref_rayleigh) > 1e-5 * abs(ref_rayleigh)
 
 
 def test_expectation_df_on_eigenstate_energy():
