@@ -48,7 +48,10 @@ from scipy.optimize import minimize  # noqa: E402
 
 from qsfh_tpu.algos.adapt import ADAPT  # noqa: E402
 from qsfh_tpu.algos.adapt_fused import initial_state_reim  # noqa: E402
-from qsfh_tpu.engine.dfloat import combine_df, expectation_df  # noqa: E402
+from qsfh_tpu.engine.dfloat import (  # noqa: E402
+    combine_rayleigh,
+    expectation_norm_df,
+)
 from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended  # noqa: E402
 
 MAXITER = int(os.environ.get("QSFH_POLISH_MAXITER", "1200"))
@@ -104,7 +107,10 @@ def main():
     metrics = jax.jit(raw["metrics"])
     h_op = vqe.problem.observables["H"].op
     salt = jnp.float32(vqe.program_salt * 1e-30)
-    e_df = jax.jit(lambda psi_r: expectation_df(psi_r + salt, n, h_op))
+    # Rayleigh-normalized df objective: dividing by the df <psi|psi>
+    # removes the f32 state's random-walk NORM drift (~1e-5 relative at
+    # this depth = ~0.06 mHa on |E|~5.5) from the line search entirely
+    e_df = jax.jit(lambda psi_r: expectation_norm_df(psi_r + salt, n, h_op))
 
     psi0 = initial_state_reim(vqe)
     rdt = np.dtype(vqe._rdt)
@@ -113,7 +119,7 @@ def main():
     def f(x64):
         th = jnp.asarray(x64.astype(rdt))
         psi = fwd(psi0, th)
-        e = combine_df(np.asarray(e_df(psi), np.float64))
+        e = combine_rayleigh(np.asarray(e_df(psi), np.float64))
         lam = cot(psi)
         g = np.asarray(adj(psi, lam, th), np.float64)
         state["n"] += 1

@@ -189,13 +189,17 @@ class FusedAdaptRunner:
         if key in self._df_cache:
             return self._df_cache[key]
         raw = self.vqe._build_step_split(tuple(indices), optimizer).raw_stages
+        # two SEPARATE small programs (not one fused jit): the remote TPU
+        # compile service rejects long compilations, and the fwd scan HLO
+        # is already cached from the chunk stages
+        f_fwd = jax.jit(raw["fwd_from"])
+        f_df = jax.jit(raw["energy_df"])
 
         def df_from(psi0_r, th):
-            return raw["energy_df"](raw["fwd_from"](psi0_r, th))
+            return f_df(f_fwd(psi0_r, th))
 
-        fn = jax.jit(df_from)
-        self._df_cache[key] = fn
-        return fn
+        self._df_cache[key] = df_from
+        return df_from
 
     def _build_stages(self, indices: Sequence[int], optimizer):
         """Separately jitted raw stages (dispatch='stages')."""
@@ -461,14 +465,22 @@ class FusedAdaptRunner:
                 break
         return gnorm
 
-    def run(self, n_epoch: Optional[int] = None) -> dict:
+    def run(self, n_epoch: Optional[int] = None, select_fn=None) -> dict:
         """Selection/growth/optimize epochs until empty selection or cap.
 
         Resumes a matching in-flight state transparently (same epoch,
         same optimizer moments) before falling back to the epoch-
         boundary flow.
+
+        ``select_fn`` overrides the driver's own (device-precision)
+        ``select_operator`` with an external authority returning the same
+        ``(indices, grads)`` contract -- the flagship uses a CPU-float64
+        subprocess screen here once thresholds drop below the on-chip c64
+        screening noise (~1e-5-1e-4 per gradient at 18q).
         """
         vqe = self.vqe
+        if select_fn is None:
+            select_fn = vqe.select_operator
         if n_epoch is not None:
             vqe.n_epoch = n_epoch
         i_epoch = len(vqe.results["epoch loss"])
@@ -506,7 +518,7 @@ class FusedAdaptRunner:
 
         while i_epoch < vqe.n_epoch:
             t0 = time.time()
-            new_indices, max_grads = vqe.select_operator()
+            new_indices, max_grads = select_fn()
             self._log(
                 f"[fused] screening: {len(new_indices)} ops in {time.time()-t0:.1f}s"
             )

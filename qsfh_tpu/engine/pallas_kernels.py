@@ -1537,7 +1537,8 @@ def expectation_stream_pallas(psi, n: int, xs, zs, cre, cim):
     return expectation_stream_planes(re, im, n, xs, zs, cre, cim)
 
 
-def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
+def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim,
+                              partner_re=None, partner_im=None):
     """Streaming expectation on f32 (rows, LANE) planes directly.
 
     The planes entry point exists for statevectors too large to ever
@@ -1545,10 +1546,18 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
     copy alone would double HBM use); callers such as the product-state
     validation harness (engine/product_state.py) build the planes on
     device and never hold |psi> in complex form.
+
+    ``partner_re``/``partner_im`` override the flip-side planes: the
+    amplitude-sharded evaluator (parallel/sharded_stream.py) feeds the
+    ppermute-exchanged remote shard here while the conjugate side stays
+    local, so one kernel family serves both the single-chip and the
+    cross-shard paths.  Default: the local planes themselves.
     """
     if n < 11:
         raise ValueError("expectation_stream_planes needs at least 11 qubits")
     rows, br, bb, nb, nhi, re, im, groups = _stream_setup_planes(re, im, n, xs)
+    pre = re if partner_re is None else partner_re
+    pim = im if partner_im is None else partner_im
 
     total = jnp.float32(0.0)
     static_ok = _stream_static_enabled()
@@ -1571,7 +1580,7 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
                 ],
                 out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
                 interpret=jax.devices()[0].platform == "cpu",
-            )(re, im, re, im)
+            )(re, im, pre, pim)
             total = total + out[0, 0]
             continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
@@ -1588,7 +1597,7 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim):
             ],
             out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
             interpret=jax.devices()[0].platform == "cpu",
-        )(xlo, zlo, zhi, gcre, gcim, re, im, re, im)
+        )(xlo, zlo, zhi, gcre, gcim, re, im, pre, pim)
         total = total + out[0, 0]
     return total
 

@@ -49,7 +49,12 @@ class TestEquilibriumRegression:
 
 
 class TestDenseParity:
-    @pytest.mark.parametrize("factory,r", [(H4, 0.9), (H6, 1.1)])
+    # the H6 leg dense-diagonalizes 2^12 x 2^12 (~35 s); H4 carries the
+    # same method-parity contract in the fast profile
+    @pytest.mark.parametrize(
+        "factory,r",
+        [(H4, 0.9), pytest.param(H6, 1.1, marks=pytest.mark.slow)],
+    )
     def test_sector_fci_matches_dense_diagonalization(self, factory, r):
         """Sector-Lanczos FCI == dense 2^n eigensolve of the JW Hamiltonian
         (independent method, same integrals)."""

@@ -68,6 +68,7 @@ def test_sector_is_preserved(problem):
         assert after == pytest.approx(expected, abs=1e-8)
 
 
+@pytest.mark.slow  # ~16 s; sharded parity is covered fast by test_dynamics
 def test_sharded_matches_single_device():
     from qsfh_tpu.parallel.mesh import amplitude_mesh
 

@@ -489,7 +489,11 @@ class TestStaticStreamEquivalence:
         cim[::3] = 0.0
         return xs, zs, cre, cim
 
-    @pytest.mark.parametrize("n", [12, 13])
+    # n=13 (~22 s interpret mode) exercises the odd-row-count geometry; the
+    # n=12 leg carries the static-vs-dynamic contract in the fast profile
+    @pytest.mark.parametrize(
+        "n", [12, pytest.param(13, marks=pytest.mark.slow)]
+    )
     def test_static_matches_dynamic(self, n, monkeypatch):
         from qsfh_tpu.engine.pallas_kernels import (
             apply_stream_pallas,

@@ -379,3 +379,45 @@ class TestMeshDriverADAPT:
         a = np.array(runs[1]["epoch loss"], dtype=float)
         b = np.array(runs[8]["epoch loss"], dtype=float)
         np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+class TestShardedStream:
+    def test_streaming_expectation_matches_unsharded(self):
+        """The HBM-streaming kernel family under shard_map (interpret mode
+        on the CPU mesh): Re<psi|H|psi> of a 14-qubit state sharded over 8
+        devices must match the unsharded f64 Observable evaluation of the
+        same f32-quantized state (VERDICT r3 next #6)."""
+        from qsfh_tpu.engine.expectation import Observable
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.ops.lattice import fermi_hubbard
+        from qsfh_tpu.parallel.shmap_engine import ShardedPauliEngine
+        from qsfh_tpu.parallel.sharded_stream import (
+            pack_stream_groups,
+            sharded_expectation_stream,
+        )
+
+        n = 14  # 1x7 lattice -> n_local = 11, the streaming minimum
+        H = jordan_wigner(fermi_hubbard(7, 1, 1.0, 4.0, periodic=True))
+        rng = np.random.default_rng(23)
+        psi = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+        psi /= np.linalg.norm(psi)
+        re32 = psi.real.astype(np.float32)
+        im32 = psi.imag.astype(np.float32)
+        psi32 = re32.astype(np.float64) + 1j * im32.astype(np.float64)
+
+        ref = float(Observable(H, n).expectation(jnp.asarray(psi32)))
+
+        mesh = amplitude_mesh(8)
+        engine = ShardedPauliEngine(n, mesh)
+        # the packing must split terms across BOTH mask classes or the
+        # cross-shard machinery is untested
+        packed = pack_stream_groups(H, engine.n, engine.k)
+        assert any(xh != 0 for (xh, _zh) in packed)
+        assert any(zh != 0 for (_xh, zh) in packed)
+
+        with mesh:
+            fn = sharded_expectation_stream(engine, H)
+            got = float(
+                fn(shard_statevector(jnp.asarray(psi32, jnp.complex64), mesh))
+            )
+        assert got == pytest.approx(ref, abs=5e-5)

@@ -84,6 +84,7 @@ def test_stream_fused_matches_grouped(problem_2x3):
     assert abs(fused - closed) < 1e-4 * max(1.0, abs(closed))
 
 
+@pytest.mark.slow  # ~12 s; expectation-side fused-vs-grouped stays fast
 def test_apply_stream_fused_matches_grouped(problem_2x3):
     """One-call fused apply == per-group apply_stream_pallas planes."""
     from qsfh_tpu.engine.pallas_kernels import (
@@ -114,6 +115,8 @@ def test_apply_stream_fused_matches_grouped(problem_2x3):
     np.testing.assert_allclose(np.asarray(fi), np.asarray(wi), atol=1e-6)
 
 
+@pytest.mark.slow  # ~26 s interpret-mode sweep; screen-kernel parity vs
+# XLA stays fast in test_pallas.py::test_screen_stream_matches_xla
 def test_screen_stream_pair_closed_form(problem_2x3):
     """Streamed screening on two DIFFERENT product states == 2 Im of the
     pair closed form (the <w|P|psi> matrix element factorizes per qubit)."""
@@ -168,6 +171,7 @@ def test_pair_term_values_reduce_to_expectation(problem_2x3):
     assert abs(float(vals.sum().real) - dense) < 1e-9
 
 
+@pytest.mark.slow  # ~11 s; adjoint-kernel parity stays fast in test_pallas
 def test_adjoint_stream_gradient_closed_form(problem_2x3):
     """Streamed adjoint sweep gradients == d/dtheta of the dressed closed
     form (finite difference, host float64) for a 3-rotation circuit."""

@@ -98,6 +98,7 @@ def test_estimate_single_qubit_y():
     assert res.mean == pytest.approx(1.0, abs=1e-12)
 
 
+@pytest.mark.slow  # ~13 s statistical run; scan-vs-host estimator parity stays fast
 def test_estimate_hubbard_energy_within_error_bars():
     ham = jordan_wigner(fermi_hubbard(2, 2, 1.0, 4.0))
     n = 8
