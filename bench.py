@@ -132,6 +132,50 @@ class _chip_exclusive:
 
 
 
+WARM_STATE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "warm_state.json"
+)
+
+
+def _warm_fingerprint() -> str:
+    """Identity of the programs the warm cache holds: a content hash of
+    the package source + the env knobs that change the traced HLO.  A
+    mismatch means the cached program hashes may be stale and the warm
+    must run fresh.  (Content hash, not git rev: doc/benchmark commits
+    must not invalidate a perfectly warm cache.)"""
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    pkg = os.path.join(here, "qsfh_tpu")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith((".py", ".cpp")):
+                p = os.path.join(root, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return (
+        f"{h.hexdigest()[:16]}|two_scan="
+        f"{os.environ.get('QSFH_SPLIT_TWO_SCAN', '0')}"
+    )
+
+
+def _load_warm_state() -> dict:
+    try:
+        with open(WARM_STATE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_warm_state(state: dict):
+    tmp = WARM_STATE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, WARM_STATE)
+
+
 def _host_adam_state(params):
     """optax.adam(1e-2).init(params) built WITHOUT device compiles.
 
@@ -359,10 +403,22 @@ def warm_stages():
         ("metrics", lambda th, psi_r, g: (psi_r,)),
         ("update", lambda th, psi_r, g: (th, g, _host_adam_state(th))),
     ]
+    # incremental warm (VERDICT r3 next #8): stages recorded warm for the
+    # SAME (fingerprint, salt) are verified with one cheap cache-hit call
+    # but never burn retry sleeps; progress persists per stage so a warm
+    # interrupted by a sick service window resumes at the first cold stage
+    # on the next invocation instead of starting the 6-stage gauntlet over
+    fp = _warm_fingerprint()
+    salt = os.environ.get("QSFH_BENCH_SALT", "0")
+    state = _load_warm_state()
+    if state.get("fingerprint") != fp or state.get("salt") != salt:
+        state = {"fingerprint": fp, "salt": salt, "stages": {}}
     failed = []
     for name, argfn in order:
         done = False
-        for attempt in range(3):
+        already = name in state.get("stages", {})
+        n_attempts = 1 if already else 3
+        for attempt in range(n_attempts):
             try:
                 # fresh arrays per attempt: a failed dispatch can invalidate
                 # buffers it consumed
@@ -375,19 +431,27 @@ def warm_stages():
 
                 for leaf in jax.tree_util.tree_leaves(v):
                     _np.asarray(leaf).ravel()[:1]
-                _log(f"stage {name}: warm (attempt {attempt})")
+                _log(f"stage {name}: warm (attempt {attempt}"
+                     + (", was cache-resident)" if already else ")"))
                 done = True
+                state.setdefault("stages", {})[name] = time.time()
+                _save_warm_state(state)
                 break
             except Exception as exc:
                 msg = " ".join(str(exc).split())[:300]
                 _log(f"stage {name} attempt {attempt}: {type(exc).__name__}: {msg}")
-                time.sleep(10)
+                if not already:
+                    time.sleep(10)
         if not done:
             _log(f"stage {name}: NOT warmed")
+            state.get("stages", {}).pop(name, None)
+            _save_warm_state(state)
             failed.append(name)
     if failed:
         _log(f"stages not warmed: {failed}")
         return 1
+    state["complete_at"] = time.time()
+    _save_warm_state(state)
     _log("all stages warm")
     return 0
 
@@ -420,23 +484,43 @@ def main():
         # Per-stage timestamps land in the bench log for diagnosability.
         warm_budget = int(os.environ.get("QSFH_BENCH_WARM_TIMEOUT", "360"))
         env = dict(os.environ)
-        env["QSFH_BENCH_SALT"] = env.get("QSFH_BENCH_SALT", "0") or str(
-            (time.time() % 86400) * 1e-9
-        )
+        # salt reuse across invocations (VERDICT r3 next #8): a fresh
+        # time-based salt per run meant SIX cold remote compiles every
+        # bench invocation -- the warm that ate 405 s of the round-3
+        # window.  The warm-state file pins (fingerprint, salt); while the
+        # code fingerprint is unchanged the same salt rides the persistent
+        # compile cache and warming is cache-hit execution only.
+        wstate = _load_warm_state()
+        fp = _warm_fingerprint()
+        if not env.get("QSFH_BENCH_SALT", ""):
+            if wstate.get("fingerprint") == fp and wstate.get("salt"):
+                env["QSFH_BENCH_SALT"] = wstate["salt"]
+            else:
+                env["QSFH_BENCH_SALT"] = str((time.time() % 86400) * 1e-9)
         warm_salt = env["QSFH_BENCH_SALT"]
-        try:
-            t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--warm-stages"],
-                env=env, timeout=warm_budget, capture_output=True, text=True,
-            )
-            _log(f"warm-stages rc={proc.returncode} in {time.time()-t0:.1f}s")
-            for l in proc.stderr.strip().splitlines()[-8:]:
-                _log(f"warm: {l}")
-            stages_warm = proc.returncode == 0
-        except subprocess.TimeoutExpired:
-            _log(f"warm-stages exceeded {warm_budget}s")
-            stages_warm = False
+        if (
+            wstate.get("fingerprint") == fp
+            and wstate.get("salt") == warm_salt
+            and wstate.get("complete_at")
+            and os.environ.get("QSFH_BENCH_FORCE_WARM", "0") != "1"
+        ):
+            _log("warm skipped-as-cached (warm_state.json complete for "
+                 f"fingerprint {fp})")
+            stages_warm = True
+        else:
+            try:
+                t0 = time.time()
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--warm-stages"],
+                    env=env, timeout=warm_budget, capture_output=True, text=True,
+                )
+                _log(f"warm-stages rc={proc.returncode} in {time.time()-t0:.1f}s")
+                for l in proc.stderr.strip().splitlines()[-8:]:
+                    _log(f"warm: {l}")
+                stages_warm = proc.returncode == 0
+            except subprocess.TimeoutExpired:
+                _log(f"warm-stages exceeded {warm_budget}s")
+                stages_warm = False
 
         # attempt the fused-shape measurement first: the whole train step as
         # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
