@@ -32,7 +32,8 @@ ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
 N = int(os.environ.get("QSFH_STREAM_BIG_N", "28"))
-_LATTICE = {12: (2, 3), 26: (1, 13), 28: (2, 7), 30: (3, 5)}
+_LATTICE = {12: (2, 3), 22: (1, 11), 24: (2, 6), 26: (1, 13), 28: (2, 7),
+            30: (3, 5)}
 K_CHAIN = 3
 
 
@@ -192,6 +193,47 @@ def main() -> int:
         except Exception as exc:  # fused is opt-in until proven on-chip
             out["fused_error"] = f"{type(exc).__name__}: {exc}"[:200]
             log(f"fused leg failed: {out['fused_error']}")
+
+        # fused-STATIC: (1 + G) state passes AND the separable-sign static
+        # per-term work in one kernel family -- the round-4 roofline
+        # candidate (VERDICT r3 next #4: both known levers together)
+        from qsfh_tpu.engine.pallas_kernels import (
+            expectation_stream_fused_static,
+        )
+
+        @jax.jit
+        def fused_static_chain():
+            re, im = build()
+            tot = jnp.float32(0.0)
+            for s in scales:
+                tot = tot + expectation_stream_fused_static(
+                    re, im, N, xs, zs,
+                    cre32 * np.float32(s), cim32 * np.float32(s),
+                )
+            return tot
+
+        try:
+            efs3 = float(fused_static_chain())
+            out["fused_static_chain_rel_err"] = abs(efs3 - e3_closed) / max(
+                abs(e3_closed), 1e-9
+            )
+            tfs = []
+            for _ in range(5):
+                s0 = time.time()
+                float(fused_static_chain())
+                tfs.append(time.time() - s0)
+            tfsm = float(np.median(tfs))
+            out["fused_static_marginal_ms"] = round(
+                out["eval_marginal_ms"] + 1e3 * (tfsm - t3m) / K_CHAIN, 2
+            )
+            log(
+                f"fused-static eval: rel {out['fused_static_chain_rel_err']:.2e}, "
+                f"marginal {out['fused_static_marginal_ms']} ms"
+            )
+            flush()
+        except Exception as exc:
+            out["fused_static_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            log(f"fused-static leg failed: {out['fused_static_error']}")
 
         # rotated leg: streamed rotations validated via symbolic U^dag H U
         # dressing + closed form (covers the rotation stream kernels, both

@@ -545,3 +545,58 @@ class TestStaticStreamEquivalence:
         _, perm = screen_stream_pallas(psi, w, n, xs, zs, cre, cim)
         host_perm = screen_stream_perm(n, xs, zs, cre, cim)
         np.testing.assert_array_equal(host_perm, perm)
+
+
+class TestFusedStaticStream:
+    """expectation_stream_fused_static == the per-group static path (same
+    math, (1+G) state passes instead of 2G -- VERDICT r3 next #4)."""
+
+    def _terms(self, n, T, seed):
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(0, 1 << n, T).astype(np.uint32)
+        zs = rng.integers(0, 1 << n, T).astype(np.uint32)
+        xs[0] = 0                      # an xh == 0 group (conj-ref partners)
+        xs[1] = 1 << (n - 1)           # a pure block-crossing group
+        cre = rng.standard_normal(T).astype(np.float32)
+        cim = rng.standard_normal(T).astype(np.float32)
+        cim[::2] = 0.0
+        return xs, zs, cre, cim
+
+    @pytest.mark.parametrize("gcap", [2, 64])
+    def test_matches_per_group_static(self, gcap, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import (
+            expectation_stream_fused_static,
+            expectation_stream_planes,
+        )
+
+        n = 12
+        monkeypatch.setenv("QSFH_STREAM_FUSED_GROUPS", str(gcap))
+        k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+        rows = (1 << n) // 128
+        re = jax.random.normal(k1, (rows, 128), jnp.float32)
+        im = jax.random.normal(k2, (rows, 128), jnp.float32)
+        xs, zs, cre, cim = self._terms(n, 24, seed=5)
+        ref = float(expectation_stream_planes(re, im, n, xs, zs, cre, cim))
+        got = float(expectation_stream_fused_static(re, im, n, xs, zs, cre, cim))
+        assert got == pytest.approx(ref, abs=2e-4 * max(1.0, abs(ref)))
+
+    def test_oversized_group_falls_back_dynamic(self, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import (
+            expectation_stream_fused_static,
+            expectation_stream_planes,
+        )
+
+        n = 12
+        monkeypatch.setenv("QSFH_STREAM_STATIC_MAX_TERMS", "4")
+        rng = np.random.default_rng(9)
+        rows = (1 << n) // 128
+        re = jnp.asarray(rng.standard_normal((rows, 128)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((rows, 128)), jnp.float32)
+        # 8 terms in ONE group (same x) -> exceeds the 4-term static cap
+        xs = np.full(8, 3, np.uint32)
+        zs = rng.integers(0, 1 << n, 8).astype(np.uint32)
+        cre = rng.standard_normal(8).astype(np.float32)
+        cim = np.zeros(8, np.float32)
+        ref = float(expectation_stream_planes(re, im, n, xs, zs, cre, cim))
+        got = float(expectation_stream_fused_static(re, im, n, xs, zs, cre, cim))
+        assert got == pytest.approx(ref, abs=2e-4 * max(1.0, abs(ref)))
