@@ -142,6 +142,39 @@ def main() -> int:
     os.environ.pop("QSFH_PALLAS_STREAM_ROWS", None)
     os.environ["QSFH_STREAM_FUSED_GROUPS"] = "12"
 
+    # roll: XOR permutes as VPU roll+select instead of MXU matmuls /
+    # transposes (QSFH_STREAM_ROLL=1) -- the candidate fix for the
+    # MXU-bound ceiling (plain XLA streams this chip at 910 GB/s,
+    # tpu_hbm_peak.json, while base sits at ~235 GB/s)
+    os.environ["QSFH_STREAM_ROLL"] = "1"
+    try:
+        timed_chain(fused_static, "roll", check=e3_closed)
+        os.environ["QSFH_STREAM_FUSED_GROUPS"] = "64"
+        timed_chain(fused_static, "roll_one_call", check=e3_closed)
+    except Exception as exc:
+        RESULT["roll_error"] = f"{type(exc).__name__}: {exc}"[:160]
+        log(f"roll failed: {RESULT['roll_error']}")
+        save()
+    os.environ["QSFH_STREAM_ROLL"] = "0"
+    os.environ["QSFH_STREAM_FUSED_GROUPS"] = "12"
+
+    # roll also applies to the per-group static path (the production
+    # expectation_stream_planes route)
+    from qsfh_tpu.engine.pallas_kernels import expectation_stream_planes
+
+    def per_group(re, im, s):
+        return expectation_stream_planes(
+            re, im, N, xs, zs, cre32 * s, cim32 * s
+        )
+
+    os.environ["QSFH_STREAM_ROLL"] = "1"
+    try:
+        timed_chain(per_group, "roll_per_group", check=e3_closed)
+    except Exception as exc:
+        RESULT["roll_per_group_error"] = f"{type(exc).__name__}: {exc}"[:160]
+        save()
+    os.environ["QSFH_STREAM_ROLL"] = "0"
+
     # z0: identical flip traffic, trivial weights -> isolates VPU cost
     zs0 = np.zeros_like(zs)
 

@@ -72,6 +72,7 @@ class IQCC:
         max_inner_iterations: int = 10000,
         max_terms: Optional[int] = None,
         compaction_eps: Optional[float] = None,
+        dense_dressing: bool = False,
         reference_energy: Optional[float] = None,
         ground_truth: bool = True,
         dtype=None,
@@ -120,6 +121,15 @@ class IQCC:
         # shift introduced by compaction across all epochs
         self.compaction_eps = compaction_eps
         self.compaction_bound = 0.0
+        # EXACT dense-matrix dressing (ops/dense_dressing.py): the dressed
+        # H lives as a 2^n x 2^n matrix (two ZGEMMs per epoch, zero
+        # truncation) and the PauliSum is re-derived per epoch for DIS
+        # selection only.  The answer to symbolic term explosion at 12-14
+        # qubits (uncapped 2x3 reaches 586k terms after TWO epochs).
+        self.dense_dressing = bool(dense_dressing)
+        if self.dense_dressing and (n_qubits or qubit_h.n_qubits()) > 14:
+            raise ValueError("dense_dressing is a <=14-qubit backend (4^n memory)")
+        self._dense_h = None
         self.plot = plot
         self.dtype = dtype or default_dtype()
         rdt = real_dtype(self.dtype)
@@ -233,8 +243,19 @@ class IQCC:
             print("ground state energy: ", self.ground_state_energy)
 
         i_epoch = len(self.loss_history["epoch"])
+        if self.dense_dressing and self._dense_h is None:
+            from ..utils.dense import paulisum_to_dense
+
+            self._dense_h = paulisum_to_dense(
+                self.current_hamiltonian, self.n_qubits
+            )
         while i_epoch < self.n_epoch:
-            observable = Observable(self.current_hamiltonian, self.n_qubits)
+            if self.dense_dressing:
+                from ..ops.dense_dressing import DenseObservable
+
+                observable = DenseObservable(self._dense_h, self.n_qubits)
+            else:
+                observable = Observable(self.current_hamiltonian, self.n_qubits)
             gens, labels, max_grads = self.select_operator(observable)
             if not max_grads:
                 print("\nconvergence criterion has satisfied, break the loop!")
@@ -265,19 +286,31 @@ class IQCC:
             # fold the optimized rotations into the Hamiltonian and discard
             # the gates (iqcc.py:172-180)
             taus = np.asarray(self.params["tau"])
-            self.current_hamiltonian, dropped, dweight = dress_hamiltonian(
-                self.current_hamiltonian, gens, taus,
-                max_terms=self.max_terms,
-                compaction_eps=self.compaction_eps,
-            )
-            if dropped:
-                self.compaction_bound += dweight
-                print(
-                    f"compaction: dropped {dropped} smallest terms "
-                    f"({len(self.current_hamiltonian)} kept), epoch bound "
-                    f"{dweight:.3e}, cumulative eigenvalue-shift bound "
-                    f"{self.compaction_bound:.3e}"
+            if self.dense_dressing:
+                from ..ops.dense_dressing import dense_to_paulisum, dress_dense
+
+                self._dense_h = dress_dense(
+                    self._dense_h, gens, taus, self.n_qubits
                 )
+                # PauliSum view feeds DIS selection + logging only; the
+                # dense matrix stays the (exact) energy authority
+                self.current_hamiltonian = dense_to_paulisum(
+                    self._dense_h, self.n_qubits
+                )
+            else:
+                self.current_hamiltonian, dropped, dweight = dress_hamiltonian(
+                    self.current_hamiltonian, gens, taus,
+                    max_terms=self.max_terms,
+                    compaction_eps=self.compaction_eps,
+                )
+                if dropped:
+                    self.compaction_bound += dweight
+                    print(
+                        f"compaction: dropped {dropped} smallest terms "
+                        f"({len(self.current_hamiltonian)} kept), epoch bound "
+                        f"{dweight:.3e}, cumulative eigenvalue-shift bound "
+                        f"{self.compaction_bound:.3e}"
+                    )
             i_epoch += 1
             print(
                 f"epoch: {i_epoch}, total energy: {self.loss_history['epoch'][-1]}, "

@@ -190,6 +190,40 @@ def _xor_permute_swaps(x, mask, rows: int):
     return x
 
 
+def _stream_roll_enabled() -> bool:
+    """Roll+select lowering for the static XOR permutes (QSFH_STREAM_ROLL).
+
+    The matmul lowering costs rows*128*128*2 MXU flops per lane-bit
+    permute (x3 at HIGHEST precision) plus a minor-dim transpose for row
+    bits; the round-4 probe measured the 26q fused-static eval pinned at
+    ~32 ms regardless of traffic knobs while plain XLA streams the same
+    chip at 910 GB/s (tpu_hbm_peak.json) -- MXU/relayout-bound, not HBM.
+    Roll+select does each bit's XOR as 2 static lane/sublane rotates + a
+    select: pure VPU, ~3 plane ops per set bit.
+    """
+    return os.environ.get("QSFH_STREAM_ROLL", "0") == "1"
+
+
+def _xor_roll(x, mask: int, axis: int):
+    """out[..i..] = x[..i ^ mask..] along ``axis`` via per-bit
+    roll+select (static shifts lower to Mosaic rotates, no MXU)."""
+    mask = int(mask)
+    if mask == 0:
+        return x
+    size = x.shape[axis]
+    ids = jax.lax.broadcasted_iota(jnp.uint32, x.shape, axis)
+    b = 1
+    while mask:
+        if mask & b:
+            # shifts must be non-negative: -b == size - b (mod size)
+            lo = pltpu.roll(x, size - b, axis)  # out[i] = x[i + b]
+            hi = pltpu.roll(x, b, axis)         # out[i] = x[i - b]
+            x = jnp.where((ids & np.uint32(b)) == 0, lo, hi)
+            mask ^= b
+        b <<= 1
+    return x
+
+
 def _xor_permute_static(x, mask: int, rows: int):
     """out[b] = x[b ^ mask] on an (rows, LANE) f32 plane, HOST-static mask.
 
@@ -211,6 +245,11 @@ def _xor_permute_static(x, mask: int, rows: int):
     mask = int(mask)
     if mask == 0:
         return x
+    if _stream_roll_enabled():
+        lane_mask = mask & (LANE - 1)
+        row_mask = mask >> LANE_BITS
+        x = _xor_roll(x, lane_mask, 1)
+        return _xor_roll(x, row_mask, 0)
     prec = jax.lax.Precision.HIGHEST
     lane_mask = mask & (LANE - 1)
     row_mask = mask >> LANE_BITS

@@ -185,3 +185,75 @@ class TestIQCCDriver:
         )
         assert len(reloaded.current_hamiltonian) == len(vqe.current_hamiltonian)
         assert reloaded.loss_history["epoch"] == vqe.loss_history["epoch"]
+
+
+class TestDenseDressing:
+    def test_dense_paulisum_roundtrip(self):
+        from qsfh_tpu.ops.dense_dressing import dense_to_paulisum
+        from qsfh_tpu.ops.lattice import fermi_hubbard
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.utils.dense import paulisum_to_dense
+
+        H = jordan_wigner(fermi_hubbard(2, 2, 1.0, 4.0, periodic=True))
+        n = 8
+        M = paulisum_to_dense(H, n)
+        back = dense_to_paulisum(M, n)
+        M2 = paulisum_to_dense(back, n)
+        np.testing.assert_allclose(M2, M, atol=1e-12)
+
+    def test_dress_dense_matches_symbolic(self):
+        """dense U^dag H U == the symbolic dress_hamiltonian (same
+        reversed-application semantics) for a 3-generator layer."""
+        from qsfh_tpu.ops.dense_dressing import dense_to_paulisum, dress_dense
+        from qsfh_tpu.ops.dressing import dis_generators, dress_hamiltonian
+        from qsfh_tpu.ops.lattice import fermi_hubbard
+        from qsfh_tpu.ops.jw import jordan_wigner
+        from qsfh_tpu.utils.dense import paulisum_to_dense
+
+        H = jordan_wigner(fermi_hubbard(2, 2, 1.0, 4.0, periodic=True))
+        n = 8
+        gens = [P for _f, P in dis_generators(H)[:3]]
+        taus = [0.3, -0.45, 0.7]
+        sym, _d, _w = dress_hamiltonian(H, gens, taus)
+        M = dress_dense(paulisum_to_dense(H, n), gens, taus, n)
+        np.testing.assert_allclose(
+            M, paulisum_to_dense(sym, n), atol=1e-10
+        )
+        # and the decomposition of the dense result matches term-wise
+        back = dense_to_paulisum(M, n)
+        np.testing.assert_allclose(
+            paulisum_to_dense(back, n), paulisum_to_dense(sym, n), atol=1e-9
+        )
+
+    def test_iqcc_dense_mode_matches_symbolic_2x2(self, tmp_path):
+        """One full IQCC epoch in dense mode reproduces the symbolic run
+        (selection, energies, dressed spectrum)."""
+        import jax
+        from qsfh_tpu.algos.iqcc import IQCC
+        from qsfh_tpu.ops.lattice import fermi_hubbard
+        from qsfh_tpu.utils.dense import paulisum_to_dense
+
+        runs = {}
+        for dense in (False, True):
+            vqe = IQCC(
+                hamiltonian=fermi_hubbard(2, 2, 1.0, 4.0, periodic=True),
+                n_epoch=2, lr=1e-2, threshold=5e-3,
+                max_inner_iterations=30, dense_dressing=dense,
+                ground_truth=True,
+                results_root=str(tmp_path / ("d" if dense else "s")),
+                tag="iqcc-dense-ab", plot=False, log_metrics=False,
+            )
+            vqe.run()
+            runs[dense] = vqe
+        a, b = runs[False], runs[True]
+        assert a.selected_ops == b.selected_ops
+        np.testing.assert_allclose(
+            a.loss_history["epoch"], b.loss_history["epoch"], atol=1e-8
+        )
+        # dressed Hamiltonians agree as operators
+        n = a.n_qubits
+        np.testing.assert_allclose(
+            paulisum_to_dense(b.current_hamiltonian, n),
+            paulisum_to_dense(a.current_hamiltonian, n),
+            atol=1e-8,
+        )
