@@ -112,7 +112,9 @@ def main():
         ed = vqe.ground_state_energy
         last = vqe.results["epoch loss"][-1]
         print(f"=== phase {phase} done: E {last:+.8f} vs ED {ed:+.8f} "
-              f"(gap {1e3 * (last - ed):.4f} mHa, c64 floor ~0.005 mHa)",
+              f"(gap {1e3 * (last - ed):.4f} mHa; NOTE: this plain c64 readout "
+              f"carries ~0.3 mHa of state-norm noise at 1000+ params -- "
+              f"trust anchors.jsonl / the df Rayleigh energies instead)",
               flush=True)
     anchor(-1)
     print("SCHEDULE COMPLETE")

@@ -31,6 +31,8 @@ MXU_F32_HIGHEST_TFLOPS = 197.0 / 6.0
 LANE = 128
 
 SIZES = {
+    22: ("1x11", "tpu_stream_big_22.json"),
+    24: ("2x6", "tpu_stream_big_24.json"),
     26: ("1x13", "tpu_stream_big_26.json"),
     28: ("2x7", "tpu_stream_big_28.json"),
     30: ("3x5", "tpu_stream_big_30.json"),
@@ -164,6 +166,31 @@ def analyze(n, lattice, path):
         "fused_bytes_per_eval": int(bytes_fused),
         "fused_measured_ms": blob.get("fused_marginal_ms"),
     }
+    # round-4 fused-static route (production default since expectation.py
+    # routes here): one pallas call per <=16 groups, conj side read once
+    # per call and the xh==0 group served from the conj refs, roll+select
+    # permutes (VPU) instead of MXU matmuls
+    fs_ms = blob.get("fused_static_marginal_ms")
+    if fs_ms:
+        from qsfh_tpu.engine.pallas_kernels import _fused_static_group_cap
+
+        gcap = _fused_static_group_cap()
+        calls = max(1, -(-G // gcap))
+        g_partner = G - (1 if 0 in groups else 0)
+        bytes_fs = plane_pair * (calls + g_partner)
+        row["fused_static_measured_ms"] = fs_ms
+        row["fused_static_bytes_per_eval"] = int(bytes_fs)
+        row["fused_static_GBps"] = round(bytes_fs / (fs_ms / 1e3) / 1e9, 1)
+        row["fused_static_pct_hbm_peak"] = round(
+            100 * row["fused_static_GBps"] / HBM_PEAK_GBPS, 1
+        )
+        peak_path = os.path.join(HERE, "tpu_hbm_peak.json")
+        if os.path.exists(peak_path):
+            meas_peak = json.load(open(peak_path)).get("sum_f32_GBps")
+            if meas_peak:
+                row["fused_static_pct_measured_peak"] = round(
+                    100 * row["fused_static_GBps"] / meas_peak, 1
+                )
     # round-2 dynamic-kernel runs of the same sizes (preserved as *_r2.json)
     # give the measured A/B column for the round-3 static-mask kernels
     for suffix in ("_r2.json", "_dyn.json"):
@@ -212,8 +239,15 @@ def main():
                 },
             )
 
+    peak_path = os.path.join(HERE, "tpu_hbm_peak.json")
+    measured_peak = None
+    if os.path.exists(peak_path):
+        measured_peak = json.load(open(peak_path)).get("sum_f32_GBps")
     out = {
         "hbm_peak_GBps": HBM_PEAK_GBPS,
+        # what a plain bandwidth-bound XLA reduction actually sustains on
+        # THIS chip (tpu_hbm_peak.py) -- the honest achievable ceiling
+        "measured_achievable_GBps": measured_peak,
         "mxu_f32_highest_tflops": MXU_F32_HIGHEST_TFLOPS,
         "note": (
             "bytes_moved derives from the kernels' real block/group "

@@ -225,17 +225,30 @@ class Observable:
             and chain_max_qubits() < n <= stream_max_qubits()
             and rdt == jnp.float32
         ):
-            # beyond the VMEM-resident cap: HBM-streaming grouped kernel
-            # (QSFH_STREAM_FUSED=1 selects the one-call scalar-prefetch
-            # variant: conj side read once total instead of once per group)
+            # beyond the VMEM-resident cap: HBM-streaming kernels.
+            # Default route since round 4: FUSED-STATIC (one call per <=16
+            # flip groups, conj side read once, roll+select permutes) --
+            # measured 12.59 ms/eval at 26q = 73% of HBM spec peak vs the
+            # per-group static form's 38 ms (tpu_fusedstatic_probe.json).
+            # QSFH_STREAM_FUSED_STATIC=0 restores the per-group path;
+            # QSFH_STREAM_FUSED=1 selects the dynamic scalar-prefetch
+            # variant (kept for A/B).
             cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
+            rows = (1 << n) // 128
             if os.environ.get("QSFH_STREAM_FUSED") == "1":
                 from .pallas_kernels import expectation_stream_fused
 
-                rows = (1 << n) // 128
                 re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
                 im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
                 return expectation_stream_fused(re, im, n, xs, zs, cre32, cim32)
+            if os.environ.get("QSFH_STREAM_FUSED_STATIC", "1") == "1":
+                from .pallas_kernels import expectation_stream_fused_static
+
+                re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
+                im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
+                return expectation_stream_fused_static(
+                    re, im, n, xs, zs, cre32, cim32
+                )
             from .pallas_kernels import expectation_stream_pallas
 
             return expectation_stream_pallas(psi, n, xs, zs, cre32, cim32)

@@ -199,9 +199,12 @@ def _stream_roll_enabled() -> bool:
     ~32 ms regardless of traffic knobs while plain XLA streams the same
     chip at 910 GB/s (tpu_hbm_peak.json) -- MXU/relayout-bound, not HBM.
     Roll+select does each bit's XOR as 2 static lane/sublane rotates + a
-    select: pure VPU, ~3 plane ops per set bit.
+    select: pure VPU, ~3 plane ops per set bit.  Default ON since the
+    26q chip A/B (tpu_fusedstatic_probe.json: fused-static one-call
+    34.8 -> 12.6 ms/eval, rel err unchanged at 2e-6); QSFH_STREAM_ROLL=0
+    restores the matmul lowering.
     """
-    return os.environ.get("QSFH_STREAM_ROLL", "0") == "1"
+    return os.environ.get("QSFH_STREAM_ROLL", "1") == "1"
 
 
 def _xor_roll(x, mask: int, axis: int):
@@ -1767,10 +1770,12 @@ def _make_expectation_stream_kernel_fused_static(group_plans):
 
 def _fused_static_group_cap() -> int:
     """Groups fused per pallas call.  Each nonzero group adds two
-    double-buffered (br, LANE) partner inputs (~0.5 MB at br=256); 12
+    double-buffered (br, LANE) partner inputs (~0.5 MB at br=256); 16
     keeps the working set near half of v5e VMEM with headroom for the
-    weight/permute temporaries."""
-    return int(os.environ.get("QSFH_STREAM_FUSED_GROUPS", "12"))
+    weight/permute temporaries, and puts the 26q Hubbard (14 groups) in
+    ONE call -- the measured best point (12.59 vs 15.38 ms for two
+    calls, tpu_fusedstatic_probe.json)."""
+    return int(os.environ.get("QSFH_STREAM_FUSED_GROUPS", "16"))
 
 
 def expectation_stream_fused_static(re, im, n: int, xs, zs, cre, cim):
