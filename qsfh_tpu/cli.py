@@ -125,6 +125,16 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--threshold", type=float, default=5e-3)
     p.add_argument("--max-terms", type=int, default=None)
+    p.add_argument(
+        "--compaction-eps", type=float, default=None,
+        help="per-epoch operator-norm budget for dropping small dressed "
+        "terms (rigorous cumulative eigenvalue-shift bound)",
+    )
+    p.add_argument(
+        "--dense-dressing", action="store_true",
+        help="EXACT dense-matrix dressing (<=14 qubits): term growth "
+        "becomes a non-issue; see ops/dense_dressing.py",
+    )
 
     p = sub.add_parser("hea", help="hardware-efficient-ansatz molecular VQE")
     _add_run_args(p)
@@ -370,6 +380,8 @@ def main(argv=None):
             lr=args.lr,
             threshold=args.threshold,
             max_terms=args.max_terms,
+            compaction_eps=args.compaction_eps,
+            dense_dressing=args.dense_dressing,
             results_root=args.results_root,
             tag=tag,
             plot=not args.no_plot,
