@@ -70,6 +70,7 @@ class IQCC:
         n_electrons: Optional[int] = None,
         ratio: float = 0.1,
         max_inner_iterations: int = 10000,
+        inner_optimizer: str = "adam",
         max_terms: Optional[int] = None,
         compaction_eps: Optional[float] = None,
         dense_dressing: bool = False,
@@ -114,6 +115,13 @@ class IQCC:
         self.threshold = threshold
         self.ratio = ratio
         self.max_inner_iterations = max_inner_iterations
+        # "adam" (reference parity, iqcc.py:158) or "lbfgs": the epoch
+        # subproblem is smooth with an exact dense/packed energy, and
+        # L-BFGS-with-linesearch closes it in ~10x fewer iterations than
+        # the reference's fixed-lr Adam at 250-generator selections
+        if inner_optimizer not in ("adam", "lbfgs"):
+            raise ValueError("inner_optimizer must be 'adam' or 'lbfgs'")
+        self.inner_optimizer = inner_optimizer
         self.max_terms = max_terms
         # per-epoch operator-norm budget for dropping small dressed terms
         # (ops/dressing.py compact); the cumulative bound is tracked in
@@ -130,6 +138,7 @@ class IQCC:
         if self.dense_dressing and (n_qubits or qubit_h.n_qubits()) > 14:
             raise ValueError("dense_dressing is a <=14-qubit backend (4^n memory)")
         self._dense_h = None
+        self._dense_nnz = None
         self.plot = plot
         self.dtype = dtype or default_dtype()
         rdt = real_dtype(self.dtype)
@@ -182,8 +191,23 @@ class IQCC:
 
     def _state(self, params, selected):
         """Product state + selected exp(-i tau_k P_k / 2) rotations
-        (iqcc.py:50-59; gates are exp(-i tau/2 P))."""
+        (iqcc.py:50-59; gates are exp(-i tau/2 P)).
+
+        Above a handful of rotations the chain is lowered to ONE scan
+        segment (engine/compiled.py) instead of unrolling K gates into the
+        jaxpr: the dense 2x3 probe selects ~250 generators per epoch, and
+        the unrolled value_and_grad program's XLA compile dominated the
+        45-minute epochs of benchmarks/demo_iqcc_2x3_r4/probe_growth.log.
+        """
         psi = product_state(params["theta"], params["phi"], self.n_qubits, self.dtype)
+        if len(selected) >= 12:
+            from ..engine.compiled import CompiledCircuit
+
+            cc = CompiledCircuit(
+                [("rot", ((x, z, 0.5),), k) for k, (x, z) in enumerate(selected)],
+                self.n_qubits,
+            )
+            return cc.apply(psi, params["tau"])
         for k, (x, z) in enumerate(selected):
             psi = pauli_rotation(psi, self.n_qubits, x, z, params["tau"][k] / 2)
         return psi
@@ -199,7 +223,25 @@ class IQCC:
         Selection rule parity with iqcc.py:123-127: if g_max*ratio >
         threshold select {g > g_max*ratio}, else {g > threshold}.
         """
-        dis = dis_generators(self.current_hamiltonian)
+        if (
+            self.dense_dressing
+            and self._dense_h is not None
+            and len(self.selected_ops) > 0
+        ):
+            # flip partition straight off the dense matrix: the PauliSum
+            # view saturates toward 4^n terms under exact dressing, so
+            # materializing it per epoch is the route that must die.
+            # Undressed (epoch 1) keeps the symbolic route: the initial
+            # H's construction order sets the reference tie-breaking,
+            # and it is not recoverable from the matrix (dressed H IS
+            # ascending-x ordered -- simplify/native merge lexsort).
+            from ..ops.dense_dressing import dense_dis_generators
+
+            dis, self._dense_nnz = dense_dis_generators(
+                self._dense_h, self.n_qubits
+            )
+        else:
+            dis = dis_generators(self.current_hamiltonian)
         if not dis:
             return [], [], []
         pool = PackedPool([0.5 * P for _, P in dis], self.n_qubits)
@@ -222,10 +264,26 @@ class IQCC:
 
     # -- training ------------------------------------------------------------------
 
-    def _build_step(self, observable: Observable, selected_masks, optimizer):
+    def _build_step(self, observable: Observable, selected_masks, optimizer,
+                    style: str = "adam"):
         def loss_fn(params):
             psi = self._state(params, selected_masks)
             return observable.expectation_auto(psi)
+
+        if style == "lbfgs":
+            value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+            def step(params, opt_state):
+                energy, grads = value_and_grad(params, state=opt_state)
+                gnorm = optax.global_norm(grads)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params,
+                    value=energy, grad=grads, value_fn=loss_fn,
+                )
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, energy, gnorm
+
+            return jax.jit(step)
 
         grad_fn = jax.value_and_grad(loss_fn)
 
@@ -264,21 +322,53 @@ class IQCC:
 
             self.params["tau"] = jnp.asarray(np.zeros(len(gens), dtype=self._rdt))
             selected_masks = [(int(P.x[0]), int(P.z[0])) for P in gens]
-            optimizer = optax.adam(self.lr)
-            opt_state = optimizer.init(self.params)
-            step = self._build_step(observable, selected_masks, optimizer)
 
             inner = 0
-            while inner < self.max_inner_iterations:
-                self.params, opt_state, e, gnorm = step(self.params, opt_state)
-                e, gnorm = float(e), float(gnorm)
-                self.loss_history["iteration"].append(e)
-                self.metrics.log(
-                    iter=len(self.loss_history["iteration"]), loss=e, norm=gnorm
+
+            def drive(optimizer, step, budget, stop_at_threshold=True):
+                nonlocal inner
+                opt_state = optimizer.init(self.params)
+                while inner < budget:
+                    self.params, opt_state, e, gnorm = step(
+                        self.params, opt_state
+                    )
+                    e, gnorm = float(e), float(gnorm)
+                    self.loss_history["iteration"].append(e)
+                    self.metrics.log(
+                        iter=len(self.loss_history["iteration"]), loss=e, norm=gnorm
+                    )
+                    inner += 1
+                    if stop_at_threshold and gnorm < self.threshold:
+                        break
+
+            if self.inner_optimizer == "lbfgs":
+                # Adam warmup first: the tau=0 epoch start sits near
+                # high-symmetry stationary points (the 2x2 landscape has a
+                # local minimum at E=+4 that traps exact line search;
+                # Adam's momentum hops it), then L-BFGS closes the smooth
+                # tail in ~10x fewer iterations than fixed-lr Adam
+                warm_opt = optax.adam(self.lr)
+                drive(
+                    warm_opt,
+                    self._build_step(observable, selected_masks, warm_opt),
+                    min(100, self.max_inner_iterations // 2),
+                    stop_at_threshold=False,
                 )
-                inner += 1
-                if gnorm < self.threshold:
-                    break
+                lb = optax.lbfgs()
+                drive(
+                    lb,
+                    self._build_step(
+                        observable, selected_masks, lb, style="lbfgs"
+                    ),
+                    self.max_inner_iterations,
+                )
+            else:
+                opt = optax.adam(self.lr)
+                drive(
+                    opt,
+                    self._build_step(observable, selected_masks, opt),
+                    self.max_inner_iterations,
+                )
 
             self.loss_history["epoch"].append(self.loss_history["iteration"][-1])
             self.selected_ops += labels
@@ -287,15 +377,14 @@ class IQCC:
             # the gates (iqcc.py:172-180)
             taus = np.asarray(self.params["tau"])
             if self.dense_dressing:
-                from ..ops.dense_dressing import dense_to_paulisum, dress_dense
+                from ..ops.dense_dressing import dress_dense
 
+                # the dense matrix IS the dressed Hamiltonian (exact);
+                # DIS selection reads it directly next epoch, and
+                # current_hamiltonian keeps the last SMALL symbolic form
+                # for observers that want a term view
                 self._dense_h = dress_dense(
                     self._dense_h, gens, taus, self.n_qubits
-                )
-                # PauliSum view feeds DIS selection + logging only; the
-                # dense matrix stays the (exact) energy authority
-                self.current_hamiltonian = dense_to_paulisum(
-                    self._dense_h, self.n_qubits
                 )
             else:
                 self.current_hamiltonian, dropped, dweight = dress_hamiltonian(
@@ -312,9 +401,14 @@ class IQCC:
                         f"{self.compaction_bound:.3e}"
                     )
             i_epoch += 1
+            n_terms = (
+                self._dense_nnz
+                if self.dense_dressing and self._dense_nnz is not None
+                else len(self.current_hamiltonian)
+            )
             print(
                 f"epoch: {i_epoch}, total energy: {self.loss_history['epoch'][-1]}, "
-                f"H terms: {len(self.current_hamiltonian)}"
+                f"H terms: {n_terms}"
             )
             self.save_model()
             if self.plot and self.ground_state_energy is not None:
@@ -346,6 +440,14 @@ class IQCC:
                 "compaction_bound": self.compaction_bound,
             },
         )
+        if self.dense_dressing and self._dense_h is not None:
+            # the dense matrix is the dressed-H authority; the npz keeps
+            # only the (small) symbolic form.  complex128, 2^n square --
+            # 268 MB at 14q, written atomically beside the npz.
+            dense_path = ckpt.resolve(self.model_filepath) + ".dense.npy"
+            tmp = dense_path + ".tmp.npy"
+            np.save(tmp, self._dense_h)
+            os.replace(tmp, dense_path)
         ckpt.save_results(self.result_filepath, self.loss_history)
 
     def load_model(self):
@@ -361,6 +463,18 @@ class IQCC:
         self.selected_ops = list(meta.get("selected_ops", []))
         self.compaction_bound = float(meta.get("compaction_bound", 0.0))
         self.loss_history = ckpt.load_results(self.result_filepath)
+        if self.dense_dressing:
+            dense_path = ckpt.resolve(self.model_filepath) + ".dense.npy"
+            if os.path.exists(dense_path):
+                self._dense_h = np.load(dense_path)
+            else:
+                # legacy checkpoint: the npz's PauliSum view was the
+                # dressed H (pre-r4 sessions saved it in full)
+                from ..utils.dense import paulisum_to_dense
+
+                self._dense_h = paulisum_to_dense(
+                    self.current_hamiltonian, self.n_qubits
+                )
 
 
 if __name__ == "__main__":

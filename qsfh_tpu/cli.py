@@ -135,6 +135,11 @@ def main(argv=None):
         help="EXACT dense-matrix dressing (<=14 qubits): term growth "
         "becomes a non-issue; see ops/dense_dressing.py",
     )
+    p.add_argument(
+        "--inner-optimizer", choices=("adam", "lbfgs"), default="adam",
+        help="epoch-subproblem optimizer: adam (reference parity) or "
+        "lbfgs with linesearch (~10x fewer inner iterations)",
+    )
 
     p = sub.add_parser("hea", help="hardware-efficient-ansatz molecular VQE")
     _add_run_args(p)
@@ -382,6 +387,7 @@ def main(argv=None):
             max_terms=args.max_terms,
             compaction_eps=args.compaction_eps,
             dense_dressing=args.dense_dressing,
+            inner_optimizer=args.inner_optimizer,
             results_root=args.results_root,
             tag=tag,
             plot=not args.no_plot,

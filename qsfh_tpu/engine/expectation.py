@@ -384,19 +384,14 @@ class PackedPool:
             for x, (zs, cs, ks) in flat.items()
         }
 
-    def screen_scan(self, psi: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-        """grad_k = 2 Im <w | G_k psi> via ONE lax.scan over flat pool terms.
+    def scan_arrays(self):
+        """Flat per-term arrays (xb, zb, c_re, c_im, gen_index), built once.
 
-        Constant compile size in pool size (the grouped :meth:`screen`
-        unrolls one flip per distinct mask -- thousands of HLO equations
-        for 3x3 pools, which remote TPU compile services cannot digest).
+        Coefficients carry the Z-past-X reorder sign so the scan/stream
+        kernels can treat every term as X^x Z^z applied left-to-right.
         """
-        from .compiled import xor_flip_traced
-
-        n = self.n
-        rdt = real_dtype(psi.dtype)
-        # flat per-term arrays (host, built once)
         if not hasattr(self, "_scan_arrays"):
+            n = self.n
             xs, zs, cre, cim, ks = [], [], [], [], []
             for x, (zarr, carr, karr) in self._groups.items():
                 xb = qmask_to_bmask(x, n)
@@ -415,7 +410,20 @@ class PackedPool:
                 np.asarray(cim, np.float64),
                 np.asarray(ks, np.int32),
             )
-        xs, zs, cre, cim, ks = self._scan_arrays
+        return self._scan_arrays
+
+    def screen_scan(self, psi: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """grad_k = 2 Im <w | G_k psi> via ONE lax.scan over flat pool terms.
+
+        Constant compile size in pool size (the grouped :meth:`screen`
+        unrolls one flip per distinct mask -- thousands of HLO equations
+        for 3x3 pools, which remote TPU compile services cannot digest).
+        """
+        from .compiled import xor_flip_traced
+
+        n = self.n
+        rdt = real_dtype(psi.dtype)
+        xs, zs, cre, cim, ks = self.scan_arrays()
 
         from .pallas_kernels import chain_max_qubits, pallas_enabled
 

@@ -36,6 +36,7 @@ from ..utils.dense import _qubit_masks_to_bit_masks, paulisum_to_dense
 __all__ = [
     "fwht",
     "dense_to_paulisum",
+    "dense_dis_generators",
     "dress_dense",
     "DenseObservable",
 ]
@@ -83,6 +84,52 @@ def dense_to_paulisum(M: np.ndarray, n_qubits: int, tol: float = 1e-10) -> Pauli
     return PauliSum(
         rev[xf].astype(np.uint64), rev[zf].astype(np.uint64), np.asarray(c)
     )
+
+
+def dense_dis_generators(
+    M: np.ndarray, n_qubits: int, tol: float = 1e-10
+) -> Tuple[List[Tuple[Tuple[int, ...], PauliSum]], int]:
+    """DIS generator list straight from the dense matrix.
+
+    The flip-index partition (reference ``iqcc.py:73-92``) needs only the
+    set of DISTINCT x flip masks with support, NOT the full Pauli term
+    list -- which saturates toward 4^n terms under exact dressing (2x3
+    reaches 586k after two epochs) and makes the
+    ``dense_to_paulisum`` -> Python-loop ``dis_generators`` route O(4^n)
+    per epoch.  Here each XOR-diagonal's FWHT row gives the z-resolved
+    coefficients for one flip mask; a flip qualifies if any |c| > tol.
+
+    Returns ([(flips, P = Y X..X)], nnz_terms) with generators ordered by
+    ascending qubit x-mask -- the SAME order the symbolic path yields,
+    because ``PauliSum.simplify`` lexsorts terms by (x, z) so
+    ``dis_generators``'s first-appearance scan walks ascending x.  Order
+    matters beyond labeling: gradient TIES (degenerate generator pairs)
+    are broken by list position, and the rotations are applied in
+    selection order.
+    """
+    dim = 1 << n_qubits
+    if M.shape != (dim, dim):
+        raise ValueError(f"expected ({dim}, {dim}) matrix")
+    idx = np.arange(dim)
+    V = M[idx[None, :] ^ idx[:, None], idx[None, :]]
+    C = np.abs(fwht(V)) / dim  # |c|[xf, zf]
+    nnz = int(np.count_nonzero(C > tol))
+    weight = C.max(axis=1)  # per flip mask
+    # flat -> qubit mask bit reversal
+    rev = np.zeros(dim, dtype=np.int64)
+    for q in range(n_qubits):
+        rev |= ((idx >> (n_qubits - 1 - q)) & 1) << q
+    out: List[Tuple[Tuple[int, ...], PauliSum]] = []
+    for x in np.sort(rev[weight > tol]):
+        x = int(x)
+        if x == 0:
+            continue
+        flips = tuple(q for q in range(x.bit_length()) if (x >> q) & 1)
+        label = " ".join(
+            ("Y" if i == 0 else "X") + str(q) for i, q in enumerate(flips)
+        )
+        out.append((flips, PauliSum.from_string(label)))
+    return out, nnz
 
 
 def _string_row_data(P: PauliSum, n_qubits: int):

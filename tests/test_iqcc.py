@@ -250,10 +250,61 @@ class TestDenseDressing:
         np.testing.assert_allclose(
             a.loss_history["epoch"], b.loss_history["epoch"], atol=1e-8
         )
-        # dressed Hamiltonians agree as operators
+        # dressed Hamiltonians agree as operators (dense mode keeps the
+        # matrix as the authority and does NOT re-materialize the
+        # PauliSum view -- it saturates toward 4^n terms at 12q+)
         n = a.n_qubits
         np.testing.assert_allclose(
-            paulisum_to_dense(b.current_hamiltonian, n),
+            b._dense_h,
             paulisum_to_dense(a.current_hamiltonian, n),
             atol=1e-8,
         )
+
+
+class TestInnerLoopLowerings:
+    def test_state_scan_lowering_matches_unrolled(self):
+        """>=12 selected rotations route through CompiledCircuit; the scan
+        segment must be gate-for-gate equivalent to the unrolled chain."""
+        rng = np.random.default_rng(7)
+        n = 6
+        vqe = IQCC.__new__(IQCC)  # only _state's fields are needed
+        vqe.n_qubits = n
+        vqe.dtype = jnp.complex128
+        masks = []
+        while len(masks) < 13:
+            x = int(rng.integers(1, 1 << n))
+            z = int(rng.integers(0, 1 << n))
+            masks.append((x, z))
+        taus = rng.normal(0, 0.7, len(masks))
+        params = {
+            "theta": jnp.asarray(rng.uniform(0, np.pi, n)),
+            "phi": jnp.asarray(rng.uniform(-np.pi, np.pi, n)),
+            "tau": jnp.asarray(taus),
+        }
+        scan_psi = vqe._state(params, masks)
+        ref = product_state(params["theta"], params["phi"], n, jnp.complex128)
+        for k, (x, z) in enumerate(masks):
+            ref = gates.pauli_rotation(ref, n, x, z, params["tau"][k] / 2)
+        np.testing.assert_allclose(
+            np.asarray(scan_psi), np.asarray(ref), atol=1e-12
+        )
+
+    def test_lbfgs_inner_optimizer_converges(self, tmp_path):
+        """inner_optimizer='lbfgs' reaches at least the adam epoch-1 energy
+        in far fewer inner iterations on the 2x2 Hubbard subproblem."""
+        energies = {}
+        iters = {}
+        for opt in ("adam", "lbfgs"):
+            vqe = IQCC(
+                hamiltonian=fermi_hubbard(2, 2, 1.0, 4.0, periodic=True),
+                n_epoch=1, lr=1e-2, threshold=5e-3,
+                max_inner_iterations=400, inner_optimizer=opt,
+                ground_truth=True,
+                results_root=str(tmp_path / opt),
+                tag="iqcc-lbfgs-ab", plot=False, log_metrics=False,
+            )
+            vqe.run()
+            energies[opt] = vqe.loss_history["epoch"][-1]
+            iters[opt] = len(vqe.loss_history["iteration"])
+        assert energies["lbfgs"] <= energies["adam"] + 1e-6
+        assert iters["lbfgs"] < iters["adam"]
