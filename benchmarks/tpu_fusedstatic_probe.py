@@ -151,6 +151,19 @@ def main() -> int:
         timed_chain(fused_static, "roll", check=e3_closed)
         os.environ["QSFH_STREAM_FUSED_GROUPS"] = "64"
         timed_chain(fused_static, "roll_one_call", check=e3_closed)
+        # block-size ladder on top of the roll+one-call winner: larger row
+        # blocks amortize grid overhead per DMA, if VMEM allows
+        for br in (512, 1024):
+            os.environ["QSFH_PALLAS_STREAM_ROWS"] = str(br)
+            try:
+                timed_chain(fused_static, f"roll_one_call_br{br}",
+                            check=e3_closed)
+            except Exception as exc:
+                RESULT[f"roll_one_call_br{br}_error"] = (
+                    f"{type(exc).__name__}: {exc}"[:160])
+                log(f"roll br{br} failed")
+                save()
+        os.environ.pop("QSFH_PALLAS_STREAM_ROWS", None)
     except Exception as exc:
         RESULT["roll_error"] = f"{type(exc).__name__}: {exc}"[:160]
         log(f"roll failed: {RESULT['roll_error']}")

@@ -30,10 +30,13 @@ def adapt_2x2(tmp_path_factory):
 
 
 class TestScreening:
+    @pytest.mark.slow
     def test_matches_eval_circuit_autodiff(self, adapt_2x2):
         """The commutator screening must equal the reference's eval-circuit
         gradient: d<H>/de_k at e=0 with the whole pool appended after the
-        ansatz (adapt_vqe.py:336-341)."""
+        ansatz (adapt_vqe.py:336-341).  Full-pool autodiff builds a
+        ~90-generator unrolled jaxpr (~35 s compile); the fast profile
+        carries the same contract on a 12-generator slice below."""
         vqe = adapt_2x2
         n = vqe.n_qubits
         key = jax.random.PRNGKey(0)
@@ -43,6 +46,34 @@ class TestScreening:
         thetas = thetas.astype(vqe._rdt)
 
         psi_k = vqe._ansatz_k(thetas, idx)
+        screened = np.asarray(vqe._screen_fn(psi_k))
+
+        def eval_energy(e):
+            psi = psi_k
+            for k, rot in enumerate(vqe.pool_rot):
+                psi = generator_rotation(psi, n, rot, e[k])
+            psi = vqe._to_real(psi)
+            return vqe.problem.observables["H"].expectation(psi)
+
+        autodiff = np.asarray(
+            jax.grad(eval_energy)(jnp.zeros(len(vqe.pool_rot), dtype=thetas.dtype))
+        )
+        np.testing.assert_allclose(screened, autodiff, atol=1e-8)
+
+    def test_matches_eval_circuit_autodiff_sliced(self, adapt_2x2, tmp_path):
+        """Fast-profile form of the contract above: the same screening-vs-
+        eval-circuit identity on an ADAPT instance whose pool is a
+        12-generator slice (same physics, ~8x smaller autodiff jaxpr)."""
+        vqe = ADAPT(
+            n_epoch=2, threshold1=1e-2, threshold2=5e-2,
+            x_dimension=2, y_dimension=2, n_electrons=4,
+            n_spin_up=2, n_spin_down=2, tunneling=1, coulomb=6.0,
+            pool=adapt_2x2.fermion_pool[:12],
+            results_root=str(tmp_path), plot=False, log_metrics=False,
+        )
+        n = vqe.n_qubits
+        thetas = jnp.asarray([0.21, -0.17, 0.09], dtype=vqe._rdt)
+        psi_k = vqe._ansatz_k(thetas, [0, 5, 11])
         screened = np.asarray(vqe._screen_fn(psi_k))
 
         def eval_energy(e):

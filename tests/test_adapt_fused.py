@@ -38,10 +38,10 @@ def _mk(tmp_path, sub, **kw):
 
 
 def test_chunked_matches_sequential(tmp_path):
-    seq = _mk(tmp_path, "seq", max_inner_iterations=20)
+    seq = _mk(tmp_path, "seq", max_inner_iterations=10)
     seq.run()
 
-    fused = _mk(tmp_path, "fused", max_inner_iterations=20)
+    fused = _mk(tmp_path, "fused", max_inner_iterations=10)
     runner = FusedAdaptRunner(fused, chunk_iters=4, metrics_every_iter=True)
     runner.run()
 
@@ -55,7 +55,7 @@ def test_chunked_matches_sequential(tmp_path):
     # agree to float-assoc noise.
     a = np.asarray(seq.results["iteration loss"])
     b = np.asarray(fused.results["iteration loss"])
-    m = min(20, len(a), len(b))
+    m = min(10, len(a), len(b))
     np.testing.assert_allclose(a[:m], b[:m], rtol=1e-9, atol=1e-10)
 
     sa = np.asarray(seq.results["Sz"])[:m]
@@ -148,12 +148,12 @@ def test_merged_stages_match_split(tmp_path, monkeypatch):
     merged energy is 0.5*Re<psi|2H psi| from the cotangent pass instead
     of a separate H expectation scan."""
     monkeypatch.setenv("QSFH_MERGE_STAGES", "0")
-    split = _mk(tmp_path, "split6", n_epoch=1, max_inner_iterations=16)
+    split = _mk(tmp_path, "split6", n_epoch=1, max_inner_iterations=8)
     r0 = FusedAdaptRunner(split, chunk_iters=4, dispatch="stages")
     r0.run()
 
     monkeypatch.setenv("QSFH_MERGE_STAGES", "1")
-    merged = _mk(tmp_path, "merged3", n_epoch=1, max_inner_iterations=16)
+    merged = _mk(tmp_path, "merged3", n_epoch=1, max_inner_iterations=8)
     r1 = FusedAdaptRunner(merged, chunk_iters=4, dispatch="stages")
     r1.run()
 

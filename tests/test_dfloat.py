@@ -71,7 +71,10 @@ def test_df_mul_chain_precision():
     np.testing.assert_allclose(got, np.pi * np.e, rtol=1e-14)
 
 
-@pytest.mark.parametrize("nx,ny", [(2, 2), (2, 3)])
+@pytest.mark.parametrize(
+    "nx,ny",
+    [(2, 2), pytest.param(2, 3, marks=pytest.mark.slow)],
+)
 def test_expectation_df_matches_f64_of_f32_state(nx, ny):
     n = 2 * nx * ny
     H = jordan_wigner(fermi_hubbard(nx, ny, 1.0, 6.0, periodic=True))

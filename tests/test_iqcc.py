@@ -153,7 +153,7 @@ class TestIQCCDriver:
             n_epoch=2,
             lr=5e-2,
             threshold=5e-3,
-            max_inner_iterations=150,
+            max_inner_iterations=80,
             results_root=str(tmp_path),
             plot=False,
             log_metrics=False,
@@ -238,7 +238,7 @@ class TestDenseDressing:
             vqe = IQCC(
                 hamiltonian=fermi_hubbard(2, 2, 1.0, 4.0, periodic=True),
                 n_epoch=2, lr=1e-2, threshold=5e-3,
-                max_inner_iterations=30, dense_dressing=dense,
+                max_inner_iterations=16, dense_dressing=dense,
                 ground_truth=True,
                 results_root=str(tmp_path / ("d" if dense else "s")),
                 tag="iqcc-dense-ab", plot=False, log_metrics=False,
@@ -289,6 +289,7 @@ class TestInnerLoopLowerings:
             np.asarray(scan_psi), np.asarray(ref), atol=1e-12
         )
 
+    @pytest.mark.slow
     def test_lbfgs_inner_optimizer_converges(self, tmp_path):
         """inner_optimizer='lbfgs' reaches at least the adam epoch-1 energy
         in far fewer inner iterations on the 2x2 Hubbard subproblem."""
@@ -308,3 +309,11 @@ class TestInnerLoopLowerings:
             iters[opt] = len(vqe.loss_history["iteration"])
         assert energies["lbfgs"] <= energies["adam"] + 1e-6
         assert iters["lbfgs"] < iters["adam"]
+
+    def test_paulisum_to_dense_fast_matches_reference_builder(self):
+        from qsfh_tpu.ops.dense_dressing import paulisum_to_dense_fast
+
+        H = jordan_wigner(fermi_hubbard(2, 2, 1.0, 4.0, periodic=True))
+        np.testing.assert_allclose(
+            paulisum_to_dense_fast(H, 8), paulisum_to_dense(H, 8), atol=0
+        )
