@@ -82,14 +82,38 @@ def main() -> int:
     al = rng.uniform(-np.pi, np.pi, N)
     build = product_planes_fn(N, th, al)
 
+    # CHUNKED sweep: the full 2x6 pool is ~800 generators / ~500 distinct
+    # flip groups -> ONE streaming program of that size took ~28 min to
+    # come back from the tunneled compile service (killed by its own
+    # timeout on the first attempt).  Chunks of <=64 generators compile in
+    # seconds each and the sweep time is their sum (each chunk is
+    # DMA-bound and independent) -- also the deployable shape for big-n
+    # screening against a ~100 s compile-service ceiling.
+    chunk_sz = int(os.environ.get("QSFH_SCREEN_CHUNK", "64"))
+    chunks = [
+        PackedPool(qubit_pool[lo:lo + chunk_sz], N)
+        for lo in range(0, pool.size, chunk_sz)
+    ]
+
     @jax.jit
-    def screen_once():
+    def w_state():
         re, im = build()
         psi = (re + 1j * im).reshape(-1).astype(jnp.complex64)
-        w = obs.apply_auto(psi)
-        return pool.screen_scan(psi, w)
+        return psi, obs.apply_auto(psi)
 
-    grads_dev = np.asarray(screen_once())
+    def chunk_fn(pk):
+        @jax.jit
+        def f(psi, w):
+            return pk.screen_scan(psi, w)
+        return f
+
+    chunk_fns = [chunk_fn(pk) for pk in chunks]
+    psi_dev, w_dev = w_state()
+    parts = []
+    for i, f in enumerate(chunk_fns):
+        parts.append(np.asarray(f(psi_dev, w_dev)))
+        log(f"chunk {i + 1}/{len(chunks)} screened ({len(parts[-1])} gens)")
+    grads_dev = np.concatenate(parts)
     k_arg = int(np.abs(grads_dev).argmax())
     log(f"device grads: |g|max = {abs(grads_dev[k_arg]):.6e} at generator {k_arg}")
 
@@ -159,7 +183,7 @@ def main() -> int:
         print("tpu_screen_24:", json.dumps(out))
         return 1
 
-    # -- marginal timing: apply stage and screening stage ---------------------------
+    # -- marginal timing: apply stage + per-chunk sweep marginals --------------------
     scales = [1.0 + 1e-3 * k for k in range(K_CHAIN)]
 
     @jax.jit
@@ -170,17 +194,6 @@ def main() -> int:
         for s in scales:
             w = Observable(p.qubit_hamiltonian * s, N).apply_auto(psi)
             tot = tot + jnp.sum(jnp.real(w) ** 2 + jnp.imag(w) ** 2)
-        return tot
-
-    @jax.jit
-    def screen_chain():
-        re, im = build()
-        psi = (re + 1j * im).reshape(-1).astype(jnp.complex64)
-        w = obs.apply_auto(psi)
-        tot = jnp.float32(0.0)
-        for s in scales:
-            pk = PackedPool([g * s for g in qubit_pool], N)
-            tot = tot + jnp.sum(pk.screen_scan(psi, w))
         return tot
 
     def marginal(f1, fk, label):
@@ -207,21 +220,42 @@ def main() -> int:
         w = obs.apply_auto(psi)
         return jnp.sum(jnp.real(w) ** 2 + jnp.imag(w) ** 2)
 
-    @jax.jit
-    def screen_only():
-        re, im = build()
-        psi = (re + 1j * im).reshape(-1).astype(jnp.complex64)
-        w = obs.apply_auto(psi)
-        return jnp.sum(pool.screen_scan(psi, w))
-
     out["apply_marginal_ms"], out["apply_fetch_synced_ms"] = marginal(
         apply_once, apply_chain, "H-apply")
     flush()
-    out["screen_marginal_ms"], out["screen_fetch_synced_ms"] = marginal(
-        screen_only, screen_chain, "screen sweep")
-    # screen_chain repeats only the pool sweep; its marginal is the sweep alone
-    out["screen_step_ms"] = round(
-        out["apply_marginal_ms"] + out["screen_marginal_ms"], 2)
+
+    # per-chunk sweep marginals: k=1 vs k=3 legs with per-leg-scaled
+    # coefficients (grads are linear in c, so scaling defeats CSE without
+    # touching the planes); each chunk is DMA-bound and independent, so
+    # the sweep time is the sum of chunk marginals
+    sweep_ms = 0.0
+    per_chunk = []
+    subpools = [qubit_pool[lo:lo + chunk_sz]
+                for lo in range(0, pool.size, chunk_sz)]
+    for ci, (pk, sub) in enumerate(zip(chunks, subpools)):
+        @jax.jit
+        def f1(psi, w, pk=pk):
+            return jnp.sum(pk.screen_scan(psi, w))
+
+        pks = [PackedPool([g * s for g in sub], N) for s in scales]
+
+        @jax.jit
+        def fk(psi, w, pks=pks):
+            tot = jnp.float32(0.0)
+            for pk_s in pks:
+                tot = tot + jnp.sum(pk_s.screen_scan(psi, w))
+            return tot
+
+        m, _single = marginal(
+            lambda: f1(psi_dev, w_dev), lambda: fk(psi_dev, w_dev),
+            f"chunk {ci}")
+        per_chunk.append(m)
+        sweep_ms += max(m, 0.0)
+        out["screen_chunks"] = len(chunks)
+        out["screen_chunk_marginal_ms"] = per_chunk
+        out["screen_sweep_ms"] = round(sweep_ms, 2)
+        flush()
+    out["screen_step_ms"] = round(out["apply_marginal_ms"] + sweep_ms, 2)
     flush()
 
     print("tpu_screen_24:", json.dumps(out))
