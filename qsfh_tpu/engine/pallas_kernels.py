@@ -1494,10 +1494,13 @@ def screen_stream_perm(n: int, xs, zs, cre, cim):
     groups = _stream_groups(xs, bb)
     static_ok = _stream_static_enabled()
     cap = _stream_static_max_terms()
+    # static mode iterates cap-size chunks so EVERY chunk stays on the
+    # static kernel (lockstep with screen_stream_planes below)
+    step = min(cap, 8 * LANE) if static_ok else 8 * LANE
     perm = []
     for _xh, idx in sorted(groups.items()):
-        for lo in range(0, len(idx), 8 * LANE):
-            chunk = idx[lo : lo + 8 * LANE]
+        for lo in range(0, len(idx), step):
+            chunk = idx[lo : lo + step]
             if static_ok and len(chunk) <= cap:
                 terms = _static_terms(chunk, xs, zs, cre, cim, bb)
                 order, _plan = _static_subgroups(terms)
@@ -1520,9 +1523,11 @@ def screen_stream_planes(wre, wim, re, im, n: int, xs, zs, cre, cim):
     perm = []
     static_ok = _stream_static_enabled()
     cap = _stream_static_max_terms()
+    # cap-size chunks in static mode (lockstep with screen_stream_perm)
+    step = min(cap, 8 * LANE) if static_ok else 8 * LANE
     for xh, idx in sorted(groups.items()):
-        for lo in range(0, len(idx), 8 * LANE):
-            chunk = idx[lo : lo + 8 * LANE]
+        for lo in range(0, len(idx), step):
+            chunk = idx[lo : lo + step]
             if static_ok and len(chunk) <= cap:
                 terms = _static_terms(chunk, xs, zs, cre, cim, bb)
                 order, plan = _static_subgroups(terms)
@@ -1605,25 +1610,34 @@ def expectation_stream_planes(re, im, n: int, xs, zs, cre, cim,
     static_ok = _stream_static_enabled()
     cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
-        if static_ok and len(idx) <= cap:
-            terms = _static_terms(idx, xs, zs, cre, cim, bb)
-            order, plan = _static_subgroups(terms)
-            want_im = any(t[4] != 0.0 for t in terms)
-            kernel = _make_expectation_stream_kernel_static(nhi, plan, want_im)
-            out = pl.pallas_call(
-                kernel,
-                grid=(nb,),
-                out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-                in_specs=[
-                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-                ],
-                out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
-                interpret=jax.devices()[0].platform == "cpu",
-            )(re, im, pre, pim)
-            total = total + out[0, 0]
+        if static_ok:
+            # over-cap groups SPLIT into cap-size chunks, each served by
+            # the static kernel: the extra plane re-reads beat the dynamic
+            # kernel's MXU-bound term loop by ~20x (the bimodal chunk
+            # costs of benchmarks/tpu_screen_24.log were exactly the
+            # groups that tripped this cap into the dynamic fallback)
+            for lo in range(0, len(idx), cap):
+                chunk = idx[lo : lo + cap]
+                terms = _static_terms(chunk, xs, zs, cre, cim, bb)
+                order, plan = _static_subgroups(terms)
+                want_im = any(t[4] != 0.0 for t in terms)
+                kernel = _make_expectation_stream_kernel_static(
+                    nhi, plan, want_im
+                )
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(nb,),
+                    out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+                    in_specs=[
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
+                    interpret=jax.devices()[0].platform == "cpu",
+                )(re, im, pre, pim)
+                total = total + out[0, 0]
             continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
         out = pl.pallas_call(
@@ -1797,7 +1811,6 @@ def expectation_stream_fused_static(re, im, n: int, xs, zs, cre, cim):
 
     total = jnp.float32(0.0)
     pending = []  # (xh, terms) with static plans, batched up to gcap
-    leftovers = []  # oversized groups -> dynamic per-group path
 
     def flush(batch):
         nonlocal total
@@ -1833,32 +1846,15 @@ def expectation_stream_fused_static(re, im, n: int, xs, zs, cre, cim):
         total = total + out[0, 0]
 
     for xh, idx in sorted(groups.items()):
-        if len(idx) > cap_terms:
-            leftovers.append((xh, idx))
-            continue
-        pending.append((xh, _static_terms(idx, xs, zs, cre, cim, bb)))
-        if len(pending) >= gcap:
-            flush(pending)
-            pending = []
+        # over-cap groups split into cap-size chunks (each re-reads the
+        # partner planes; still ~20x cheaper than the dynamic fallback)
+        for lo in range(0, len(idx), cap_terms):
+            chunk = idx[lo : lo + cap_terms]
+            pending.append((xh, _static_terms(chunk, xs, zs, cre, cim, bb)))
+            if len(pending) >= gcap:
+                flush(pending)
+                pending = []
     flush(pending)
-
-    for xh, idx in leftovers:
-        xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
-        out = pl.pallas_call(
-            functools.partial(_expectation_stream_kernel, nhi),
-            grid=(nb,),
-            out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-            + [
-                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-                pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-            ],
-            out_specs=pl.BlockSpec((8, LANE), lambda i: (0, 0)),
-            interpret=jax.devices()[0].platform == "cpu",
-        )(xlo, zlo, zhi, gcre, gcim, re, im, re, im)
-        total = total + out[0, 0]
     return total
 
 
@@ -1874,30 +1870,34 @@ def apply_stream_pallas(psi, n: int, xs, zs, cre, cim):
     static_ok = _stream_static_enabled()
     cap = _stream_static_max_terms()
     for xh, idx in sorted(groups.items()):
-        if static_ok and len(idx) <= cap:
-            terms = _static_terms(idx, xs, zs, cre, cim, bb)
-            order, plan = _static_subgroups(terms)
-            want_im = any(t[4] != 0.0 for t in terms)
-            kernel = _make_apply_stream_kernel_static(nhi, plan, want_im)
-            gre, gim = pl.pallas_call(
-                kernel,
-                grid=(nb,),
-                out_shape=(
-                    jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-                    jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-                ),
-                in_specs=[
-                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-                    pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
-                ],
-                out_specs=(
-                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                    pl.BlockSpec((br, LANE), lambda i: (i, 0)),
-                ),
-                interpret=jax.devices()[0].platform == "cpu",
-            )(re, im)
-            ore = ore + gre
-            oim = oim + gim
+        if static_ok:
+            # cap-size chunks keep over-cap groups on the static kernel
+            # (same fix as expectation_stream_planes)
+            for lo in range(0, len(idx), cap):
+                chunk = idx[lo : lo + cap]
+                terms = _static_terms(chunk, xs, zs, cre, cim, bb)
+                order, plan = _static_subgroups(terms)
+                want_im = any(t[4] != 0.0 for t in terms)
+                kernel = _make_apply_stream_kernel_static(nhi, plan, want_im)
+                gre, gim = pl.pallas_call(
+                    kernel,
+                    grid=(nb,),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                        jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                    ),
+                    in_specs=[
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                        pl.BlockSpec((br, LANE), lambda i, _h=xh: (i ^ _h, 0)),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                        pl.BlockSpec((br, LANE), lambda i: (i, 0)),
+                    ),
+                    interpret=jax.devices()[0].platform == "cpu",
+                )(re, im)
+                ore = ore + gre
+                oim = oim + gim
             continue
         xlo, zlo, zhi, gcre, gcim = _group_arrays(idx, xs, zs, cre, cim, bb)
         gre, gim = pl.pallas_call(

@@ -522,6 +522,56 @@ class TestStaticStreamEquivalence:
         np.testing.assert_allclose(outs["1"][1], outs["0"][1], atol=1e-5)
         np.testing.assert_allclose(outs["1"][2], outs["0"][2], atol=1e-4)
 
+    def test_over_cap_groups_chunk_onto_static_kernel(self, monkeypatch):
+        """Groups larger than QSFH_STREAM_STATIC_MAX_TERMS must SPLIT into
+        cap-size static chunks, not fall to the dynamic kernel (the
+        bimodal ~20x chunk costs of benchmarks/tpu_screen_24.log), and
+        all four streaming entry points must agree with the uncapped
+        route -- including the screen perm lockstep."""
+        from qsfh_tpu.engine.pallas_kernels import (
+            apply_stream_pallas,
+            expectation_stream_fused_static,
+            expectation_stream_pallas,
+            screen_stream_pallas,
+            screen_stream_perm,
+        )
+
+        n = 11
+        rng = np.random.default_rng(3)
+        # 40 terms over only TWO distinct flip masks -> both groups exceed
+        # a cap of 8 and must chunk
+        xs = np.repeat(np.array([5, 1 << (n - 1)], np.uint32), 20)
+        zs = rng.integers(0, 1 << n, 40).astype(np.uint32)
+        cre = rng.standard_normal(40).astype(np.float32)
+        cim = np.zeros(40, np.float32)
+        k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+        v = jax.random.normal(k1, (1 << n,)) + 1j * jax.random.normal(
+            k2, (1 << n,)
+        )
+        psi = (v / jnp.linalg.norm(v)).astype(jnp.complex64)
+        w = jax.random.normal(k2, (1 << n,)).astype(jnp.complex64)
+        re = np.asarray(psi.real, np.float32).reshape(-1, 128)
+        im = np.asarray(psi.imag, np.float32).reshape(-1, 128)
+
+        monkeypatch.setenv("QSFH_STREAM_STATIC", "1")
+        outs = {}
+        for cap in ("1024", "8"):
+            monkeypatch.setenv("QSFH_STREAM_STATIC_MAX_TERMS", cap)
+            e = float(expectation_stream_pallas(psi, n, xs, zs, cre, cim))
+            ef = float(expectation_stream_fused_static(
+                jnp.asarray(re), jnp.asarray(im), n, xs, zs, cre, cim))
+            a = np.asarray(apply_stream_pallas(psi, n, xs, zs, cre, cim))
+            s, perm = screen_stream_pallas(psi, w, n, xs, zs, cre, cim)
+            host_perm = screen_stream_perm(n, xs, zs, cre, cim)
+            np.testing.assert_array_equal(host_perm, perm)
+            sv = np.zeros(len(xs))
+            sv[perm] = np.asarray(s)
+            outs[cap] = (e, ef, a, sv)
+        np.testing.assert_allclose(outs["8"][0], outs["1024"][0], atol=1e-5)
+        np.testing.assert_allclose(outs["8"][1], outs["1024"][1], atol=1e-5)
+        np.testing.assert_allclose(outs["8"][2], outs["1024"][2], atol=1e-5)
+        np.testing.assert_allclose(outs["8"][3], outs["1024"][3], atol=1e-4)
+
     @pytest.mark.parametrize("flag", ["1", "0"])
     def test_screen_perm_helper_lockstep(self, flag, monkeypatch):
         """screen_stream_perm (host-only) must reproduce the permutation
