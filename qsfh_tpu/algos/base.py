@@ -158,6 +158,20 @@ class HubbardProblem:
         if os.path.exists(path) and not force:
             energy, wfs = ckpt.load_ground_state(path)
             return (energy, wfs) if degenerate else (energy, wfs[0])
+        # read-through shared cache (QSFH_ED_CACHE_DIR): the config tag is
+        # the cache identity, so independent results_roots (test tmp dirs,
+        # parallel experiment trees) share one solve.  The per-root copy
+        # is still written -- the artifact contract is unchanged.
+        shared_dir = os.environ.get("QSFH_ED_CACHE_DIR")
+        shared = (
+            os.path.join(shared_dir, os.path.basename(path))
+            if shared_dir
+            else None
+        )
+        if shared and os.path.exists(shared) and not force:
+            energy, wfs = ckpt.load_ground_state(shared)
+            ckpt.save_ground_state(path, energy, wfs)
+            return (energy, wfs) if degenerate else (energy, wfs[0])
 
         with jax.enable_x64(True), jax.default_device(cpu_device()):
             if degenerate:
@@ -172,6 +186,8 @@ class HubbardProblem:
                 )
                 states = [np.asarray(s) for s in states]
                 ckpt.save_ground_state(path, energy, states)
+                if shared:
+                    ckpt.save_ground_state(shared, energy, states)
                 return energy, states
             energy, wf = lanczos_ground_state(
                 self.qubit_hamiltonian,
@@ -183,6 +199,8 @@ class HubbardProblem:
             )
             wf = np.asarray(wf)
             ckpt.save_ground_state(path, energy, [wf])
+            if shared:
+                ckpt.save_ground_state(shared, energy, [wf])
             return energy, wf
 
     # -- HVA structure ------------------------------------------------------------

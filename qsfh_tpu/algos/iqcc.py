@@ -193,14 +193,15 @@ class IQCC:
         """Product state + selected exp(-i tau_k P_k / 2) rotations
         (iqcc.py:50-59; gates are exp(-i tau/2 P)).
 
-        Above a handful of rotations the chain is lowered to ONE scan
+        Above ~two dozen rotations the chain is lowered to ONE scan
         segment (engine/compiled.py) instead of unrolling K gates into the
         jaxpr: the dense 2x3 probe selects ~250 generators per epoch, and
         the unrolled value_and_grad program's XLA compile dominated the
         45-minute epochs of benchmarks/demo_iqcc_2x3_r4/probe_growth.log.
+        (Below that, the unrolled form compiles faster than the scan.)
         """
         psi = product_state(params["theta"], params["phi"], self.n_qubits, self.dtype)
-        if len(selected) >= 12:
+        if len(selected) >= 24:
             from ..engine.compiled import CompiledCircuit
 
             cc = CompiledCircuit(
@@ -302,9 +303,9 @@ class IQCC:
 
         i_epoch = len(self.loss_history["epoch"])
         if self.dense_dressing and self._dense_h is None:
-            from ..utils.dense import paulisum_to_dense
+            from ..ops.dense_dressing import paulisum_to_dense_fast
 
-            self._dense_h = paulisum_to_dense(
+            self._dense_h = paulisum_to_dense_fast(
                 self.current_hamiltonian, self.n_qubits
             )
         while i_epoch < self.n_epoch:
@@ -470,9 +471,9 @@ class IQCC:
             else:
                 # legacy checkpoint: the npz's PauliSum view was the
                 # dressed H (pre-r4 sessions saved it in full)
-                from ..utils.dense import paulisum_to_dense
+                from ..ops.dense_dressing import paulisum_to_dense_fast
 
-                self._dense_h = paulisum_to_dense(
+                self._dense_h = paulisum_to_dense_fast(
                     self.current_hamiltonian, self.n_qubits
                 )
 

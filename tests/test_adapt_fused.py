@@ -38,10 +38,13 @@ def _mk(tmp_path, sub, **kw):
 
 
 def test_chunked_matches_sequential(tmp_path):
-    seq = _mk(tmp_path, "seq", max_inner_iterations=10)
+    # max_inner must be a MULTIPLE of chunk_iters: the chunked runner
+    # finishes its K-block, so a non-multiple leaves the two loops at
+    # different params when epoch 2's screening selects operators
+    seq = _mk(tmp_path, "seq", max_inner_iterations=12)
     seq.run()
 
-    fused = _mk(tmp_path, "fused", max_inner_iterations=10)
+    fused = _mk(tmp_path, "fused", max_inner_iterations=12)
     runner = FusedAdaptRunner(fused, chunk_iters=4, metrics_every_iter=True)
     runner.run()
 
@@ -55,7 +58,7 @@ def test_chunked_matches_sequential(tmp_path):
     # agree to float-assoc noise.
     a = np.asarray(seq.results["iteration loss"])
     b = np.asarray(fused.results["iteration loss"])
-    m = min(10, len(a), len(b))
+    m = min(12, len(a), len(b))
     np.testing.assert_allclose(a[:m], b[:m], rtol=1e-9, atol=1e-10)
 
     sa = np.asarray(seq.results["Sz"])[:m]

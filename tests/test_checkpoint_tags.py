@@ -80,3 +80,26 @@ class TestMixedResumeEndToEnd:
             np.testing.assert_allclose(
                 np.asarray(resumed.params[k]), np.asarray(first.params[k])
             )
+
+
+def test_shared_ed_cache_read_through(tmp_path, monkeypatch):
+    """With QSFH_ED_CACHE_DIR set, a second results_root must satisfy its
+    ED lookup from the shared cache (no second Lanczos solve) while still
+    writing its own per-root artifact."""
+    import qsfh_tpu.algos.base as base
+    from qsfh_tpu.algos.base import HubbardProblem
+
+    monkeypatch.setenv("QSFH_ED_CACHE_DIR", str(tmp_path / "shared"))
+    pa = HubbardProblem(2, 2, 1.0, 4.0, 4, 2, 2)
+    pa.results_root = str(tmp_path / "a")
+    e_a, _ = pa.ground_state()
+
+    def boom(*a, **k):
+        raise AssertionError("second root must not re-solve")
+
+    monkeypatch.setattr(base, "lanczos_ground_state", boom)
+    pb = HubbardProblem(2, 2, 1.0, 4.0, 4, 2, 2)
+    pb.results_root = str(tmp_path / "b")
+    e_b, _ = pb.ground_state()
+    assert e_a == e_b
+    assert os.path.exists(pb.ground_state_path())

@@ -42,6 +42,7 @@ class TestEquilibriumRegression:
         assert m.fci_energy == pytest.approx(-2.180317, abs=5e-5)
         assert m.fci_energy < m.hf_energy
 
+    @pytest.mark.slow
     def test_h6_golden(self):
         m = H6(0.9)
         assert m.hf_energy == pytest.approx(-3.160743, abs=5e-5)

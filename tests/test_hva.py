@@ -82,6 +82,7 @@ def test_checkpoint_resume(hva_2x2, tmp_path):
     assert e1 == pytest.approx(e2, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_resume_continues_optimizer_trajectory(tmp_path_factory):
     """A split run (N then resume N more) reproduces the straight 2N-epoch
     trajectory exactly: the checkpoint carries Adam's moments, so resume

@@ -271,7 +271,7 @@ class TestInnerLoopLowerings:
         vqe.n_qubits = n
         vqe.dtype = jnp.complex128
         masks = []
-        while len(masks) < 13:
+        while len(masks) < 25:
             x = int(rng.integers(1, 1 << n))
             z = int(rng.integers(0, 1 << n))
             masks.append((x, z))

@@ -538,12 +538,12 @@ class TestStaticStreamEquivalence:
 
         n = 11
         rng = np.random.default_rng(3)
-        # 40 terms over only TWO distinct flip masks -> both groups exceed
+        # 24 terms over only TWO distinct flip masks -> both groups exceed
         # a cap of 8 and must chunk
-        xs = np.repeat(np.array([5, 1 << (n - 1)], np.uint32), 20)
-        zs = rng.integers(0, 1 << n, 40).astype(np.uint32)
-        cre = rng.standard_normal(40).astype(np.float32)
-        cim = np.zeros(40, np.float32)
+        xs = np.repeat(np.array([5, 1 << (n - 1)], np.uint32), 12)
+        zs = rng.integers(0, 1 << n, 24).astype(np.uint32)
+        cre = rng.standard_normal(24).astype(np.float32)
+        cim = np.zeros(24, np.float32)
         k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
         v = jax.random.normal(k1, (1 << n,)) + 1j * jax.random.normal(
             k2, (1 << n,)

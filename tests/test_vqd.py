@@ -68,6 +68,7 @@ def test_sector_penalty_targets_odd_electron_state(h2, tmp_path, monkeypatch):
     np.testing.assert_allclose(energies[0], ev_n1[0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_hf_seeded_level_converges_fast(h2, tmp_path, monkeypatch):
     """initial_occupied seeds the circuit inside the target sector: from
     the HF determinant (qubits 0,1) a reps=2 ansatz reaches FCI-1e-3 in
