@@ -36,6 +36,7 @@ from ..utils.dense import _qubit_masks_to_bit_masks, paulisum_to_dense
 __all__ = [
     "fwht",
     "dense_to_paulisum",
+    "paulisum_to_dense_fast",
     "dense_dis_generators",
     "dress_dense",
     "DenseObservable",
@@ -84,6 +85,34 @@ def dense_to_paulisum(M: np.ndarray, n_qubits: int, tol: float = 1e-10) -> Pauli
     return PauliSum(
         rev[xf].astype(np.uint64), rev[zf].astype(np.uint64), np.asarray(c)
     )
+
+
+def paulisum_to_dense_fast(P: PauliSum, n_qubits: int) -> np.ndarray:
+    """Dense matrix of a PauliSum in O(4^n log 2^n) regardless of term
+    count -- the exact inverse of :func:`dense_to_paulisum`.
+
+    ``utils.dense.paulisum_to_dense`` builds one sparse matrix PER TERM
+    (fine for the <=200-term golden tests it serves); resuming a dressed
+    iQCC checkpoint means re-densifying a 586k-term sum, where the
+    scatter-into-C + one FWHT route is ~1000x faster.
+    """
+    dim = 1 << n_qubits
+    idx = np.arange(dim)
+    # qubit-indexed -> flat (bit-reversed) masks, vectorized over terms
+    xf = np.zeros(len(P.c), dtype=np.int64)
+    zf = np.zeros(len(P.c), dtype=np.int64)
+    x = P.x.astype(np.int64)
+    z = P.z.astype(np.int64)
+    for q in range(n_qubits):
+        bit = n_qubits - 1 - q
+        xf |= ((x >> q) & 1) << bit
+        zf |= ((z >> q) & 1) << bit
+    C = np.zeros((dim, dim), dtype=np.complex128)
+    np.add.at(C, (xf, zf), P.c)
+    V = fwht(C)  # V[xf, b] = sum_z c(xf, z) (-1)^{zb.b}
+    M = np.empty((dim, dim), dtype=np.complex128)
+    M[idx[:, None] ^ idx[None, :], idx[None, :]] = V
+    return M
 
 
 def dense_dis_generators(
