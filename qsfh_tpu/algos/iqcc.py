@@ -74,6 +74,10 @@ class IQCC:
         max_terms: Optional[int] = None,
         compaction_eps: Optional[float] = None,
         dense_dressing: bool = False,
+        ilc: bool = False,
+        ilc_cap: int = 32,
+        ilc_rounds: int = 2,
+        ilc_min_gain: float = 1e-7,
         reference_energy: Optional[float] = None,
         ground_truth: bool = True,
         dtype=None,
@@ -137,6 +141,18 @@ class IQCC:
         self.dense_dressing = bool(dense_dressing)
         if self.dense_dressing and (n_qubits or qubit_h.n_qubits()) > 14:
             raise ValueError("dense_dressing is a <=14-qubit backend (4^n memory)")
+        # iQCC-ILC boost epochs (ops/ilc.py): after each standard epoch's
+        # fold, diagonalize H in span{|0>, P_k|0>} over a mutually
+        # anticommuting DIS subset and fold the involutory-combination
+        # unitary exactly.  Second-order couplings keep these steps
+        # productive at the first-order plateau the round-4 2x3 campaign
+        # measured (dense.json plateau_diagnostic).  Dense backend only.
+        self.ilc = bool(ilc)
+        if self.ilc and not self.dense_dressing:
+            raise ValueError("ilc=True requires dense_dressing=True")
+        self.ilc_cap = int(ilc_cap)
+        self.ilc_rounds = int(ilc_rounds)
+        self.ilc_min_gain = float(ilc_min_gain)
         self._dense_h = None
         self._dense_nnz = None
         self.plot = plot
@@ -401,6 +417,8 @@ class IQCC:
                         f"{dweight:.3e}, cumulative eigenvalue-shift bound "
                         f"{self.compaction_bound:.3e}"
                     )
+            if self.ilc:
+                self._run_ilc_folds()
             i_epoch += 1
             n_terms = (
                 self._dense_nnz
@@ -421,6 +439,50 @@ class IQCC:
                     label="iqcc",
                 )
         return self.loss_history
+
+    def _run_ilc_folds(self):
+        """Up to ``ilc_rounds`` ILC folds at the current QMF state; each
+        re-derives the DIS from the (exactly) dressed matrix, so
+        successive folds see fresh second-order structure.  The epoch
+        energy entry is updated to the post-fold energy (the fold is a
+        frame change, not a new variational state)."""
+        from ..ops.dense_dressing import dense_dis_generators
+        from ..ops.ilc import ilc_step_dense
+
+        psi = np.asarray(
+            product_state(
+                self.params["theta"], self.params["phi"], self.n_qubits,
+                np.complex128,
+            )
+        )
+        for r in range(self.ilc_rounds):
+            dis, self._dense_nnz = dense_dis_generators(
+                self._dense_h, self.n_qubits
+            )
+            if not dis:
+                break
+            gens = [P for _, P in dis]
+            Hd, e_pred, info = ilc_step_dense(
+                self._dense_h, psi, gens, self.n_qubits, cap=self.ilc_cap
+            )
+            if info.get("gain", 0.0) < self.ilc_min_gain:
+                break
+            self._dense_h = Hd
+            self.selected_ops.append(
+                f"ILC[{info['selected']}] gain={info['gain']:.3e}"
+            )
+            print(
+                f"ILC fold {r}: {info['selected']} anticommuting gens, "
+                f"E {info['E0']:.6f} -> {e_pred:.6f} "
+                f"(gain {info['gain']:.3e}, best single {info['best_single_gain']:.3e})"
+            )
+            if self.loss_history["epoch"]:
+                self.loss_history["epoch"][-1] = float(e_pred)
+            self.loss_history["iteration"].append(float(e_pred))
+            self.metrics.log(
+                iter=len(self.loss_history["iteration"]), loss=float(e_pred),
+                norm=0.0, ilc=info["selected"],
+            )
 
     # -- persistence ------------------------------------------------------------------
 

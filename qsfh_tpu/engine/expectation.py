@@ -241,7 +241,15 @@ class Observable:
                 re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
                 im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
                 return expectation_stream_fused(re, im, n, xs, zs, cre32, cim32)
-            if os.environ.get("QSFH_STREAM_FUSED_STATIC", "1") == "1":
+            # 30q fused-static reproducibly CRASHES the tunneled TPU
+            # worker (kernel fault, benchmarks/tpu_stream_30.log
+            # 2026-08-21); the one-call working set at 8.6 GB state is
+            # past what the worker survives, so the default flips to the
+            # per-group static route above 28q (measured 1018 ms / 523
+            # GB/s at 30q).  Explicit QSFH_STREAM_FUSED_STATIC=1 still
+            # forces it for probes.
+            fs_default = "1" if n <= 28 else "0"
+            if os.environ.get("QSFH_STREAM_FUSED_STATIC", fs_default) == "1":
                 from .pallas_kernels import expectation_stream_fused_static
 
                 re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
