@@ -116,6 +116,12 @@ def analyze(n, lattice, path):
     plane_pair = 2 * (1 << n) * 4  # re+im f32 bytes
 
     ms = blob.get("eval_marginal_ms") or blob.get("eval_fetch_synced_ms")
+    below_noise = ms is not None and ms <= 0.5
+    if below_noise:
+        # chained-call marginal smaller than tunnel RTT jitter (the 22q
+        # eval): the fetch-synced number is an upper bound, so derived
+        # bandwidth columns are lower bounds -- flagged in the row
+        ms = blob.get("eval_fetch_synced_ms")
     secs = ms / 1e3
 
     # grouped kernel traffic: per group, conj (re,im) + partner (re,im)
@@ -142,6 +148,7 @@ def analyze(n, lattice, path):
         "stream_static": blob.get("stream_static"),
         "state_bytes": plane_pair,
         "measured_ms_per_eval": ms,
+        "marginal_below_tunnel_noise": below_noise or None,
         "bytes_moved_grouped": int(bytes_grouped),
         "achieved_GBps": round(bytes_grouped / secs / 1e9, 1),
         "pct_hbm_peak": round(100 * bytes_grouped / secs / 1e9 / HBM_PEAK_GBPS, 1),
@@ -171,6 +178,13 @@ def analyze(n, lattice, path):
     # per call and the xh==0 group served from the conj refs, roll+select
     # permutes (VPU) instead of MXU matmuls
     fs_ms = blob.get("fused_static_marginal_ms")
+    if fs_ms is not None and fs_ms <= 0.5:
+        # marginal below tunnel RTT jitter (22q/24q: the whole eval is
+        # faster than the timing noise): record the measurement, skip the
+        # nonsense-bandwidth derivation
+        row["fused_static_measured_ms"] = fs_ms
+        row["fused_static_marginal_below_tunnel_noise"] = True
+        fs_ms = None
     if fs_ms:
         from qsfh_tpu.engine.pallas_kernels import _fused_static_group_cap
 
