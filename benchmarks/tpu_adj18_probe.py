@@ -152,7 +152,7 @@ def main():
     if os.environ.get("QSFH_ADJ18_SKIP_B") == "1":
         print("phase B skipped (QSFH_ADJ18_SKIP_B=1)", flush=True)
         return 0
-    T = 1280
+    T = int(os.environ.get("QSFH_ADJ18_T", "1280"))
     xs, zs, ang, sc, phre, phim = terms(T, 13)
     big = (jax.device_put(v), jnp.asarray(xs), jnp.asarray(zs),
            jnp.asarray(ang), jnp.asarray(sc), jnp.asarray(phre),
@@ -163,7 +163,7 @@ def main():
     # the T=24 -> T=1280 shape change forces a fresh trace/compile, so
     # this first call includes recompilation; the 5 timed runs below are
     # the true warm numbers
-    RESULT["t1280_first_call_s"] = round(time.time() - t0, 2)
+    RESULT[f"t{T}_first_call_s"] = round(time.time() - t0, 2)
     save()
     with bench._chip_exclusive():
         times = []
@@ -171,13 +171,12 @@ def main():
             t0 = time.time()
             np.asarray(fn(*big)[2])
             times.append(time.time() - t0)
-    RESULT["t1280_ms_median"] = round(1e3 * float(np.median(times)), 3)
-    RESULT["t1280_ms_all"] = [round(1e3 * t, 2) for t in times]
-    RESULT["per_term_us"] = round(1e6 * float(np.median(times)) / T, 3)
+    RESULT[f"t{T}_ms_median"] = round(1e3 * float(np.median(times)), 3)
+    RESULT[f"t{T}_ms_all"] = [round(1e3 * t, 2) for t in times]
+    RESULT[f"t{T}_per_term_us"] = round(1e6 * float(np.median(times)) / T, 3)
     save()
-    print(f"T=1280 adjoint sweep: {RESULT['t1280_ms_median']} ms median "
-          f"({RESULT['per_term_us']} us/term) -- XLA-scan flagship step is "
-          f"~1060 ms/iter total", flush=True)
+    print(f"T={T} adjoint sweep: {RESULT[f't{T}_ms_median']} ms median "
+          f"({RESULT[f't{T}_per_term_us']} us/term)", flush=True)
     return 0
 
 
