@@ -140,6 +140,17 @@ def main(argv=None):
         help="epoch-subproblem optimizer: adam (reference parity) or "
         "lbfgs with linesearch (~10x fewer inner iterations)",
     )
+    p.add_argument(
+        "--ilc", action="store_true",
+        help="iQCC-ILC boost folds after each epoch (requires "
+        "--dense-dressing): anticommuting-subset subspace "
+        "diagonalization; breaks the first-order QCC plateau measured "
+        "at 2x3 (ops/ilc.py)",
+    )
+    p.add_argument("--ilc-cap", type=int, default=32,
+                   help="max anticommuting generators per ILC fold")
+    p.add_argument("--ilc-rounds", type=int, default=2,
+                   help="ILC folds per epoch")
 
     p = sub.add_parser("hea", help="hardware-efficient-ansatz molecular VQE")
     _add_run_args(p)
@@ -387,6 +398,9 @@ def main(argv=None):
             max_terms=args.max_terms,
             compaction_eps=args.compaction_eps,
             dense_dressing=args.dense_dressing,
+            ilc=args.ilc,
+            ilc_cap=args.ilc_cap,
+            ilc_rounds=args.ilc_rounds,
             inner_optimizer=args.inner_optimizer,
             results_root=args.results_root,
             tag=tag,
