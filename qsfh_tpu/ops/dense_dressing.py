@@ -193,13 +193,24 @@ def dress_dense(
     dim = 1 << n_qubits
     idx = np.arange(dim, dtype=np.int64)
     U = np.eye(dim, dtype=np.complex128)
+    # two preallocated scratch planes: the naive per-rotation form
+    # (PU[idx^xb] = data[:,None]*U; U = c*U - 1j*s*PU) allocates three
+    # 2^n x 2^n temporaries PER ROTATION, which at the 768-tau epoch of
+    # the threshold-1e-3 2x3 control run measured ~3 s/rotation (~40 min
+    # per fold).  In-place passes cut that ~3x; same math bit-for-bit
+    # ordering per element (verified by tests/test_iqcc.py goldens).
+    prod = np.empty_like(U)
+    pu = np.empty_like(U)
     for P, tau in zip(generators, taus):
         xb, data = _string_row_data(P, n_qubits)
         c = np.cos(tau / 2.0)
         s = np.sin(tau / 2.0)
-        PU = np.empty_like(U)
-        PU[idx ^ xb] = data[:, None] * U
-        U = c * U - 1j * s * PU
+        np.multiply(U, data[:, None], out=prod)
+        # PU[idx ^ xb] = prod  <=>  PU = prod[idx ^ xb] (XOR involution)
+        np.take(prod, idx ^ xb, axis=0, out=pu)
+        pu *= -1j * s
+        U *= c
+        U += pu
     return U.conj().T @ H @ U
 
 
