@@ -149,13 +149,45 @@ def _warm_fingerprint() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
     pkg = os.path.join(here, "qsfh_tpu")
-    for root, _dirs, files in sorted(os.walk(pkg)):
-        for fn in sorted(files):
-            if fn.endswith((".py", ".cpp")):
-                p = os.path.join(root, fn)
-                h.update(p.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+    # Only the modules that shape the traced train-step HLO.  Hashing the
+    # whole package invalidated a perfectly warm cache on every CPU-only
+    # edit (iqcc/ILC/cli/docs) -- measured 2026-08-21: a 405 s re-warm in
+    # a sick compile window for edits that could not have changed a
+    # single program hash.  Being wrong in the exclusion direction is
+    # safe: each claimed-warm stage is still verified with a cheap call
+    # before the timed attempt.
+    STEP_DIRS = ("engine", "grad")
+    STEP_FILES = (
+        "__init__.py",
+        os.path.join("algos", "base.py"),
+        os.path.join("algos", "adapt.py"),
+        os.path.join("algos", "adapt_fused.py"),
+        os.path.join("ops", "pauli.py"),
+        os.path.join("ops", "fermion.py"),
+        os.path.join("ops", "jw.py"),
+        os.path.join("ops", "lattice.py"),
+        os.path.join("ops", "pool.py"),
+        os.path.join("ops", "hva.py"),
+        os.path.join("ops", "givens.py"),
+        os.path.join("ops", "fourier.py"),
+        os.path.join("ops", "tools.py"),
+    )
+    paths = []
+    for d in STEP_DIRS:
+        base = os.path.join(pkg, d)
+        for root, _dirs, files in sorted(os.walk(base)):
+            paths += [
+                os.path.join(root, fn)
+                for fn in sorted(files)
+                if fn.endswith((".py", ".cpp"))
+            ]
+    paths += [os.path.join(pkg, f) for f in STEP_FILES]
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
     return (
         f"{h.hexdigest()[:16]}|two_scan="
         f"{os.environ.get('QSFH_SPLIT_TWO_SCAN', '0')}"
