@@ -45,6 +45,24 @@ _VMAP_THRESHOLD = 8
 _CHUNK = 64
 
 
+def stream_route(n: int) -> str:
+    """HBM-streaming expectation route for an ``n``-qubit state:
+    ``"fused_static"`` (default <=28q: one pallas call per <=16 flip
+    groups, conj side read once, roll+select permutes -- 80.25 ms /
+    81.7% of HBM peak at 28q), ``"grouped"`` (default above 28q: the
+    30q fused-static working set reproducibly CRASHES the tunneled TPU
+    worker -- kernel fault, benchmarks/tpu_stream_30.log 2026-08-21 --
+    while the per-group static route measures 1018 ms / 523 GB/s), or
+    ``"fused"`` (dynamic scalar-prefetch variant, kept for A/B).
+    QSFH_STREAM_FUSED=1 / QSFH_STREAM_FUSED_STATIC=0|1 override."""
+    if os.environ.get("QSFH_STREAM_FUSED") == "1":
+        return "fused"
+    fs_default = "1" if n <= 28 else "0"
+    if os.environ.get("QSFH_STREAM_FUSED_STATIC", fs_default) == "1":
+        return "fused_static"
+    return "grouped"
+
+
 def group_by_x(op: PauliSum) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Host-side grouping: x_mask -> (z_masks[], packed_coeffs[])."""
     groups: Dict[int, Tuple[list, list]] = defaultdict(lambda: ([], []))
@@ -235,21 +253,14 @@ class Observable:
             # variant (kept for A/B).
             cre32, cim32 = cre.astype(np.float32), cim.astype(np.float32)
             rows = (1 << n) // 128
-            if os.environ.get("QSFH_STREAM_FUSED") == "1":
+            route = stream_route(n)
+            if route == "fused":
                 from .pallas_kernels import expectation_stream_fused
 
                 re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)
                 im = jnp.imag(psi).astype(jnp.float32).reshape(rows, 128)
                 return expectation_stream_fused(re, im, n, xs, zs, cre32, cim32)
-            # 30q fused-static reproducibly CRASHES the tunneled TPU
-            # worker (kernel fault, benchmarks/tpu_stream_30.log
-            # 2026-08-21); the one-call working set at 8.6 GB state is
-            # past what the worker survives, so the default flips to the
-            # per-group static route above 28q (measured 1018 ms / 523
-            # GB/s at 30q).  Explicit QSFH_STREAM_FUSED_STATIC=1 still
-            # forces it for probes.
-            fs_default = "1" if n <= 28 else "0"
-            if os.environ.get("QSFH_STREAM_FUSED_STATIC", fs_default) == "1":
+            if route == "fused_static":
                 from .pallas_kernels import expectation_stream_fused_static
 
                 re = jnp.real(psi).astype(jnp.float32).reshape(rows, 128)

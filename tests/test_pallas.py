@@ -650,3 +650,30 @@ class TestFusedStaticStream:
         ref = float(expectation_stream_planes(re, im, n, xs, zs, cre, cim))
         got = float(expectation_stream_fused_static(re, im, n, xs, zs, cre, cim))
         assert got == pytest.approx(ref, abs=2e-4 * max(1.0, abs(ref)))
+
+
+class TestStreamRoute:
+    """The 30q fused-static working set crashes the tunneled TPU worker
+    (kernel fault, benchmarks/tpu_stream_30.log 2026-08-21): the default
+    route must fall back to per-group streaming above 28 qubits while
+    explicit env overrides still force any route for probes."""
+
+    def test_defaults_by_size(self, monkeypatch):
+        from qsfh_tpu.engine.expectation import stream_route
+
+        monkeypatch.delenv("QSFH_STREAM_FUSED", raising=False)
+        monkeypatch.delenv("QSFH_STREAM_FUSED_STATIC", raising=False)
+        assert stream_route(26) == "fused_static"
+        assert stream_route(28) == "fused_static"
+        assert stream_route(30) == "grouped"
+        assert stream_route(32) == "grouped"
+
+    def test_env_overrides(self, monkeypatch):
+        from qsfh_tpu.engine.expectation import stream_route
+
+        monkeypatch.setenv("QSFH_STREAM_FUSED_STATIC", "1")
+        assert stream_route(30) == "fused_static"
+        monkeypatch.setenv("QSFH_STREAM_FUSED_STATIC", "0")
+        assert stream_route(26) == "grouped"
+        monkeypatch.setenv("QSFH_STREAM_FUSED", "1")
+        assert stream_route(26) == "fused"
