@@ -119,6 +119,7 @@ class TestStep:
             assert abs(np.linalg.eigvalsh(Hd2)[0] - exact) < 1e-9
             Hd, e_prev = Hd2, e_pred
 
+    @pytest.mark.slow
     def test_iqcc_ilc_driver_beats_plain_at_fixed_epochs(self, tmp_path):
         """2x2 at 3 epochs: the ILC variant must reach at least as low an
         energy as plain dense iQCC (monotone extra folds), and the run
