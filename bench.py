@@ -64,7 +64,8 @@ class _chip_exclusive:
     PIDFILES = ("/tmp/grow.pid", "/tmp/cont_tpu.pid", "/tmp/campaign_r3.pid",
                 "/tmp/campaign.pid", "/tmp/extras.pid", "/tmp/ms_loop.pid",
                 "/tmp/polish.pid", "/tmp/refine.pid", "/tmp/iqcc23.pid",
-                "/tmp/iqcc_thr.pid", "/tmp/iqcc_ilc.pid", "/tmp/stream.pid")
+                "/tmp/iqcc_thr.pid", "/tmp/iqcc_ilc.pid", "/tmp/iqcc_lih.pid",
+                "/tmp/stream.pid")
     DRAIN_S = int(os.environ.get("QSFH_BENCH_PAUSE_DRAIN", "45"))
 
     @staticmethod
