@@ -22,16 +22,19 @@ from qsfh_tpu.molecules import LiH
 
 mol = LiH(r=0.8)
 vqe = IQCC(
-    mol, n_epoch=8, lr=1e-2, threshold=1e-2,
+    mol, n_epoch=8, lr=1e-2,
+    threshold=float(os.environ.get("QSFH_LIH_THR", "1e-2")),
     max_inner_iterations=2000,
     inner_optimizer="lbfgs",
     dense_dressing=True,
     ilc=True, ilc_cap=32, ilc_rounds=2,
     results_root=os.path.join(HERE, "results_ilc"),
     tag="iqcc-LiH-dense-ilc", plot=False, log_metrics=True,
+    load_model=bool(int(os.environ.get("QSFH_LIH_RESUME", "0"))),
 )
 t0 = time.time()
-marks = []
+OUT = os.path.join(HERE, "dense_ilc.json")
+marks = list(json.load(open(OUT))["marks"]) if os.path.exists(OUT) else []
 orig_save = vqe.save_model
 def save_and_mark():
     orig_save()
@@ -41,7 +44,7 @@ def save_and_mark():
         "error_mHa": 1e3 * (vqe.loss_history["epoch"][-1] - vqe.ground_state_energy),
         "elapsed_s": round(time.time() - t0, 1),
     })
-    with open(os.path.join(HERE, "dense_ilc.json"), "w") as f:
+    with open(OUT, "w") as f:
         json.dump({"fci": vqe.ground_state_energy, "backend": "dense+ilc",
                    "config": "reference iqcc.py:207-213 (LiH r=0.8)",
                    "marks": marks}, f, indent=1)
