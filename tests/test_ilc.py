@@ -154,3 +154,28 @@ class TestStep:
                 n_epoch=1, lr=1e-2, threshold=1e-2, ilc=True,
                 ground_truth=False, plot=False, log_metrics=False,
             )
+
+    def test_candidate_sets_anticommute_and_dedup(self, h22):
+        from qsfh_tpu.ops.ilc import candidate_anticommuting_sets
+
+        H, n, _ = h22
+        dis, _ = dense_dis_generators(H, n)
+        gens = [P for _, P in dis]
+        psi = _qmf(n, 4)
+        scores, _, _, _ = ilc_scores(H, psi, gens, n)
+        cands = candidate_anticommuting_sets(gens, scores, cap=8, restarts=8)
+        assert cands, "at least the greedy set"
+        seen = set()
+        for c in cands:
+            key = tuple(sorted(c))
+            assert key not in seen, "deduplicated"
+            seen.add(key)
+            for i in c:
+                for j in c:
+                    if i != j:
+                        assert pauli_anticommute(
+                            int(gens[i].x[0]), int(gens[i].z[0]),
+                            int(gens[j].x[0]), int(gens[j].z[0]),
+                        )
+        greedy = tuple(sorted(greedy_anticommuting_set(gens, scores, 8)))
+        assert greedy in seen
