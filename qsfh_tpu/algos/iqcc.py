@@ -365,11 +365,14 @@ class IQCC:
                 # Adam's momentum hops it), then L-BFGS closes the smooth
                 # tail in ~10x fewer iterations than fixed-lr Adam
                 warm_opt = optax.adam(self.lr)
+                # stop_at_threshold=True: converged subproblems exit the
+                # warmup early instead of burning the fixed budget; the
+                # L-BFGS stage below still runs either way (ADVICE r4)
                 drive(
                     warm_opt,
                     self._build_step(observable, selected_masks, warm_opt),
                     min(100, self.max_inner_iterations // 2),
-                    stop_at_threshold=False,
+                    stop_at_threshold=True,
                 )
                 lb = optax.lbfgs()
                 drive(
@@ -501,12 +504,19 @@ class IQCC:
                 "n_qubits": self.n_qubits,
                 "selected_ops": self.selected_ops,
                 "compaction_bound": self.compaction_bound,
+                # when true, the .dense.npy sidecar is the dressed-H
+                # authority and the npz's symbolic form is the UNDRESSED
+                # initial H -- load_model must refuse to resume without it
+                "dense_sidecar": bool(
+                    self.dense_dressing and self._dense_h is not None
+                ),
             },
         )
         if self.dense_dressing and self._dense_h is not None:
             # the dense matrix is the dressed-H authority; the npz keeps
             # only the (small) symbolic form.  complex128, 2^n square --
-            # 268 MB at 14q, written atomically beside the npz.
+            # ~4.3 GB at 14q (268 MB at 12q), written atomically beside
+            # the npz.
             dense_path = ckpt.resolve(self.model_filepath) + ".dense.npy"
             tmp = dense_path + ".tmp.npy"
             np.save(tmp, self._dense_h)
@@ -530,6 +540,17 @@ class IQCC:
             dense_path = ckpt.resolve(self.model_filepath) + ".dense.npy"
             if os.path.exists(dense_path):
                 self._dense_h = np.load(dense_path)
+            elif meta.get("dense_sidecar"):
+                # new-format checkpoint whose sidecar is lost: the npz's
+                # symbolic H is the UNDRESSED initial Hamiltonian, so a
+                # silent rebuild would resume from wrong energies while
+                # loss_history claims prior progress (ADVICE r4)
+                raise RuntimeError(
+                    f"dense-dressing checkpoint {self.model_filepath} was "
+                    f"saved with a .dense.npy sidecar, but {dense_path} is "
+                    "missing; refusing to rebuild from the undressed "
+                    "symbolic H. Restore the sidecar or restart the run."
+                )
             else:
                 # legacy checkpoint: the npz's PauliSum view was the
                 # dressed H (pre-r4 sessions saved it in full)

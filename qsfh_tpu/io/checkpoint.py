@@ -107,7 +107,13 @@ def descriptor_to_fermion(desc: List) -> FermionOperator:
 def save_ground_state(path: str, energy: float, wavefunctions) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     wfs = np.stack([np.asarray(w) for w in np.atleast_2d(wavefunctions)])
-    np.savez_compressed(path, energy=energy, wavefunctions=wfs)
+    # atomic temp+rename: the ED cache may be shared across concurrent runs
+    # (QSFH_ED_CACHE_DIR); an in-place savez can be read half-written
+    dest = path if path.endswith(".npz") else path + ".npz"
+    tmp = dest + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, energy=energy, wavefunctions=wfs)
+    os.replace(tmp, dest)
 
 
 def load_ground_state(path: str):

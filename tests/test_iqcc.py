@@ -187,6 +187,36 @@ class TestIQCCDriver:
         assert reloaded.loss_history["epoch"] == vqe.loss_history["epoch"]
 
 
+    def test_dense_resume_refuses_missing_sidecar(self, tmp_path):
+        """A dense-dressing checkpoint whose .dense.npy sidecar is lost must
+        refuse to resume: the npz's symbolic H is the UNDRESSED initial
+        Hamiltonian, so a silent rebuild would continue from wrong energies
+        (ADVICE r4, iqcc.py:533)."""
+        import glob
+        import os
+
+        H = fermi_hubbard(2, 2, 1.0, 4.0, periodic=True, spinless=False)
+        kwargs = dict(
+            n_epoch=1, lr=5e-2, threshold=5e-3, max_inner_iterations=8,
+            dense_dressing=True, results_root=str(tmp_path),
+            plot=False, log_metrics=False,
+        )
+        vqe = IQCC(H, **kwargs)
+        vqe.run()
+        # with the sidecar present, resume works and keeps the dressed H
+        reloaded = IQCC(H, **kwargs, load_model=True)
+        np.testing.assert_allclose(reloaded._dense_h, vqe._dense_h)
+        # remove the sidecar: the load must now raise, not silently rebuild
+        sidecars = glob.glob(
+            os.path.join(str(tmp_path), "**", "*.dense.npy"), recursive=True
+        )
+        assert sidecars, "dense run should have written a .dense.npy sidecar"
+        for s in sidecars:
+            os.remove(s)
+        with pytest.raises(RuntimeError, match="sidecar"):
+            IQCC(H, **kwargs, load_model=True)
+
+
 class TestDenseDressing:
     def test_dense_paulisum_roundtrip(self):
         from qsfh_tpu.ops.dense_dressing import dense_to_paulisum
