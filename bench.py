@@ -65,7 +65,7 @@ class _chip_exclusive:
                 "/tmp/campaign.pid", "/tmp/extras.pid", "/tmp/ms_loop.pid",
                 "/tmp/polish.pid", "/tmp/refine.pid", "/tmp/iqcc23.pid",
                 "/tmp/iqcc_thr.pid", "/tmp/iqcc_ilc.pid", "/tmp/iqcc_lih.pid",
-                "/tmp/stream.pid")
+                "/tmp/stream.pid", "/tmp/newton.pid", "/tmp/sweep.pid")
     DRAIN_S = int(os.environ.get("QSFH_BENCH_PAUSE_DRAIN", "45"))
 
     @staticmethod

@@ -35,8 +35,11 @@ EOF
         cat /tmp/bench_opp.out >> "$LOG"
         if grep -q '"metric"' /tmp/bench_opp.out && \
            ! grep -q '_recorded' /tmp/bench_opp.out; then
-          echo "[$ts] LIVE result captured; exiting loop" >> "$LOG"
-          exit 0
+          # keep looping: a full capture in EVERY healthy window keeps the
+          # freshest live number minutes old, not hours (VERDICT r4 next
+          # #2b) -- the fused path refreshes benchmarks/tpu_result.json
+          # with a worktree-stamped rev on each live run
+          echo "[$ts] LIVE result captured; continuing to refresh" >> "$LOG"
         fi
       fi
       ;;

@@ -143,11 +143,22 @@ def measure_fused_step(
     try:
         import subprocess
 
+        here = os.path.dirname(os.path.abspath(__file__))
         git_rev = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=10,
+            cwd=here, capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
+        # worktree state, not just HEAD: round-4's capture carried the
+        # previous round's snapshot rev because the session's work was
+        # uncommitted at capture time (VERDICT r4 weak #2) -- a dirty
+        # worktree is stamped as such so a replayed number is auditable
+        if git_rev:
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=here, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if dirty:
+                git_rev += "-dirty"
     except Exception:
         pass
     blob = {
