@@ -481,6 +481,41 @@ def warm_stages():
             state.get("stages", {}).pop(name, None)
             _save_warm_state(state)
             failed.append(name)
+    if "adjoint" in failed and not os.environ.get("QSFH_PALLAS_ADJ_MAX_N"):
+        # 2026-08-21: the remote compile helper crashes (HTTP 500,
+        # tpu_compile_helper subprocess exit 1) on the 18q adjoint-CHAIN
+        # program class -- every T (24..8192), fresh salts, healthy windows
+        # (probe 3.7 s, all other kernel classes compile) -- while the
+        # kernel source is byte-identical to the capture that compiled at
+        # 02:23Z the same day (tpu_adj18.json, rev d8c773c).  Service-side
+        # regression, same genus as the 30q fused-static worker fault.
+        # Fall back to the HBM-streaming adjoint (cap 17): the program
+        # class every recorded live bench number actually used (the cap
+        # moved 17 -> 18 only after the 29.088 capture).
+        os.environ["QSFH_PALLAS_ADJ_MAX_N"] = "17"
+        _log("adjoint: chain program class rejected by the compile "
+             "helper; retrying via the stream adjoint "
+             "(QSFH_PALLAS_ADJ_MAX_N=17)")
+        for attempt in range(3):
+            try:
+                fn = jax.jit(raw["adjoint"])  # fresh trace reads the env
+                th_d, psi_d, _g_d = dummies()
+                v = fn(psi_d, psi_d, th_d)
+                import numpy as _np
+
+                for leaf in jax.tree_util.tree_leaves(v):
+                    _np.asarray(leaf).ravel()[:1]
+                _log(f"stage adjoint: warm via stream route (attempt {attempt})")
+                state.setdefault("stages", {})["adjoint"] = time.time()
+                state["adj_max_n"] = "17"
+                _save_warm_state(state)
+                failed.remove("adjoint")
+                break
+            except Exception as exc:
+                msg = " ".join(str(exc).split())[:300]
+                _log(f"stage adjoint (stream) attempt {attempt}: "
+                     f"{type(exc).__name__}: {msg}")
+                time.sleep(10)
     if failed:
         _log(f"stages not warmed: {failed}")
         return 1
@@ -555,6 +590,16 @@ def main():
             except subprocess.TimeoutExpired:
                 _log(f"warm-stages exceeded {warm_budget}s")
                 stages_warm = False
+        # the warm subprocess may have discovered an adjoint-route
+        # fallback (chain class rejected by the compile helper) and
+        # recorded it; every subsequent attempt must trace the same route
+        wstate = _load_warm_state()
+        if wstate.get("adj_max_n") and not os.environ.get(
+            "QSFH_PALLAS_ADJ_MAX_N"
+        ):
+            os.environ["QSFH_PALLAS_ADJ_MAX_N"] = wstate["adj_max_n"]
+            _log(f"adjoint route pinned from warm state: "
+                 f"QSFH_PALLAS_ADJ_MAX_N={wstate['adj_max_n']}")
 
         # attempt the fused-shape measurement first: the whole train step as
         # ONE salted scan program (benchmarks/tpu_step_fused.py) is the
