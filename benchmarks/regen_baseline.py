@@ -93,6 +93,7 @@ def rows():
     for tag, path in (
         ("L-BFGS f64 polish", "benchmarks/demo_3x3/polish_cpu64.jsonl"),
         ("Newton-CG f64 polish", "benchmarks/demo_3x3/polish_newton.jsonl"),
+        ("native-engine f64 polish", "benchmarks/demo_3x3/polish_fast.jsonl"),
     ):
         b = _jsonl_best(path)
         if b:
@@ -125,15 +126,20 @@ def rows():
                 f"`tpu_result_{nq}q.json`",
             )
 
-    # -- chain-adjoint flagship-scale step (round 5) ---------------------
+    # -- flagship-scale step adjoint-route A/B (round 5) -----------------
     c = _jload("benchmarks/demo_3x3/step_chain_ab.json")
-    if c and c.get("chain", {}).get("ms_per_iter"):
-        xla = c.get("xla", {}).get("ms_per_iter")
+    if c and c.get("best_route"):
+        best = c[c["best_route"]]
+        xla = (c.get("xla") or {}).get("ms_per_iter")
         xs = f" vs {xla:.0f} ms XLA-scan" if xla else ""
+        chain_note = (" (chain class rejected by compile helper)"
+                      if c.get("chain_blocked") else "")
         row(
-            f"Flagship-scale step ({c.get('n_ops', '?')} ops), chain adjoint",
-            f"**{c['chain']['ms_per_iter']:.0f} ms/iter**{xs} "
-            f"(grad parity {c.get('parity_max_abs', float('nan')):.1e})",
+            f"Flagship-scale step ({c.get('n_ops', '?')} ops), "
+            f"{c['best_route']} adjoint",
+            f"**{best['ms_per_iter']:.0f} ms/iter**{xs}"
+            f" (grad rel parity {best.get('grad_max_rel_err', float('nan')):.1e})"
+            f"{chain_note}",
             "`demo_3x3/step_chain_ab.json`",
         )
 
