@@ -47,17 +47,18 @@ _CHUNK = 64
 
 def stream_route(n: int) -> str:
     """HBM-streaming expectation route for an ``n``-qubit state:
-    ``"fused_static"`` (default <=28q: one pallas call per <=16 flip
+    ``"fused_static"`` (default <=30q: one pallas call per <=16 flip
     groups, conj side read once, roll+select permutes -- 80.25 ms /
-    81.7% of HBM peak at 28q), ``"grouped"`` (default above 28q: the
-    30q fused-static working set reproducibly CRASHES the tunneled TPU
-    worker -- kernel fault, benchmarks/tpu_stream_30.log 2026-08-21 --
-    while the per-group static route measures 1018 ms / 523 GB/s), or
-    ``"fused"`` (dynamic scalar-prefetch variant, kept for A/B).
-    QSFH_STREAM_FUSED=1 / QSFH_STREAM_FUSED_STATIC=0|1 override."""
+    81.7% of HBM peak at 28q; at 30q the 256-row blocks reproducibly
+    CRASHED the tunneled TPU worker (kernel fault, tpu_stream_30.log)
+    but 128-row blocks run clean at 565.6 ms vs 1018 grouped, round-5
+    mitigation, see _stream_block_rows), ``"grouped"`` (default above
+    30q: untested fused-static territory), or ``"fused"`` (dynamic
+    scalar-prefetch variant, kept for A/B).  QSFH_STREAM_FUSED=1 /
+    QSFH_STREAM_FUSED_STATIC=0|1 override."""
     if os.environ.get("QSFH_STREAM_FUSED") == "1":
         return "fused"
-    fs_default = "1" if n <= 28 else "0"
+    fs_default = "1" if n <= 30 else "0"
     if os.environ.get("QSFH_STREAM_FUSED_STATIC", fs_default) == "1":
         return "fused_static"
     return "grouped"

@@ -1009,9 +1009,18 @@ def _stream_block_rows(rows: int) -> int:
     VMEM was 28.4 MB at 2048 rows and 16.0 MB at 512 (the separable-
     weight columns then pushed it 416 KB over the 16 MB v5e limit,
     2026-08-19); 256-row blocks halve every live plane to ~8 MB with
-    real headroom, at unchanged total HBM bytes."""
+    real headroom, at unchanged total HBM bytes.
+
+    At 30 qubits (rows >= 2^23) even the 256-row fused-static working
+    set reproducibly crashed the tunneled worker (kernel fault,
+    tpu_stream_30.log); 128-row blocks run clean -- 565.6 ms vs 1018 ms
+    grouped (tpu_stream_big_30.json, round 5) -- so the static cap
+    halves again there."""
     env = os.environ.get("QSFH_PALLAS_STREAM_ROWS")
-    cap = 256 if _stream_static_enabled() else 2048
+    if _stream_static_enabled():
+        cap = 256 if rows < (1 << 23) else 128
+    else:
+        cap = 2048
     br = int(env) if env else min(cap, rows // 2)
     if br < 8 or rows % br:
         raise ValueError(f"invalid stream block rows {br} for {rows} rows")

@@ -653,10 +653,12 @@ class TestFusedStaticStream:
 
 
 class TestStreamRoute:
-    """The 30q fused-static working set crashes the tunneled TPU worker
-    (kernel fault, benchmarks/tpu_stream_30.log 2026-08-21): the default
-    route must fall back to per-group streaming above 28 qubits while
-    explicit env overrides still force any route for probes."""
+    """The 30q fused-static 256-row working set crashes the tunneled TPU
+    worker (kernel fault, benchmarks/tpu_stream_30.log); round 5 measured
+    128-row blocks running clean at 565.6 ms (tpu_stream_big_30.json), so
+    the default is fused-static through 30q with the halved block cap
+    (see _stream_block_rows), per-group streaming above, and explicit env
+    overrides still force any route for probes."""
 
     def test_defaults_by_size(self, monkeypatch):
         from qsfh_tpu.engine.expectation import stream_route
@@ -665,8 +667,16 @@ class TestStreamRoute:
         monkeypatch.delenv("QSFH_STREAM_FUSED_STATIC", raising=False)
         assert stream_route(26) == "fused_static"
         assert stream_route(28) == "fused_static"
-        assert stream_route(30) == "grouped"
+        assert stream_route(30) == "fused_static"
         assert stream_route(32) == "grouped"
+
+    def test_static_block_cap_halves_at_30q(self, monkeypatch):
+        from qsfh_tpu.engine.pallas_kernels import _stream_block_rows
+
+        monkeypatch.delenv("QSFH_PALLAS_STREAM_ROWS", raising=False)
+        monkeypatch.setenv("QSFH_STREAM_FUSED_STATIC", "1")
+        assert _stream_block_rows(1 << 21) == 256   # 28q
+        assert _stream_block_rows(1 << 23) == 128   # 30q
 
     def test_env_overrides(self, monkeypatch):
         from qsfh_tpu.engine.expectation import stream_route
