@@ -138,7 +138,8 @@ def rows():
             f"Flagship-scale step ({c.get('n_ops', '?')} ops), "
             f"{c['best_route']} adjoint",
             f"**{best['ms_per_iter']:.0f} ms/iter**{xs}"
-            f" (grad rel parity {best.get('grad_max_rel_err', float('nan')):.1e})"
+            f" (grad abs parity {best.get('grad_max_abs_err', float('nan')):.1e}"
+            f" vs f64 = the f32 state floor at the converged point)"
             f"{chain_note}",
             "`demo_3x3/step_chain_ab.json`",
         )
