@@ -614,7 +614,14 @@ def main():
         )
         if os.path.exists(fused) and os.path.exists(expected):
             env = dict(os.environ)
-            env["QSFH_BENCH_SALT"] = str(time.time() % 1000 * 1e-7)
+            # reuse the pinned warm salt so a previously compiled fused
+            # program is a persistent-cache hit (a fresh salt per attempt
+            # forced a cold remote compile in every window -- fatal under
+            # the 2026-08-21 compile-helper roulette); fall back to a
+            # fresh salt only when no warm state exists
+            env["QSFH_BENCH_SALT"] = (
+                warm_salt if warm_salt else str(time.time() % 1000 * 1e-7)
+            )
             try:
                 proc = subprocess.run(
                     [sys.executable, fused], env=env, timeout=TPU_TIMEOUT_S,

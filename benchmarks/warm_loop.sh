@@ -19,6 +19,13 @@ while true; do
     echo "[$ts] ALL STAGES WARM at salt $SALT; exiting" >> "$LOG"
     exit 0
   fi
+  # roll the fused one-jit program too (the 29.088 class): one compile
+  # success is permanent via the persistent cache AND refreshes
+  # tpu_result.json with a live worktree-stamped capture
+  if QSFH_BENCH_SALT="$SALT" timeout 420 \
+      python benchmarks/tpu_step_fused.py >> "$LOG" 2>&1; then
+    echo "[$ts] FUSED capture landed at salt $SALT" >> "$LOG"
+  fi
   echo "[$ts] warm incomplete; retry in ${CYCLE}s" >> "$LOG"
   sleep "$CYCLE"
 done
