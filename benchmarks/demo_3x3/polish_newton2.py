@@ -47,6 +47,7 @@ from qsfh_tpu.ops.pool import hubbard_interaction_pool_extended  # noqa: E402
 CG_CAP = int(os.environ.get("QSFH_NCG_CAP", "100"))
 CLEANUP_ITERS = int(os.environ.get("QSFH_NCG_CLEANUP", "40"))
 ETA = float(os.environ.get("QSFH_NCG_ETA", "0.1"))
+PRECOND = os.environ.get("QSFH_NCG_PRECOND", "")
 TARGET_HA = float(os.environ.get("QSFH_NCG_TARGET", "0.9e-6"))
 DEADLINE_S = float(os.environ.get("QSFH_NCG_DEADLINE", "1e9"))
 FD_EPS = float(os.environ.get("QSFH_NCG_EPS", "1e-6"))
@@ -117,15 +118,30 @@ def main():
         print(f"entry cleanup: E {e:+.12f} | gap {1e3*(e-ed):+.6f} mHa | "
               f"gnorm {np.linalg.norm(g):.3e}", flush=True)
 
+    # Jacobi preconditioner from the FD Hessian diagonal (hdiag.py):
+    # unpreconditioned deep solves converge at ~0.78/cycle against a
+    # kappa ~ 1e6-1e7 spectrum; M = max(|H_kk|, floor) collapses the
+    # diagonal-visible part of that spread
+    minv = None
+    if PRECOND and os.path.exists(PRECOND):
+        dd = np.abs(np.asarray(np.load(PRECOND)["diag"], np.float64))
+        floor = max(1e-8, 1e-7 * float(np.max(dd)))
+        minv = 1.0 / np.maximum(dd, floor)
+        print(f"jacobi preconditioner: |H_kk| in "
+              f"[{dd.min():.3e}, {dd.max():.3e}], floor {floor:.1e}",
+              flush=True)
+
     stall = 0
     outer = 0
     while True:
         outer += 1
-        # -- Steihaug-CG on H p = -g --------------------------------------
+        # -- (preconditioned) Steihaug-CG on H p = -g ---------------------
         b = -g
         p = np.zeros_like(b)
         r = b.copy()
-        d = r.copy()
+        z = r * minv if minv is not None else r
+        d = z.copy()
+        rz = float(np.dot(r, z))
         rr = float(np.dot(r, r))
         b_norm = float(np.linalg.norm(b))
         cg_iters = 0
@@ -138,12 +154,14 @@ def main():
                 if cg_iters == 0:
                     p = b.copy()  # steepest descent fallback
                 break
-            alpha = rr / dHd
+            alpha = rz / dHd
             p += alpha * d
             r -= alpha * Hd
-            rr_new = float(np.dot(r, r))
-            d = r + (rr_new / rr) * d
-            rr = rr_new
+            z = r * minv if minv is not None else r
+            rz_new = float(np.dot(r, z))
+            d = z + (rz_new / rz) * d
+            rz = rz_new
+            rr = float(np.dot(r, r))
             cg_iters += 1
 
         # -- backtracking line search -------------------------------------
