@@ -116,11 +116,21 @@ def main():
         np.diag(betas[: len(alphas) - 1], -1)
     ritz = np.linalg.eigvalsh(T)
 
-    # -- Newton decrement via capped CG ----------------------------------
+    # -- Newton decrement via capped (optionally Jacobi-PCG) CG ----------
+    minv = None
+    pre = os.environ.get("QSFH_FLOOR_PRECOND", os.path.join(HERE, "hdiag.npz"))
+    if pre and os.path.exists(pre):
+        dd = np.abs(np.asarray(np.load(pre)["diag"], np.float64))
+        floor_m = max(1e-8, 1e-7 * float(np.max(dd)))
+        minv = 1.0 / np.maximum(dd, floor_m)
+        print(f"jacobi preconditioner active (|H_kk| spread "
+              f"{dd.min():.2e}..{dd.max():.2e})", flush=True)
     b_vec = -g
     p = np.zeros_like(b_vec)
     r = b_vec.copy()
-    d_vec = r.copy()
+    z = r * minv if minv is not None else r
+    d_vec = z.copy()
+    rz = float(np.dot(r, z))
     rr = float(np.dot(r, r))
     b_norm = float(np.linalg.norm(b_vec))
     cg_iters = 0
@@ -130,12 +140,14 @@ def main():
         dHd = float(np.dot(d_vec, Hd))
         if dHd <= 1e-16 * float(np.dot(d_vec, d_vec)):
             break
-        alpha = rr / dHd
+        alpha = rz / dHd
         p += alpha * d_vec
         r -= alpha * Hd
-        rr_new = float(np.dot(r, r))
-        d_vec = r + (rr_new / rr) * d_vec
-        rr = rr_new
+        z = r * minv if minv is not None else r
+        rz_new = float(np.dot(r, z))
+        d_vec = z + (rz_new / rz) * d_vec
+        rz = rz_new
+        rr = float(np.dot(r, r))
         cg_iters += 1
         if cg_iters % 25 == 0:
             dec = 0.5 * float(np.dot(b_vec, p))
