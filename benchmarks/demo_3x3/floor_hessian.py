@@ -70,6 +70,13 @@ def main():
     t0 = time.time()
     n_eval = [0]
 
+    def write_partial(rec):
+        # incremental checkpointing: a sandbox death mid-CG must not lose
+        # the decrement series (it IS the extrapolation data)
+        with open(OUT + ".tmp", "w") as fh:
+            json.dump(rec, fh, indent=1)
+        os.replace(OUT + ".tmp", OUT)
+
     def vg(th):
         n_eval[0] += 1
         return prog.value_and_grad(th, psi0)
@@ -115,6 +122,18 @@ def main():
     T = np.diag(alphas) + np.diag(betas[: len(alphas) - 1], 1) + \
         np.diag(betas[: len(alphas) - 1], -1)
     ritz = np.linalg.eigvalsh(T)
+    write_partial({
+        "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "status": "lanczos_done",
+        "n_params": n, "E": e, "ed": ed, "gap_uHa": gap * 1e6,
+        "gnorm": float(np.linalg.norm(g)),
+        "lanczos_m": len(alphas),
+        "ritz_low": [float(v) for v in ritz[:8]],
+        "ritz_high": [float(v) for v in ritz[-3:]],
+        "min_ritz": float(ritz[0]),
+        "evals": n_eval[0],
+        "wall_s": round(time.time() - t0, 1),
+    })
 
     # -- Newton decrement via capped (optionally Jacobi-PCG) CG ----------
     minv = None
@@ -149,14 +168,30 @@ def main():
         rz = rz_new
         rr = float(np.dot(r, r))
         cg_iters += 1
-        if cg_iters % 25 == 0:
+        if cg_iters % 10 == 0:
             dec = 0.5 * float(np.dot(b_vec, p))
             decrement_series.append(dec)
             print(f"  cg {cg_iters}: decrement {dec*1e6:.4f} uHa", flush=True)
+            write_partial({
+                "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "status": f"cg_{cg_iters}",
+                "n_params": n, "E": e, "ed": ed, "gap_uHa": gap * 1e6,
+                "gnorm": float(np.linalg.norm(g)),
+                "lanczos_m": len(alphas),
+                "ritz_low": [float(v) for v in ritz[:8]],
+                "min_ritz": float(ritz[0]),
+                "cg_iters": cg_iters,
+                "newton_decrement_uHa": dec * 1e6,
+                "decrement_series_uHa": [d * 1e6 for d in decrement_series],
+                "floor_estimate_uHa": (gap - dec) * 1e6,
+                "evals": n_eval[0],
+                "wall_s": round(time.time() - t0, 1),
+            })
     decrement = 0.5 * float(np.dot(b_vec, p))
 
     rec = {
         "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "status": "done",
         "git": os.popen(f"git -C {ROOT} rev-parse --short HEAD").read().strip(),
         "n_params": n, "E": e, "ed": ed, "gap_uHa": gap * 1e6,
         "gnorm": float(np.linalg.norm(g)),
