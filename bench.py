@@ -516,6 +516,40 @@ def warm_stages():
                 _log(f"stage adjoint (stream) attempt {attempt}: "
                      f"{type(exc).__name__}: {msg}")
                 time.sleep(10)
+    if "adjoint" in failed:
+        # 2026-08-21 (second regression step): the helper now 500s the
+        # STREAM adjoint class too (chain already rejected above).  Last
+        # resort: route ONLY the adjoint through the XLA grouped scan
+        # (compiled.run_rot_adjoint fallback) by lowering both pallas caps
+        # below n; fwd/energy/metrics keep their (warm, accepted) chain
+        # kernels.  Slower (~2x the pallas adjoint at 18q) but live beats
+        # replayed.
+        os.environ["QSFH_PALLAS_ADJ_MAX_N"] = "9"
+        os.environ["QSFH_PALLAS_STREAM_MAX_N"] = "9"
+        _log("adjoint: stream class rejected too; retrying via the XLA "
+             "grouped-scan adjoint (QSFH_PALLAS_ADJ_MAX_N=9, "
+             "QSFH_PALLAS_STREAM_MAX_N=9)")
+        for attempt in range(3):
+            try:
+                fn = jax.jit(raw["adjoint"])  # fresh trace reads the env
+                th_d, psi_d, _g_d = dummies()
+                v = fn(psi_d, psi_d, th_d)
+                import numpy as _np
+
+                for leaf in jax.tree_util.tree_leaves(v):
+                    _np.asarray(leaf).ravel()[:1]
+                _log(f"stage adjoint: warm via XLA route (attempt {attempt})")
+                state.setdefault("stages", {})["adjoint"] = time.time()
+                state["adj_max_n"] = "9"
+                state["stream_max_n"] = "9"
+                _save_warm_state(state)
+                failed.remove("adjoint")
+                break
+            except Exception as exc:
+                msg = " ".join(str(exc).split())[:300]
+                _log(f"stage adjoint (xla) attempt {attempt}: "
+                     f"{type(exc).__name__}: {msg}")
+                time.sleep(10)
     if failed:
         _log(f"stages not warmed: {failed}")
         return 1
@@ -600,6 +634,12 @@ def main():
             os.environ["QSFH_PALLAS_ADJ_MAX_N"] = wstate["adj_max_n"]
             _log(f"adjoint route pinned from warm state: "
                  f"QSFH_PALLAS_ADJ_MAX_N={wstate['adj_max_n']}")
+        if wstate.get("stream_max_n") and not os.environ.get(
+            "QSFH_PALLAS_STREAM_MAX_N"
+        ):
+            os.environ["QSFH_PALLAS_STREAM_MAX_N"] = wstate["stream_max_n"]
+            _log(f"stream cap pinned from warm state: "
+                 f"QSFH_PALLAS_STREAM_MAX_N={wstate['stream_max_n']}")
 
         # attempt the fused-shape measurement first: the whole train step as
         # ONE salted scan program (benchmarks/tpu_step_fused.py) is the

@@ -34,12 +34,23 @@ def kernel_path_label(n_qubits: int) -> str:
         stream_max_qubits,
     )
 
+    from qsfh_tpu.engine.pallas_kernels import adjoint_chain_max_qubits
+
     if not pallas_enabled():
         return "xla scan"
+    # the adjoint route can be pinned independently (compile-helper
+    # rejections of the adjoint kernel classes, bench.py fallback chain);
+    # stamp it when it diverges from the forward route
+    if 10 <= n_qubits <= adjoint_chain_max_qubits():
+        adj = ""
+    elif adjoint_chain_max_qubits() < n_qubits <= stream_max_qubits():
+        adj = ", stream adjoint"
+    else:
+        adj = ", xla adjoint"
     if 10 <= n_qubits <= chain_max_qubits():
-        return "pallas chain"
+        return "pallas chain" + adj
     if chain_max_qubits() < n_qubits <= stream_max_qubits():
-        return "pallas streaming"
+        return "pallas streaming" + adj
     return "xla scan"
 
 

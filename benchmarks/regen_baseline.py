@@ -104,6 +104,30 @@ def rows():
                 f"`{os.path.relpath(path, 'benchmarks')}` best-E record",
             )
 
+    # -- variational-floor certificate (round 5) -------------------------
+    fh_ = _jload("benchmarks/demo_3x3/floor_hessian.json")
+    fc = _jload("benchmarks/demo_3x3/floor_certificate.json")
+    if fh_:
+        ritz = fh_.get("min_ritz")
+        dec = fh_.get("newton_decrement_uHa")
+        if fc and fc.get("floor_uHa"):
+            fl = fc["floor_uHa"]
+            val = (f"floor **{fl['mid']:.1f} uHa** "
+                   f"[{fl['lo']:.1f}, {fl['hi']:.1f}] "
+                   f"(gap {fh_['gap_uHa']:.1f} uHa, min Ritz {ritz:+.3f}, "
+                   f"CG decrement {dec:.1f} uHa at "
+                   f"{fh_.get('cg_iters', '?')} iters)")
+            src = "`demo_3x3/floor_certificate.json` + `floor_hessian.json`"
+        else:
+            val = (f"gap {fh_['gap_uHa']:.1f} uHa, min Ritz "
+                   f"{ritz:+.3f}" +
+                   (f", CG decrement {dec:.1f} uHa"
+                    f" ({fh_.get('status', '?')})" if dec else
+                    f" ({fh_.get('status', '?')})"))
+            src = "`demo_3x3/floor_hessian.json`"
+        row("Flagship 1719-op variational floor (Hessian certificate)",
+            val, src)
+
     # -- train-step benchmark --------------------------------------------
     t = _jload("benchmarks/tpu_result.json")
     if t:
