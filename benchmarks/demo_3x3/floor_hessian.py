@@ -188,6 +188,14 @@ def main():
                 "wall_s": round(time.time() - t0, 1),
             })
     decrement = 0.5 * float(np.dot(b_vec, p))
+    # save the CG solution: it IS the (truncated) Newton step; a follow-up
+    # line search along it realizes the measured decrement as actual
+    # descent (polish_newton2.py duplicates this solve at the same HVP
+    # cost otherwise)
+    np.savez(os.path.join(HERE, "floor_step.npz.tmp.npz"), x=x, p=p,
+             decrement=decrement)
+    os.replace(os.path.join(HERE, "floor_step.npz.tmp.npz"),
+               os.path.join(HERE, "floor_step.npz"))
 
     rec = {
         "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
